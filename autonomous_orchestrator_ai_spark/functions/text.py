@@ -1,0 +1,169 @@
+"""Text-analysis column functions for LLM training-data pipelines
+(BASELINE.json north star: text analysis as first-class operators).
+
+Everything here is built-in-expression based (split/regexp/higher-order
+array functions) — JVM-side, codegen-friendly, no Python in the row path —
+and each formula is deliberately SQL-expressible so the DuckDB oracle can
+re-compute it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+WHITESPACE_RE = r"\s+"
+
+#: BPE-ish word/punct splitter: word chars | single non-space punct.
+BPE_ISH_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (empty string -> empty array)."""
+    text = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, WHITESPACE_RE)
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Count of word-piece-ish tokens (regexp-based BPE stand-in)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0))).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (deterministic, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+PUNCT_CLASS = r"[^\sA-Za-z0-9]"
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    text = F.col(text) if isinstance(text, str) else text
+    total = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[\sA-Za-z0-9]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """stopword tokens / tokens (0 for empty). Case-insensitive."""
+    stopwords = stopwords or EN_STOPWORDS
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t).cast("bigint")
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic:
+
+      0.4 * min(token_count, 200)/200         (length credit)
+    + 0.3 * stopword_ratio clipped to [0, .5]/.5  (natural-language-ness)
+    + 0.3 * (1 - min(punct_ratio, .5)/.5)     (not punctuation soup)
+    """
+    tc = token_count(text).cast("double")
+    length_term = F.least(tc, F.lit(200.0)) / 200.0
+    sw_term = F.least(stopword_ratio(text), F.lit(0.5)) / 0.5
+    punct_term = 1.0 - F.least(punct_ratio(text), F.lit(0.5)) / 0.5
+    return 0.4 * length_term + 0.3 * sw_term + 0.3 * punct_term
+
+
+# ---------------------------------------------------------------------------
+# Language identification (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+#: Distinctive high-frequency function words per language. Deliberately small
+#: and disjoint so the heuristic is explainable and SQL-portable.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "it", "was", "with", "this"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "los", "las", "y", "es", "una", "en", "que", "por", "como"],
+    "zh": [],  # no-space scripts are handled by the CJK character check below
+}
+
+CJK_RE = r"[一-鿿]"
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts over lowercase whitespace tokens."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    out: dict[str, Column] = {}
+    for lang, words in LANG_PROFILES.items():
+        if words:
+            out[lang] = F.size(F.filter(toks, lambda t: t.isin(words))).cast("bigint")
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax language by stopword hits; CJK-character presence wins first;
+    ties/zero-hits -> 'und'. Tie-break: fixed language order en>de>fr>es."""
+    text_col = F.col(text) if isinstance(text, str) else text
+    scores = lang_scores(text_col)
+    ordered = ["en", "de", "fr", "es"]
+    best = F.greatest(*[scores[lang] for lang in ordered])
+    result = F.when(
+        F.length(F.regexp_replace(text_col, r"[^一-鿿]", "")) > 0, F.lit("zh")
+    ).when(best <= 0, F.lit("und"))
+    for lang in ordered:
+        result = result.when(scores[lang] == best, F.lit(lang))
+    return result.otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column | str) -> Column:
+    """Canonical form: lowercase, collapse whitespace runs, trim."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint: md5 of the normalized text.
+    (md5 is engine-portable — identical in Spark and DuckDB — unlike
+    xxhash64/hash whose seeds differ per engine.)"""
+    return F.md5(normalized_text(text))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as array<string> (for MinHash/Jaccard).
+
+    Built from higher-order functions only: tokens -> transform over start
+    positions -> slice -> array_join. Docs shorter than k words yield a
+    single whole-doc shingle so every doc has at least one.
+    """
+    toks = tokens(normalized_text(text))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(grams)

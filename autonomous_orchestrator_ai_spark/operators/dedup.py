@@ -1,0 +1,288 @@
+"""Deduplication operators for LLM training-data pipelines
+(BASELINE.json north star; SURVEY.md §7.3 step 9).
+
+Four families, each designed for the 100 TB regime:
+
+- **exact**: hash-groupBy on a content fingerprint. One shuffle on the
+  16-byte md5 key (not the full text); ``min_by`` keeps a deterministic
+  canonical row per group.
+- **MinHash + LSH**: shingle -> per-shingle portable hash -> per-band
+  signature -> band-bucket self-join. Candidate generation never compares
+  all pairs: the self-join is on (band, band_signature) buckets, so cost is
+  O(sum of bucket sizes squared) — tiny when near-dups are rare. Hashes are
+  md5-string based (engine-portable, seedless) so the DuckDB oracle can
+  replay them bit-for-bit.
+- **n-gram Jaccard**: inverted-index join on shared shingles; exact Jaccard
+  from |A∩B| / (|A|+|B|-|A∩B|). The classic scale trick applies: drop
+  ultra-common shingles (document frequency cap) before the join to bound
+  the quadratic blowup on stop-shingles.
+- **SimHash**: per-token md5 bits -> weighted bit-majority -> 16-bit
+  signature; near-dups = signatures within Hamming distance d (grouped by
+  signature for d=0, banded for d>0).
+
+Embedding-cosine near-dup lives in ``operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import (
+    fingerprint,
+    normalized_text,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Row-identity dedup: ``dropDuplicates`` (hash shuffle on the listed
+    columns; Catalyst plans it as a partial+final aggregate)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_by_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content dedup: group by md5(normalized text), keep the row with the
+    smallest id (deterministic canonical representative).
+
+    Shuffles only (fingerprint, id) + carried columns; at 100 TB shuffle the
+    fingerprint, not the document body: we re-join survivors to the source by
+    id instead of dragging text through the exchange.
+    """
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, on=id_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# Portable hashing (identical in Spark and DuckDB: md5 hex strings)
+# ---------------------------------------------------------------------------
+
+
+def portable_minhash(shingle: F.Column, seed: int) -> F.Column:
+    """A min-hashable value: md5 of 'seed:shingle'. Min over the hex STRING
+    is a valid uniform min-hash (hex ordering == value ordering); avoids
+    engine-specific integer hash functions entirely."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), shingle))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, minhash_0..minhash_{n-1}) — per-doc MinHash signature.
+
+    Computed without exploding: each minhash_j is
+    ``array_min(transform(shingles, s -> md5(j:s)))`` — a per-row expression,
+    zero shuffles, linear scan. num_hashes kept small (8-16) because each
+    adds an md5 per shingle."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__shingles"))
+
+    def _hash_fn(seed: int):
+        # NB: factory, not a default-arg lambda — a two-parameter lambda
+        # would be treated by F.transform as an (element, index) function.
+        return lambda s: portable_minhash(s, seed)
+
+    cols = [
+        F.array_min(F.transform(F.col("__shingles"), _hash_fn(j))).alias(f"minhash_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.select(F.col(id_col), *cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: concat each band's minhashes -> md5 band key -> self-join
+    on (band_id, band_key) -> distinct (a, b) candidate pairs with a < b.
+
+    The self-join shuffles on the band key; docs only meet if they collide in
+    at least one band — this is the scale path (no all-pairs compare)."""
+    rows_per_band = num_hashes // bands
+    band_entries = []
+    for b in range(bands):
+        sig_cols = [F.col(f"minhash_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_entries.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *sig_cols)).alias("band_key"),
+            )
+        )
+    banded = band_entries[0]
+    for e in band_entries[1:]:
+        banded = banded.unionByName(e)
+
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    exact Jaccard verification on candidates only -> pairs over threshold.
+
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    shingles = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh")
+    )
+    a = shingles.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = shingles.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join — no LSH approximation)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word-k-gram shingle sets for every pair sharing at
+    least one shingle (inverted-index self-join).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    before the join — the standard guard against quadratic blowup on
+    boilerplate shingles at scale."""
+    exploded = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        dfreq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            F.broadcast(dfreq.filter(F.col("df") <= max_shingle_df).select("sh")), "sh"
+        )
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = exploded.select(F.col(id_col).alias("id_a"), "sh")
+    b = exploded.select(F.col(id_col).alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash: for each bit position, majority vote of token-hash
+    bits. Token bit b = parity of hex digit b of md5(token) (portable across
+    engines). Returns (id, simhash bigint).
+
+    Pure higher-order-function expression (transform + aggregate over the
+    token array) — no explode, no shuffle."""
+    toks = F.array_distinct(
+        F.split(normalized_text(F.col(text_col)), r"\s+")
+    )
+
+    def _parity_fn(pos: int):
+        # factory (see minhash_signatures): hex digit `pos` of md5(token),
+        # parity of its value
+        return lambda t: F.conv(F.substring(F.md5(t), pos + 1, 1), 16, 10).cast("int") % 2
+
+    bit_cols = []
+    for b in range(bits):
+        digit = F.transform(toks, _parity_fn(b))
+        ones = F.aggregate(digit, F.lit(0), lambda acc, x: acc + x)
+        n = F.size(toks)
+        bit = (ones * 2 >= n).cast("bigint")  # majority of tokens set this bit
+        bit_cols.append(bit * F.lit(2**b).cast("bigint"))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Docs sharing an identical SimHash signature (Hamming distance 0):
+    (simhash, n_docs, doc_ids sorted) for groups of size >= 2."""
+    sigs = simhash_signature(df, text_col, id_col, bits)
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

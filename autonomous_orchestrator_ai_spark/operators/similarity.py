@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  query set is broadcast (it's small by construction); the corpus is scanned
+  once; per-pair cosine is a JVM-side higher-order-function expression
+  (zip_with + aggregate over double arrays — no Python, no UDF); top-k per
+  query via window rank.
+- ``lsh_bucketed_topk``: the scale path — deterministic random-hyperplane
+  LSH: corpus and queries are bucketed by sign-pattern; candidates come only
+  from matching buckets (multi-probe over the query's own bucket plus
+  1-bit-flip neighbors), then exact cosine re-ranks. At 100 TB the bucket
+  join replaces the full cross product; recall is tunable via planes/probes.
+
+Hyperplanes are generated from a seeded NumPy RNG on the driver and embedded
+as literal arrays — deterministic across runs, no SciPy dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col: str | F.Column) -> F.Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Element dot product via zip_with + aggregate (index-order fold —
+    deterministic, matching an ORDER-BY-index SQL re-computation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: (query_id, neighbor_id, cosine_sim,
+    rank). Ties broken by neighbor id; cosine rounded to 6dp in the output
+    (ranking uses the unrounded value)."""
+    query_id_col = query_id_col or id_col
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (driver-side, embedded as
+    literals)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signbit_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-pattern bucket id: bit p set iff vec · plane_p >= 0."""
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + (dot(vec, plane_lit) >= 0).cast("bigint") * F.lit(
+            2**p
+        ).cast("bigint")
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to LSH bucket collisions.
+
+    Queries probe their own bucket plus every bucket within
+    ``multiprobe_bits`` bit flips (recall knob). Join is bucket-equi (shuffle
+    on a bigint key) instead of a cross product; exact cosine re-ranks the
+    candidates. Returns the same shape as ``cosine_topk``."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
+    ).withColumn("bucket", signbit_bucket(F.col("__cv"), planes))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
+    ).withColumn("__b0", signbit_bucket(F.col("__qv"), planes))
+    # multi-probe: own bucket + single-bit flips (+ optionally more)
+    probes = [F.col("__b0")]
+    if multiprobe_bits >= 1:
+        probes += [
+            F.col("__b0").bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+
+    pairs = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        pairs.select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("__sim", 6).alias("cosine_sim"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold),
+    LSH-bucketed: near-identical vectors land in the same sign bucket with
+    high probability, so the self-join is per-bucket, not all-pairs."""
+    planes = hyperplanes(dim, n_planes, seed)
+    e = embeddings.select(
+        F.col(id_col), _as_double_array(vec_col).alias("__v")
+    ).withColumn("bucket", signbit_bucket(F.col("__v"), planes))
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,184 @@
+"""Dedup queries over ``documents`` with exact DuckDB-oracle replicas.
+
+The portable-hash design (md5 hex strings, operators/dedup.py) exists
+precisely so these oracles can recompute MinHash/SimHash bit-for-bit in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import fingerprint, word_shingles
+from autonomous_orchestrator_ai_spark.operators.dedup import (
+    exact_dedup_by_fingerprint,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_duplicate_groups,
+)
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+# --- shared DuckDB fragments (mirror functions/text.py exactly) -----------
+
+#: normalized text (lower, trim, collapse whitespace) — note DuckDB needs 'g'.
+NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+#: distinct word 3-gram shingles of the normalized text.
+SHINGLES_SQL = f"""
+  list_distinct(
+    list_transform(
+      range(1, greatest(len(string_split({NORM_SQL}, ' ')) - 2, 1) + 1),
+      i -> array_to_string((string_split({NORM_SQL}, ' '))[i:i+2], ' ')
+    )
+  )
+""".strip()
+
+NUM_HASHES = 8
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def _minhash_sql(j: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{j}:' || s)))"
+
+
+@register(
+    "dedup_exact_summary",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5({NORM_SQL})) AS BIGINT) AS n_unique_fingerprints,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup profile: total vs distinct fingerprints (md5 of
+    normalized text). Shuffles 16-byte digests, never document bodies."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint("text")).alias("n_unique_fingerprints"),
+        F.countDistinct("text").alias("n_unique_texts"),
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle=f"""
+    WITH fp AS (SELECT doc_id, md5({NORM_SQL}) f, n_chars FROM documents),
+    keep AS (SELECT f, MIN(doc_id) doc_id FROM fp GROUP BY f)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM keep k JOIN fp d ON k.doc_id = d.doc_id
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of keep-smallest-id content dedup
+    (operators.dedup.exact_dedup_by_fingerprint)."""
+    docs = table(spark, sf_dir, "documents")
+    survivors = exact_dedup_by_fingerprint(docs, "text", "doc_id")
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _bands_case_sql() -> str:
+    cases = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"m{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        cases.append(f"WHEN {b} THEN md5({cols})")
+    return "CASE band_id " + " ".join(cases) + " END"
+
+
+@register(
+    "minhash_lsh_near_dups",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh,
+                    {", ".join(f"{_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
+             FROM docs),
+    banded AS (SELECT doc_id, band_id, {_bands_case_sql()} AS band_key
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_intersect(da.sh, db.sh)) * 1.0 /
+                   (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6) AS jaccard
+      FROM cands c JOIN docs da ON c.id_a = da.doc_id
+                   JOIN docs db ON c.id_b = db.doc_id)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes) + LSH(4 bands) near-dup pairs, Jaccard-verified at
+    0.5 (operators.dedup.minhash_near_duplicates)."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id",
+        num_hashes=NUM_HASHES, bands=BANDS, shingle_k=3, jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    exploded AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_sh FROM exploded GROUP BY doc_id),
+    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, CAST(COUNT(*) AS BIGINT) shared
+               FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b,
+           ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+    FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
+                  JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs >= 0.2 via inverted-index self-join
+    (operators.dedup.ngram_jaccard_pairs)."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    toks = f"list_distinct(string_split({NORM_SQL}, ' '))"
+    terms = []
+    for b in range(bits):
+        parity = (
+            f"list_sum(list_transform(toks, t -> "
+            f"CAST(('0x' || substr(md5(t), {b + 1}, 1)) AS INTEGER) % 2))"
+        )
+        terms.append(
+            f"(CASE WHEN COALESCE({parity}, 0) * 2 >= len(toks) THEN 1 ELSE 0 END) * {2**b}"
+        )
+    inner = " + ".join(terms)
+    return f"(SELECT CAST({inner} AS BIGINT) FROM (SELECT {toks} AS toks) _t)"
+
+
+@register(
+    "simhash_collision_groups",
+    oracle=f"""
+    WITH sigs AS (SELECT doc_id, {_simhash_sql(16)} AS simhash FROM documents)
+    SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM sigs GROUP BY simhash HAVING COUNT(*) >= 2
+    """,
+)
+def simhash_collision_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash collision groups (Hamming distance 0)
+    (operators.dedup.simhash_duplicate_groups)."""
+    docs = table(spark, sf_dir, "documents")
+    groups = simhash_duplicate_groups(docs, "text", "doc_id", bits=16)
+    return groups.select(
+        "simhash",
+        "n_docs",
+        F.array_join(F.col("doc_ids"), ",").alias("doc_ids"),
+    )

@@ -1,0 +1,72 @@
+"""Query/oracle registry.
+
+Each registered query is ``fn(spark, sf_dir) -> DataFrame``; the optional
+oracle is an ANSI-SQL string DuckDB runs over the same parquet tables
+(pre-registered views). Column names are aliased identically on both sides —
+the driver's compare sorts columns by name before hashing.
+
+Determinism rules every query here follows:
+- no ``current_timestamp()``/``rand()`` — "now" is an injected literal
+  (``plans.constants.NOW``);
+- float aggregates rounded (2dp money, 4-6dp rates/scores) so engine-order
+  float addition differences vanish below the hash;
+- any LIMIT is preceded by a total order with a unique tie-break key;
+- timestamps leaving a query are formatted to strings (session-TZ proof).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+_LOADED = False
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a named query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from autonomous_orchestrator_ai_spark.plans import (  # noqa: F401
+        dedup_queries,
+        pipeline_queries,
+        similarity_queries,
+        text_queries,
+        tpch,
+        window_queries,
+    )
+
+    _LOADED = True
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC on whatever session the driver hands us: window alignment and
+    # date_format rendering must match the (TZ-naive) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    # parquet reader rejects; read nanos as long and truncate to micros
+    # (exactly what DuckDB's ns->us conversion does).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df

@@ -1,0 +1,131 @@
+"""Similarity-search queries over ``embeddings``.
+
+The brute-force cosine queries are DuckDB-oracle-checked (dot products
+recomputed in SQL with explicit DOUBLE casts and index-order sums, rounded
+to 6dp). The LSH-bucketed variant is the scale path: it's checked against
+brute force in pytest (recall), and registered without an oracle only if its
+hyperplane literals ever diverge — here it IS deterministic, but its value
+lies in the plan shape, so we keep the oracle on the exact queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cos_sql("q.qe", "e.embedding")} AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rn
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id<10
+    (operators.similarity.cosine_topk): broadcast query side, single corpus
+    scan, JVM-side zip_with/aggregate arithmetic — no UDFs."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    SELECT a.vec_id id_a, b.vec_id id_b,
+           ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.4 — the exact near-dup baseline the LSH variant
+    is measured against. O(n²) by design; the scale path is
+    operators.similarity.embedding_near_duplicates."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("__sim") >= 0.4)
+        .select("id_a", "id_b", F.round("__sim", 6).alias("cosine_sim"))
+    )
+
+
+@register(
+    "label_centroid_norms",
+    oracle="""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (SELECT label, i, AVG(v) AS m FROM flat GROUP BY label, i)
+    SELECT c.label,
+           CAST(n.n AS BIGINT) AS n_vectors,
+           ROUND(SQRT(SUM(c.m * c.m)), 6) AS centroid_norm
+    FROM cent c JOIN (SELECT label, COUNT(*) n FROM embeddings GROUP BY label) n
+      ON c.label = n.label
+    GROUP BY c.label, n.n
+    """,
+)
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm: posexplode -> per-dimension mean ->
+    norm. The 'cluster quality' building block for IVF-style partitioned
+    ANN (centroids become the coarse quantizer)."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    )
+    cent = flat.groupBy("label", "i").agg(F.avg("v").alias("m"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        cent.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .join(counts, "label")
+        .select("label", "n_vectors", "centroid_norm")
+    )
+
+
+@register("lsh_ann_topk")  # no oracle: approximate operator; pytest checks recall
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH with 1-bit multi-probe
+    (operators.similarity.lsh_bucketed_topk). Driver records a rows-only
+    check; tests/test_similarity.py asserts recall >= 0.6 vs brute force."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=64)

@@ -1,0 +1,144 @@
+"""Text-analysis queries over ``documents`` (north-star operators) with
+DuckDB oracles that recompute every formula exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import (
+    EN_STOPWORDS,
+    LANG_PROFILES,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+# DuckDB mirrors of functions/text.py ---------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS_LOWER = "string_split_regex(lower(trim(text)), '\\s+')"
+_TOKEN_COUNT = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END"
+_PUNCT = (
+    "CASE WHEN len(text) = 0 THEN 0.0 "
+    "ELSE len(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g')) * 1.0 / len(text) END"
+)
+_SW_LIST = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+_SW_RATIO = (
+    f"CASE WHEN {_TOKEN_COUNT} = 0 THEN 0.0 "
+    f"ELSE len(list_filter({_TOKS_LOWER}, t -> t IN {_SW_LIST})) * 1.0 / len({_TOKS_LOWER}) END"
+)
+_QUALITY = (
+    f"0.4 * least(CAST({_TOKEN_COUNT} AS DOUBLE), 200.0) / 200.0"
+    f" + 0.3 * least({_SW_RATIO}, 0.5) / 0.5"
+    f" + 0.3 * (1.0 - least({_PUNCT}, 0.5) / 0.5)"
+)
+_BPE_COUNT = "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]'))"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "text_stats_per_doc",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_TOKEN_COUNT} AS BIGINT) AS n_tokens,
+           CAST({_BPE_COUNT} AS BIGINT) AS n_bpe_tokens,
+           ROUND({_PUNCT}, 6) AS punct_ratio,
+           ROUND({_SW_RATIO}, 6) AS stopword_ratio,
+           ROUND({_QUALITY}, 6) AS quality
+    FROM documents
+    """,
+)
+def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + quality heuristics — all per-row
+    expressions, one codegen stage over the scan."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "token_stats_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_TOKEN_COUNT}) AS BIGINT) AS total_tokens,
+           ROUND(AVG({_QUALITY}), 6) AS avg_quality,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY source
+    """,
+)
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling grouped by source — the 'how big is each slice of my
+    training mix' query."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.round(F.avg(quality_score("text")), 6).alias("avg_quality"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "(" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + ")"
+    return f"len(list_filter({_TOKS_LOWER}, t -> t IN {words}))"
+
+
+_ORDERED_LANGS = ["en", "de", "fr", "es"]
+_BEST = "greatest(" + ", ".join(f"s_{l}" for l in _ORDERED_LANGS) + ")"
+_LANG_CASE = (
+    "CASE WHEN len(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh' "
+    f"WHEN {_BEST} <= 0 THEN 'und' "
+    + " ".join(f"WHEN s_{l} = {_BEST} THEN '{l}'" for l in _ORDERED_LANGS)
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "lang_id_distribution",
+    oracle=f"""
+    WITH scored AS (
+      SELECT text,
+             {", ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in _ORDERED_LANGS)}
+      FROM documents)
+    SELECT {_LANG_CASE} AS predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1
+    """,
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language-ID (functions.text.lang_id) distribution.
+    The synthetic corpus is English-ish regardless of its lang label, so this
+    measures the operator, not the label."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(lang_id("text").alias("predicted_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fp, lang
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 of normalized text) for the first 100 docs
+    — the portable-hash primitive every dedup operator builds on."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", fingerprint("text").alias("fp"), "lang"
+    )

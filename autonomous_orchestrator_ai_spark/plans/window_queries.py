@@ -1,0 +1,237 @@
+"""Window-function / time-bucket / set-operation queries (SURVEY.md §2.5-2.7).
+
+The reference imported ``window``/``max``/``min`` but never used them
+(ingest_transform.py:17) and did its "latest incident" picks client-side
+(incident_store.py:210-220). These queries provide that surface natively:
+ranking windows, lag-based sessionization, tumbling time buckets, as-of
+joins, and relational set ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.asof import asof_join
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+SESSION_GAP_SECONDS = 1800  # 30-minute inactivity gap
+
+
+@register(
+    "top_spenders_per_type",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type, user_id, ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, user_id, total_value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY total_value DESC, user_id) AS rank
+      FROM sums
+    )
+    SELECT event_type, user_id, total_value, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def top_spenders_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: agg then rank (reference O1/O2 did this client-side;
+    here it's Window.partitionBy + row_number, rank<=K pushed as a window
+    limit by Catalyst)."""
+    sums = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        sums.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, value, ts_str
+    FROM ranked WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Latest row per key' — the reference's ORDER BY created_at DESC +
+    client-side pick (incident_store.py:210-220) done as a ranking window
+    (also the SURVEY §7.4 'latest incident state' pattern)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "user_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second',
+                                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                    ts) > {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold (guide 'Common OLAP patterns');
+    single shuffle on user_id serves both the window and the final agg."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)) > SESSION_GAP_SECONDS),
+        1,
+    ).otherwise(0)
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "daily_event_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time buckets via ``F.window`` — the windowed
+    aggregation the reference imported but never built (SURVEY.md §2.9 T7).
+    The same expression runs under a streaming groupBy with a watermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "hourly_value_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(FLOOR(epoch(ts)) / 21600) AS BIGINT) AS bucket6h,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def hourly_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 6-hour tumbling buckets (sliding/tumbling windows of
+    arbitrary width; numeric bucket id keeps the oracle engine-neutral)."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 21600).alias("bucket6h")
+    return ev.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register(
+    "purchasers_without_errors",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational EXCEPT (SURVEY.md §2.7 — free from Spark, exposed for the
+    oracle suite)."""
+    ev = table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errorers = ev.filter(F.col("event_type") == "error").select("user_id")
+    return purchasers.subtract(errorers)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "signup_and_purchase_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def signup_and_purchase_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational INTERSECT."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "purchase").select("user_id"))
+    )
+
+
+@register(
+    "purchase_asof_signup",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts_str,
+           CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS seconds_since_signup
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, operators/asof.py): for each purchase,
+    the user's most recent signup at-or-before it. Oracle uses DuckDB's
+    native ASOF JOIN; the Spark side is the union+running-last composition."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=[]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("signup_ts_str"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")).alias("seconds_since_signup"),
+    )

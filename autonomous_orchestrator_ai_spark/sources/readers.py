@@ -1,0 +1,94 @@
+"""Readers (reference S1/S2/S7 + batch replay, SURVEY.md §2.1).
+
+Kafka requires the spark-sql-kafka package on the classpath; in this
+container it is absent, so the Kafka readers raise a clear error at call time
+and everything else works. The JSON-lines reader doubles as the test-harness
+stand-in for a Kafka value stream (same envelope shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from autonomous_orchestrator_ai_spark.schemas import TESTDATA_TABLES
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """Parquet batch scan (reference S7). Column pruning via an explicit
+    select so the scan's ReadSchema only carries what's needed."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver's synthetic star schema (TESTDATA.md)."""
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TESTDATA_TABLES}
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    fail_on_data_loss: bool = False,
+) -> DataFrame:
+    """Kafka streaming scan (reference S1, ingest_transform.py:100-111)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+        .load()
+    )
+
+
+def kafka_batch(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
+    """Batch replay of a Kafka topic (same envelope; for backfills)."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+
+
+KAFKA_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ]
+)
+
+
+def jsonl_as_kafka_envelope(
+    spark: SparkSession, path: str, key_field: str = "id", streaming: bool = False
+) -> DataFrame:
+    """Read a JSON-lines file and present it in the Kafka envelope shape
+    (binary key/value + topic/partition/offset/timestamp) so the full parse
+    pipeline is testable without a broker (reference S3's role in tests)."""
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.text(path)
+    return raw.select(
+        F.get_json_object(F.col("value"), f"$.{key_field}").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("test-topic").alias("topic"),
+        F.spark_partition_id().alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
