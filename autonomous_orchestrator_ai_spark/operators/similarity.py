@@ -105,7 +105,8 @@ def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -115,27 +116,50 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to LSH bucket collisions.
 
-    Queries probe their own bucket plus every bucket within
-    ``multiprobe_bits`` bit flips (recall knob). Join is bucket-equi (shuffle
-    on a bigint key) instead of a cross product; exact cosine re-ranks the
-    candidates. Returns the same shape as ``cosine_topk``."""
-    planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    Classic multi-table LSH: ``n_tables`` independent sets of ``n_planes``
+    hyperplanes (few planes per table keeps per-table collision probability
+    high; multiple tables drive recall toward 1 - (1-p)^L). Queries probe
+    their own bucket per table plus every bucket within ``multiprobe_bits``
+    bit flips. The join is equi on (table, bucket) — a shuffle on a small
+    key instead of a cross product; exact cosine re-ranks candidates.
+
+    Index cost at scale: the corpus is replicated n_tables times in the
+    bucketed index (standard LSH space/recall trade); probe cost per query
+    is n_tables * (1 + n_planes * multiprobe) bucket lookups."""
+    c_base = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
-    ).withColumn("bucket", signbit_bucket(F.col("__cv"), planes))
-
-    q = queries.select(
+    )
+    q_base = queries.select(
         F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
-    ).withColumn("__b0", signbit_bucket(F.col("__qv"), planes))
-    # multi-probe: own bucket + single-bit flips (+ optionally more)
-    probes = [F.col("__b0")]
-    if multiprobe_bits >= 1:
-        probes += [
-            F.col("__b0").bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(n_planes)
-        ]
-    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    )
 
-    pairs = c.join(F.broadcast(q), "bucket")
+    c_parts, q_parts = [], []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_parts.append(
+            c_base.withColumn("table_id", F.lit(t)).withColumn(
+                "bucket", signbit_bucket(F.col("__cv"), planes)
+            )
+        )
+        qt = q_base.withColumn("table_id", F.lit(t)).withColumn(
+            "__b0", signbit_bucket(F.col("__qv"), planes)
+        )
+        probes = [F.col("__b0")]
+        if multiprobe_bits >= 1:
+            probes += [
+                F.col("__b0").bitwiseXOR(F.lit(2**p).cast("bigint"))
+                for p in range(n_planes)
+            ]
+        q_parts.append(qt.withColumn("bucket", F.explode(F.array(*probes))).drop("__b0"))
+
+    c = c_parts[0]
+    for part in c_parts[1:]:
+        c = c.unionByName(part)
+    q = q_parts[0]
+    for part in q_parts[1:]:
+        q = q.unionByName(part)
+
+    pairs = c.join(F.broadcast(q), ["table_id", "bucket"])
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (

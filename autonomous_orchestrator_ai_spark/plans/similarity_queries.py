@@ -128,4 +128,4 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; tests/test_similarity.py asserts recall >= 0.6 vs brute force."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries, k=5, n_planes=8, dim=64)
+    return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)

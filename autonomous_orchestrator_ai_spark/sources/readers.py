@@ -88,7 +88,9 @@ def jsonl_as_kafka_envelope(
         F.col("value").cast("binary").alias("value"),
         F.lit("test-topic").alias("topic"),
         F.spark_partition_id().alias("partition"),
-        F.monotonically_increasing_id().alias("offset"),
+        # pseudo-offset: stable per record; monotonically_increasing_id is
+        # not allowed in streaming plans
+        F.xxhash64(F.col("value")).alias("offset"),
         F.current_timestamp().alias("timestamp"),
         F.lit(0).alias("timestampType"),
     )

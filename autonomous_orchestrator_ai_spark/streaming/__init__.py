@@ -1,0 +1,1 @@
+"""Structured-streaming layer (SURVEY.md §2.9 T1-T7)."""

@@ -1,0 +1,172 @@
+"""Streaming pipeline wrapper (reference process_stream,
+ingest_transform.py:338-392, rebuilt).
+
+Differences from the reference, by design (SURVEY.md §3.2 defects):
+
+- run metrics come from ``df.observe`` accumulated per micro-batch via a
+  StreamingQueryListener — the reference's post-hoc ``.agg().collect()`` on
+  a streaming DF is unsupported and silently broken;
+- the watermark actually bounds state here (it feeds windowed aggregations
+  and dropDuplicatesWithinWatermark); in the reference it was inert;
+- bounded runs use ``trigger(availableNow=True)`` for deterministic tests
+  and backfills instead of only wall-clock ``awaitTermination``.
+
+All transform stages are the same batch operators from
+``operators.transform`` — they're Column-expression-only, so they run
+unchanged under a streaming plan.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+from autonomous_orchestrator_ai_spark.functions.temporal import WATERMARK_DELAY
+from autonomous_orchestrator_ai_spark.operators.transform import enrich_customer_events
+
+OBSERVATION_NAME = "run_stats"
+
+
+def streaming_enrich(
+    parsed: DataFrame,
+    watermark_delay: str = WATERMARK_DELAY,
+    processing_time: Column | None = None,
+) -> DataFrame:
+    """parse-output -> watermark -> full enrichment chain (T1 + F1-F5 +
+    P3-P9). Watermark is applied on event_timestamp right after it exists,
+    mirroring ingest_transform.py:349-350 but *before* stateful ops so it
+    actually bounds their state."""
+    enriched = enrich_customer_events(parsed, processing_time=processing_time)
+    return enriched.withWatermark("event_timestamp", watermark_delay)
+
+
+def with_run_observation(df: DataFrame) -> DataFrame:
+    """Attach the A1 run-report metrics as an Observation (streaming-safe:
+    metrics ride each micro-batch, no extra job)."""
+    return df.observe(
+        OBSERVATION_NAME,
+        F.count(F.lit(1)).alias("total_records"),
+        F.count(F.when(F.col("is_late_arrival") == True, 1)).alias("late_records"),  # noqa: E712
+        F.count(F.when(F.col("dq_passed") == False, 1)).alias("dq_failures"),  # noqa: E712
+        F.count(F.when(F.col("schema_drift_detected") == True, 1)).alias(  # noqa: E712
+            "schema_drift_count"
+        ),
+    )
+
+
+class RunStatsListener(StreamingQueryListener):
+    """Accumulates the observed metrics across micro-batches into run
+    totals (run-report fields are run totals, SURVEY.md §7.4)."""
+
+    def __init__(self) -> None:
+        self.totals: dict[str, int] = {
+            "total_records": 0,
+            "late_records": 0,
+            "dq_failures": 0,
+            "schema_drift_count": 0,
+        }
+        self.batches = 0
+
+    def onQueryStarted(self, event: Any) -> None:
+        pass
+
+    def onQueryProgress(self, event: Any) -> None:
+        row = event.progress.observedMetrics.get(OBSERVATION_NAME)
+        if row is None:
+            return
+        m = row.asDict() if hasattr(row, "asDict") else dict(row)
+        if int(m.get("total_records", 0) or 0) == 0:
+            return
+        for k in self.totals:
+            self.totals[k] += int(m.get(k, 0) or 0)
+        self.batches += 1
+
+    def onQueryTerminated(self, event: Any) -> None:
+        pass
+
+    def onQueryIdle(self, event: Any) -> None:
+        pass
+
+
+def windowed_event_counts(
+    enriched: DataFrame,
+    window_duration: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """The windowed aggregation the reference imported but never built (T7):
+    event-time tumbling/sliding counts by plan, watermark-bounded state."""
+    win = (
+        F.window("event_timestamp", window_duration, slide)
+        if slide
+        else F.window("event_timestamp", window_duration)
+    )
+    return enriched.groupBy(win.alias("win"), "plan").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("is_late_arrival"), 1)).alias("n_late"),
+    )
+
+
+def stream_dedup(enriched: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Stateful streaming dedup bounded by the watermark (T7):
+    dropDuplicatesWithinWatermark on the event id."""
+    return enriched.dropDuplicatesWithinWatermark(keys or ["id"])
+
+
+def run_bounded(
+    df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    partition_by: list[str] = (),
+    output_mode: str = "append",
+    timeout_seconds: float | None = None,
+) -> dict:
+    """Bounded streaming run (T6): availableNow trigger processes the whole
+    backlog then stops — the deterministic twin of the reference's
+    ``awaitTermination(duration*60)`` wall-clock runs. Returns accumulated
+    run stats from the listener."""
+    writer = (
+        df.writeStream.format("parquet")
+        .outputMode(output_mode)
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    query = writer.start()
+    query.awaitTermination(timeout_seconds)
+    if query.isActive:
+        query.stop()
+    # recentProgress is synchronous post-termination (listener events are
+    # delivered on a separate thread and may lag a bounded run's end)
+    totals = {k: 0 for k in ("total_records", "late_records", "dq_failures", "schema_drift_count")}
+    for progress in query.recentProgress:
+        doc = json.loads(progress.json)  # StreamingQueryProgress: attr access is restricted
+        metrics = (doc.get("observedMetrics") or {}).get(OBSERVATION_NAME)
+        if not metrics:
+            continue
+        for k in totals:
+            totals[k] += int(metrics.get(k, 0) or 0)
+    return totals
+
+
+def run_foreach_batch(
+    df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    timeout_seconds: float | None = None,
+) -> None:
+    """foreachBatch sink (T4/S5) under an availableNow bounded run."""
+    query = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_seconds)
+    if query.isActive:
+        query.stop()

@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan construction + execution to a count/
+collect on the driver). A warm-up pass on a tiny query amortizes JVM/codegen
+start-up out of the per-query numbers, mirroring steady-state cluster
+behavior.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+HEADLINE = [
+    # reference pipeline surface
+    "pipeline_run_report",
+    "dq_flag_rates",
+    "events_by_type",
+    "quarantine_split_counts",
+    # joins / aggs at the largest table
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "orders_rollup",
+    # windows / sessions / asof
+    "top_spenders_per_type",
+    "user_sessionization",
+    "daily_event_counts",
+    "purchase_asof_signup",
+    # LLM-data-pipeline operators
+    "dedup_keep_first",
+    "minhash_lsh_near_dups",
+    "ngram_jaccard_pairs",
+    "simhash_collision_groups",
+    "text_stats_per_doc",
+    "cosine_topk_bruteforce",
+    "lsh_ann_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from autonomous_orchestrator_ai_spark.session import get_spark
+    from autonomous_orchestrator_ai_spark.plans import registry
+
+    spark = get_spark("bench", cpus=cpus)
+    registry.load_all()
+
+    # warm-up: JVM + codegen + parquet footer caches
+    registry.QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

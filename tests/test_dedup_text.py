@@ -1,0 +1,126 @@
+"""Dedup + text-analysis operator tests on crafted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from autonomous_orchestrator_ai_spark.operators.dedup import (
+    exact_dedup_by_fingerprint,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signature,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A_NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+DOC_B = "completely different content about spark query engines and distributed joins"
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, DOC_A),
+        (1, DOC_A_NEAR),            # near-dup of 0 (one word differs)
+        (2, DOC_B),
+        (3, "  The  Quick Brown fox jumps over the lazy dog near the river bank today "),
+        # ^ exact dup of 0 after normalization (case + whitespace)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_fingerprint_normalization(docs):
+    fps = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fps[0] == fps[3]          # normalization-invariant
+    assert fps[0] != fps[1]
+
+
+def test_exact_dedup_keeps_smallest_id(docs):
+    out = sorted(r["doc_id"] for r in exact_dedup_by_fingerprint(docs).collect())
+    assert out == [0, 1, 2]          # doc 3 deduped into doc 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    got = [r[0] for r in df.select(word_shingles("text", 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]         # short doc -> single whole-doc shingle
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = {r["doc_id"]: [r[f"minhash_{j}"] for j in range(8)]
+            for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]
+    assert sigs[0] != sigs[2]
+    # near-dup shares most minhashes
+    shared = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    assert shared >= 4
+
+
+def test_minhash_near_duplicates_finds_pair(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_near_duplicates(docs, jaccard_threshold=0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert not any(2 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs[(0, 3)] == 1.0
+    # doc0 has 12 shingles, 11 shared with doc1 -> 11/13
+    assert abs(pairs[(0, 1)] - 11 / 13) < 1e-6
+
+
+def test_simhash_near_for_near_dups(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signature(docs).collect()}
+    assert sigs[0] == sigs[3]
+    ham01 = bin(sigs[0] ^ sigs[1]).count("1")
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    assert ham01 < ham02             # near-dup closer than unrelated doc
+
+
+# -- text analysis ----------------------------------------------------------
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("",), ("  ",), ("one",)], ["text"])
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_quality_score_ordering(spark):
+    good = "the cat sat on the mat and looked at the dog with a happy face"
+    bad = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    df = spark.createDataFrame([(0, good), (1, bad)], ["i", "text"])
+    got = {r["i"]: r["q"] for r in df.select("i", quality_score("text").alias("q")).collect()}
+    assert got[0] > got[1]
+    assert 0.0 <= got[1] < got[0] <= 1.0
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog that was here with this thing"),
+        (1, "der hund und die katze ist nicht auf der couch"),
+        (2, "le chat et la maison est dans les arbres pour une raison"),
+        (3, "el perro y los gatos en una casa es como por la noche"),
+        (4, "这是 一个 中文 句子"),
+        (5, "qwerty zxcvb asdfgh"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {r["i"]: r["lang"] for r in df.select("i", lang_id("text").alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "es"
+    assert got[4] == "zh"
+    assert got[5] == "und"

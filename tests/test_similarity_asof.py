@@ -1,0 +1,101 @@
+"""Similarity-search and as-of-join operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.asof import asof_join
+from autonomous_orchestrator_ai_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=4)
+    rows = sorted([(r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in out.collect()])
+    vecs = {0: [1, 0, 0, 0], 1: [0.99, 0.1, 0, 0], 2: [0, 1, 0, 0], 3: [0, 0, 1, 0], 4: [-1, 0, 0, 0]}
+
+    def cos(a, b):
+        a, b = np.array(a, float), np.array(b, float)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert [r[1] for r in rows] == [1, 2, 3, 4]  # rank order
+    for _, nid, sim in rows:
+        assert math.isclose(sim, round(cos(vecs[0], vecs[nid]), 6), abs_tol=1e-6)
+
+
+def test_lsh_recall_on_testdata(spark):
+    """LSH ANN vs brute force on the real embeddings table: recall@5 >= 0.6
+    with 8 planes + 1-bit multiprobe."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_bucketed_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_duplicates(df, threshold=0.99, n_planes=4, dim=4)
+    got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    assert got == [(0, 1)]
+
+
+# -- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (1, 5, "l0"), (2, 10, "l3")],
+        ["k", "ts", "lv"],
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (3, 1, "r_other")],
+        ["k", "ts", "rv"],
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rv"])
+    got = {(r["k"], r["ts"]): (r["ts_asof"], r["rv_asof"]) for r in out.collect()}
+    assert got[(1, 10)] == (10, "r10")   # inclusive <=: exact tie matches
+    assert got[(1, 20)] == (15, "r15")   # latest at-or-before
+    assert got[(1, 5)] == (None, None)   # nothing before -> NULLs kept
+    assert got[(2, 10)] == (None, None)  # no right rows for key
+    assert out.count() == left.count()   # left-outer: every left row survives
+
+
+def test_asof_join_null_right_value_not_mixed(spark):
+    """A genuinely-NULL right column must not be backfilled from an older
+    right row (struct-carry regression test)."""
+    left = spark.createDataFrame([(1, 30)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, None)], ["k", "ts", "rv"]
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", right_cols=["rv"])
+    row = out.collect()[0]
+    assert row["ts_asof"] == 20
+    assert row["rv_asof"] is None        # NOT "old"

@@ -1,0 +1,109 @@
+"""Structured-streaming tests: file source + availableNow bounded runs
+(SURVEY.md §5 strategy item d)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.transform import parse_kafka_messages
+from autonomous_orchestrator_ai_spark.schemas import CUSTOMER_EVENTS_SCHEMA
+from autonomous_orchestrator_ai_spark.sources.readers import jsonl_as_kafka_envelope
+from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+    run_bounded,
+    streaming_enrich,
+    with_run_observation,
+)
+
+
+def _ms(iso: str) -> int:
+    return int(datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+
+@pytest.fixture()
+def event_jsonl(tmp_path):
+    """A small late/drift/bad-seeded event file (producer-anomaly parity,
+    SURVEY.md §2.13)."""
+    events = [
+        # normal
+        dict(id="e1", name="A", email="a@x.com", signup_ts=_ms("2023-01-01T00:00:00"),
+             country="US", plan="free", event_ts=_ms("2024-01-15T00:59:00"), version=1),
+        # late (>15 min before processing time 01:00)
+        dict(id="e2", name="B", email="b@x.com", signup_ts=_ms("2023-01-01T00:00:00"),
+             country="DE", plan="basic", event_ts=_ms("2024-01-14T20:00:00"), version=1),
+        # drifted v2 (+marketing_opt_in)
+        dict(id="e3", name="C", email="c@x.com", signup_ts=_ms("2023-01-01T00:00:00"),
+             country="JP", plan="premium", event_ts=_ms("2024-01-15T00:58:00"), version=2,
+             marketing_opt_in=True),
+        # bad email
+        dict(id="e4", name="D", email="not-an-email", signup_ts=_ms("2023-01-01T00:00:00"),
+             country="BR", plan="free", event_ts=_ms("2024-01-15T00:57:00"), version=1),
+    ]
+    d = tmp_path / "events_in"
+    d.mkdir()
+    (d / "events.jsonl").write_text("\n".join(json.dumps(e) for e in events) + "\n")
+    return str(d)  # streaming file sources require a directory
+
+
+def test_streaming_pipeline_end_to_end(spark, tmp_path, event_jsonl):
+    """Kafka-envelope parse -> enrich -> observe -> parquet sink, bounded by
+    availableNow; listener accumulates the run report."""
+    envelope = jsonl_as_kafka_envelope(spark, event_jsonl, streaming=True)
+    parsed = parse_kafka_messages(envelope, CUSTOMER_EVENTS_SCHEMA)
+    enriched = streaming_enrich(
+        parsed, processing_time=F.to_timestamp(F.lit("2024-01-15 01:00:00"))
+    )
+    observed = with_run_observation(enriched)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    totals = run_bounded(observed, out, ckpt, timeout_seconds=120)
+
+    assert totals["total_records"] == 4
+    assert totals["late_records"] == 1       # e2
+    assert totals["dq_failures"] == 1        # e4
+    assert totals["schema_drift_count"] == 1  # e3 (version 2)
+
+    # sink readable, enrichment columns present, kafka envelope carried
+    written = spark.read.parquet(out)
+    assert written.count() == 4
+    row = {r["id"]: r for r in written.collect()}
+    assert row["e1"]["region"] == "North America"
+    assert row["e3"]["schema_drift_detected"] is True
+    assert row["e2"]["is_late_arrival"] is True
+    assert row["e1"]["kafka_key"] == "e1"
+
+    # restart on same checkpoint: no reprocessing (exactly-once bookkeeping)
+    totals2 = run_bounded(observed, out, ckpt, timeout_seconds=120)
+    assert totals2["total_records"] == 0
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_streaming_windowed_counts(spark, tmp_path, event_jsonl):
+    """T7: event-time tumbling window agg under a watermark, availableNow."""
+    envelope = jsonl_as_kafka_envelope(spark, event_jsonl, streaming=True)
+    parsed = parse_kafka_messages(envelope, CUSTOMER_EVENTS_SCHEMA)
+    enriched = streaming_enrich(
+        parsed, processing_time=F.to_timestamp(F.lit("2024-01-15 01:00:00"))
+    )
+    windowed = enriched.groupBy(
+        F.window("event_timestamp", "1 hour").alias("win")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    query = (
+        windowed.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT date_format(win.start, 'yyyy-MM-dd HH') h, n FROM win_counts ORDER BY h"
+    ).collect()
+    got = {r["h"]: r["n"] for r in rows}
+    assert got["2024-01-14 20"] == 1  # the late event's hour
+    assert got["2024-01-15 00"] == 3
