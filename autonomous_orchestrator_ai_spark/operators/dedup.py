@@ -83,14 +83,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_k: int = 3,
+    precomputed_shingles: bool = False,
 ) -> DataFrame:
     """(id, minhash_0..minhash_{n-1}) — per-doc MinHash signature.
 
     Computed without exploding: each minhash_j is
     ``array_min(transform(shingles, s -> md5(j:s)))`` — a per-row expression,
     zero shuffles, linear scan. num_hashes kept small (8-16) because each
-    adds an md5 per shingle."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_k).alias("__shingles"))
+    adds an md5 per shingle. ``precomputed_shingles=True`` treats
+    ``text_col`` as an already-built array<string> shingle column."""
+    shingle_col = (
+        F.col(text_col) if precomputed_shingles else word_shingles(text_col, shingle_k)
+    )
+    sh = df.select(F.col(id_col), shingle_col.alias("__shingles"))
 
     def _hash_fn(seed: int):
         # NB: factory, not a default-arg lambda — a two-parameter lambda
@@ -116,19 +121,21 @@ def lsh_candidate_pairs(
     The self-join shuffles on the band key; docs only meet if they collide in
     at least one band — this is the scale path (no all-pairs compare)."""
     rows_per_band = num_hashes // bands
-    band_entries = []
+    # ONE pass: explode an array of (band_id, band_key) structs instead of
+    # unioning per-band branches (a union would recompute the signature
+    # expression tree once per band).
+    band_structs = []
     for b in range(bands):
         sig_cols = [F.col(f"minhash_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_entries.append(
-            signatures.select(
-                F.col(id_col),
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band_id"),
                 F.md5(F.concat_ws("|", *sig_cols)).alias("band_key"),
             )
         )
-    banded = band_entries[0]
-    for e in band_entries[1:]:
-        banded = banded.unionByName(e)
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__band")
+    ).select(F.col(id_col), F.col("__band.band_id"), F.col("__band.band_key"))
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -160,11 +167,22 @@ def minhash_near_duplicates(
     exact Jaccard verification on candidates only -> pairs over threshold.
 
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    # Materialize the shingle index once: signatures, both sides of the
+    # band self-join, and both sides of the verification join all reuse it.
+    # (At cluster scale this is the persisted LSH index table.)
     shingles = df.select(
-        F.col(id_col), word_shingles(text_col, shingle_k).alias("__sh")
+        F.col(id_col), word_shingles(text_col, shingle_k).alias("__shingles")
+    ).persist()
+    sigs = minhash_signatures(
+        shingles.withColumnRenamed("__shingles", "__precomputed"),
+        text_col="__precomputed",
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        precomputed_shingles=True,
     )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    shingles = shingles.withColumnRenamed("__shingles", "__sh")
     a = shingles.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     b = shingles.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     verified = (
@@ -203,9 +221,12 @@ def ngram_jaccard_pairs(
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     before the join — the standard guard against quadratic blowup on
     boilerplate shingles at scale."""
+    # Materialized once: both sides of the self-join + the size agg reuse it
+    # (without this the shingle expression tree evaluates three times).
     exploded = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh"))
         .distinct()
+        .persist()
     )
     if max_shingle_df is not None:
         dfreq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -253,23 +274,29 @@ def simhash_signature(
     toks = F.array_distinct(
         F.split(normalized_text(F.col(text_col)), r"\s+")
     )
+    # md5 once per token (the expensive part) via an intermediate projection,
+    # then 16 cheap digit-parity extractions per hash — not 16 md5s/token.
+    prepared = df.select(
+        F.col(id_col), F.transform(toks, lambda t: F.md5(t)).alias("__hashes")
+    )
 
     def _parity_fn(pos: int):
-        # factory (see minhash_signatures): hex digit `pos` of md5(token),
-        # parity of its value
-        return lambda t: F.conv(F.substring(F.md5(t), pos + 1, 1), 16, 10).cast("int") % 2
+        # factory (see minhash_signatures): hex digit `pos` of the token
+        # hash, parity of its value
+        return lambda h: F.conv(F.substring(h, pos + 1, 1), 16, 10).cast("int") % 2
 
     bit_cols = []
+    n = F.size(F.col("__hashes"))
     for b in range(bits):
-        digit = F.transform(toks, _parity_fn(b))
-        ones = F.aggregate(digit, F.lit(0), lambda acc, x: acc + x)
-        n = F.size(toks)
-        bit = (ones * 2 >= n).cast("bigint")  # majority of tokens set this bit
-        bit_cols.append(bit * F.lit(2**b).cast("bigint"))
+        ones = F.aggregate(
+            F.transform(F.col("__hashes"), _parity_fn(b)), F.lit(0), lambda acc, x: acc + x
+        )
+        # majority of tokens set this bit
+        bit_cols.append((ones * 2 >= n).cast("bigint") * F.lit(2**b).cast("bigint"))
     sig = bit_cols[0]
     for c in bit_cols[1:]:
         sig = sig + c
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return prepared.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_duplicate_groups(

@@ -227,6 +227,62 @@ def run_suite(
     }
 
 
+def suite_violation_counts(
+    df: DataFrame, suite: list[Expectation], now: datetime | None = None
+) -> DataFrame:
+    """DataFrame-native suite evaluation: one aggregate row unpivoted to
+    (expectation_type, column, element_count, unexpected_count, success) —
+    no driver-side collect, so it composes into larger plans and stays
+    distributed at any scale. Schema-level expectations are resolved from
+    ``df.schema`` and injected as literal columns in the same single-row
+    aggregate."""
+    dtypes = dict(df.dtypes)
+    agg_cols: list[Column] = [F.count(F.lit(1)).alias("__element_count")]
+    per_exp: list[tuple[Expectation, str]] = []  # (exp, unexpected-expr name)
+
+    for i, exp in enumerate(suite):
+        t = exp.expectation_type
+        if t == "expect_column_to_exist":
+            ok = exp.kwargs["column"] in dtypes
+            agg_cols.append(
+                (F.lit(0) if ok else F.count(F.lit(1))).cast("bigint").alias(f"__viol_{i}")
+            )
+        elif t == "expect_column_values_to_be_of_type":
+            expected = _normalize_type(exp.kwargs.get("type_", exp.kwargs.get("type")))
+            actual = dtypes.get(exp.kwargs["column"])
+            ok = actual is not None and _normalize_type(actual) == expected
+            agg_cols.append(
+                (F.lit(0) if ok else F.count(F.lit(1))).cast("bigint").alias(f"__viol_{i}")
+            )
+        elif t == "expect_column_values_to_be_unique":
+            c = F.col(exp.kwargs["column"])
+            agg_cols.append((F.count(c) - F.countDistinct(c)).cast("bigint").alias(f"__viol_{i}"))
+        else:
+            pred = _violation(exp, now)
+            if pred is None:
+                raise ValueError(f"unsupported expectation_type: {t}")
+            agg_cols.append(
+                F.coalesce(F.sum(pred.cast("int")), F.lit(0)).cast("bigint").alias(f"__viol_{i}")
+            )
+        per_exp.append((exp, f"__viol_{i}"))
+
+    one_row = df.agg(*agg_cols)
+    stack_args: list[str] = []
+    for exp, viol in per_exp:
+        col_name = (exp.column or "").replace("'", "")
+        stack_args += [f"'{exp.expectation_type}'", f"'{col_name}'", viol]
+    stack = F.expr(
+        f"stack({len(per_exp)}, {', '.join(stack_args)}) AS (expectation_type, column_name, unexpected_count)"
+    )
+    return one_row.select(F.col("__element_count").alias("element_count"), stack).select(
+        "expectation_type",
+        "column_name",
+        "element_count",
+        "unexpected_count",
+        (F.col("unexpected_count") == 0).alias("success"),
+    )
+
+
 def _normalize_type(t: str | None) -> str | None:
     if t is None:
         return None

@@ -1,0 +1,161 @@
+"""Multimodal (image/audio/video) column plumbing (BASELINE.json north star).
+
+Design for 100 TB multimodal corpora:
+
+- media travels as an opaque ``binary`` column plus a typed metadata struct
+  (mime, width/height/duration, codec) — Spark shuffles/spills binary
+  columns fine, and Parquet stores them page-compressed;
+- decode / feature-extract / resize / frame-sample run as **Arrow-batched
+  ``mapInPandas``** stages: per-partition batch iterators, so the Python
+  worker amortizes (de)serialization over whole record batches and memory
+  stays bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- partitioning: repartition by a size-balanced key before heavy decode so
+  one giant video doesn't skew an executor (``repartition_for_decode``).
+
+The actual codec work needs image/audio libraries that are NOT in this
+container — the decode kernels below are therefore deterministic fakes
+guarded by ``use_real_codecs`` (raising NotImplementedError when requested),
+while every Spark-side contract (schemas, UDF signatures, batch iteration,
+partitioning) is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata struct carried next to every media blob.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), nullable=False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_decode_features(blob: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder+embedder: sha256 bytes
+    scaled to [0,1). Replace with PIL/ffmpeg+model when codecs exist."""
+    h = hashlib.sha256(blob or b"").digest()
+    return [b / 255.0 for b in h[:dim]]
+
+
+def repartition_for_decode(df: DataFrame, target_partitions: int) -> DataFrame:
+    """Size-aware rebalance before a heavy Python decode stage: hash on the
+    media id spreads blobs uniformly; at cluster scale pair with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` tuned to blob size so
+    a batch of 4K frames doesn't OOM the Python worker."""
+    return df.repartition(target_partitions, "media_id")
+
+
+def extract_features(
+    df: DataFrame, dim: int = 8, use_real_codecs: bool = False
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches in/out)."""
+    if use_real_codecs:
+        raise NotImplementedError(
+            "real image/audio codecs are not available in this environment; "
+            "wire PIL/torchvision/ffmpeg here on a real cluster"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": content.map(lambda b: len(b or b"")).astype("int64"),
+                    "content_sha256": content.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "features": content.map(lambda b: _fake_decode_features(b, dim)),
+                }
+            )
+
+    return df.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4,
+    use_real_codecs: bool = False,
+) -> DataFrame:
+    """Frame-sampling contract: one input row -> N frame rows. The fake
+    kernel slices the blob; a real one would ffmpeg-seek keyframes. Shows
+    the fan-out shape (mapInPandas output rows != input rows)."""
+    if use_real_codecs:
+        raise NotImplementedError("ffmpeg not available in this environment")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = blob or b""
+                for i in range(min(max_frames, max(1, len(blob) // every_n_bytes))):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_frames.append(blob[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_index": out_idx, "frame": out_frames}
+            )
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize contract: metadata updates JVM-side (no Python needed for the
+    bookkeeping); the pixel work would live in the same mapInPandas slot as
+    extract_features. Kept expression-only so Catalyst sees through it."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.codec").alias("codec"),
+        ),
+    )
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests: blob = repeated md5 bytes."""
+    rows = []
+    for i in range(n):
+        blob = (hashlib.md5(f"{seed}:{i}".encode()).digest() * 16)[: 128 + (i % 5) * 64]
+        rows.append(
+            (i, bytearray(blob), ("image/fake", 32, 32, None, "fake")),
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

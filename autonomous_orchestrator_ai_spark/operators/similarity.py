@@ -133,31 +133,32 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
     )
 
-    c_parts, q_parts = [], []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_parts.append(
-            c_base.withColumn("table_id", F.lit(t)).withColumn(
-                "bucket", signbit_bucket(F.col("__cv"), planes)
-            )
+    # ONE corpus scan: all tables' buckets computed in a single projection
+    # and exploded (a union per table would re-scan and re-hash per table).
+    all_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    c_entries = [
+        F.struct(
+            F.lit(t).alias("table_id"),
+            signbit_bucket(F.col("__cv"), all_planes[t]).alias("bucket"),
         )
-        qt = q_base.withColumn("table_id", F.lit(t)).withColumn(
-            "__b0", signbit_bucket(F.col("__qv"), planes)
-        )
-        probes = [F.col("__b0")]
-        if multiprobe_bits >= 1:
-            probes += [
-                F.col("__b0").bitwiseXOR(F.lit(2**p).cast("bigint"))
-                for p in range(n_planes)
-            ]
-        q_parts.append(qt.withColumn("bucket", F.explode(F.array(*probes))).drop("__b0"))
+        for t in range(n_tables)
+    ]
+    c = c_base.select(
+        "neighbor_id", "__cv", F.explode(F.array(*c_entries)).alias("__e")
+    ).select("neighbor_id", "__cv", "__e.table_id", "__e.bucket")
 
-    c = c_parts[0]
-    for part in c_parts[1:]:
-        c = c.unionByName(part)
-    q = q_parts[0]
-    for part in q_parts[1:]:
-        q = q.unionByName(part)
+    q_entries = []
+    for t in range(n_tables):
+        b0 = signbit_bucket(F.col("__qv"), all_planes[t])
+        probes = [b0]
+        if multiprobe_bits >= 1:
+            probes += [b0.bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(n_planes)]
+        q_entries += [
+            F.struct(F.lit(t).alias("table_id"), p.alias("bucket")) for p in probes
+        ]
+    q = q_base.select(
+        "query_id", "__qv", F.explode(F.array(*q_entries)).alias("__e")
+    ).select("query_id", "__qv", "__e.table_id", "__e.bucket")
 
     pairs = c.join(F.broadcast(q), ["table_id", "bucket"])
     if exclude_self:
