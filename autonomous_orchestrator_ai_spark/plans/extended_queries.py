@@ -1,0 +1,330 @@
+"""Extended operator coverage: semi/anti joins, pivot, exact percentiles,
+argmax, CUBE, sliding windows, string/date functions, cross-table
+(documents x embeddings) analytics.
+
+These complete the relational surface a reference user would expect
+(SURVEY.md §2.3-§2.8 'free from Catalyst' notes) — each shape is here
+because the reference either lacked it (joins, windows) or did it
+client-side (latest-per-key, stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import quality_score, token_count
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+
+@register(
+    "late_shipping_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS == left-semi join (no row duplication, lineitem
+    side never materializes into the output)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "orders_without_lineitems",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY o_orderstatus
+    """,
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS == left-anti join."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    anti = orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+    return anti.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "returned_items_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           c_acctbal
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue — join + agg +
+    top-20 via TakeOrderedAndProject."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_ratio",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-sum ratio over a broadcast dim join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — identical semantics to
+    DuckDB quantile_cont). The approximate twin at cluster scale is
+    percentile_approx; exact is fine when cardinality per group is bounded."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "event_counts_pivoted",
+    oracle="""
+    SELECT user_id % 10 AS user_decile,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def event_counts_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit values keep it one pass —
+    no distinct-collection job — and a stable output schema)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_decile"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "revenue_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + agg."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "lineitem_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (Catalyst Expand)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "part_type_string_profile",
+    oracle="""
+    SELECT upper(substr(p_type, 1, 3)) AS type_prefix,
+           lower(p_brand) AS brand_lower,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(length(p_name)) AS BIGINT) AS total_name_chars,
+           ROUND(AVG(length(concat(p_name, '-', p_type))), 4) AS avg_label_len
+    FROM part GROUP BY 1, 2
+    """,
+)
+def part_type_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper/lower/substr/concat/length."""
+    return (
+        table(spark, sf_dir, "part")
+        .groupBy(
+            F.upper(F.substring("p_type", 1, 3)).alias("type_prefix"),
+            F.lower(F.col("p_brand")).alias("brand_lower"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.length("p_name")).alias("total_name_chars"),
+            F.round(F.avg(F.length(F.concat_ws("-", "p_name", "p_type"))), 4).alias(
+                "avg_label_len"
+            ),
+        )
+    )
+
+
+@register(
+    "sliding_window_daily_pairs",
+    oracle="""
+    WITH contrib AS (
+      SELECT unnest([date_trunc('day', ts), date_trunc('day', ts) - INTERVAL 1 DAY]) AS win_start,
+             value
+      FROM events)
+    SELECT strftime(win_start, '%Y-%m-%d') AS win_start_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM contrib GROUP BY win_start
+    """,
+)
+def sliding_window_daily_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2-day width, 1-day slide) — every event lands in two
+    windows; the T7 surface in its sliding form."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_start_day"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "doc_embedding_quality_by_label",
+    oracle="""
+    WITH toks AS (
+      SELECT e.label, d.n_chars,
+             CASE WHEN trim(d.text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM toks GROUP BY label
+    """,
+)
+def doc_embedding_quality_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text stats grouped by embedding cluster label — the
+    'what text feeds each embedding cluster' training-mix query."""
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "argmax_event_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(arg_max(event_id, ts) AS BIGINT) AS last_event_id,
+           ROUND(arg_max(value, ts), 2) AS last_value
+    FROM events GROUP BY user_id
+    """,
+)
+def argmax_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/argmax aggregate — the shuffle-light alternative to the
+    ranking-window 'latest per key' (no sort, pure hash agg)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.round(F.max_by("value", "ts"), 2).alias("last_value"),
+    )

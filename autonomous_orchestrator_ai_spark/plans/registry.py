@@ -49,6 +49,7 @@ def load_all() -> None:
     from autonomous_orchestrator_ai_spark.plans import (  # noqa: F401
         dedup_queries,
         dq_queries,
+        extended_queries,
         pipeline_queries,
         similarity_queries,
         text_queries,
