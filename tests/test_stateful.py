@@ -1,0 +1,55 @@
+"""Custom stateful streaming operator test (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.transform import parse_kafka_messages
+from autonomous_orchestrator_ai_spark.schemas import customer_events_schema
+from autonomous_orchestrator_ai_spark.sources.readers import jsonl_as_kafka_envelope
+from autonomous_orchestrator_ai_spark.streaming.pipeline import streaming_enrich
+from autonomous_orchestrator_ai_spark.streaming.state import streaming_session_stats
+
+
+def _ms(iso: str) -> int:
+    return int(datetime.fromisoformat(iso).replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """Two users, events spanning a >30min gap: per-key GroupState counts
+    sessions across the stream."""
+    base = dict(name="X", email="x@x.com", signup_ts=_ms("2023-01-01T00:00:00"),
+                country="US", plan="free", version=1)
+    events = [
+        dict(base, id="u1", event_ts=_ms("2024-01-15T00:00:00")),
+        dict(base, id="u1", event_ts=_ms("2024-01-15T00:10:00")),  # same session
+        dict(base, id="u1", event_ts=_ms("2024-01-15T01:00:00")),  # gap > 30min -> new
+        dict(base, id="u2", event_ts=_ms("2024-01-15T00:05:00")),
+    ]
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "e.jsonl").write_text("\n".join(json.dumps(e) for e in events) + "\n")
+
+    envelope = jsonl_as_kafka_envelope(spark, str(d), streaming=True)
+    parsed = parse_kafka_messages(envelope, customer_events_schema(1))
+    enriched = streaming_enrich(
+        parsed, processing_time=F.to_timestamp(F.lit("2024-01-15 02:00:00"))
+    )
+    stats = streaming_session_stats(enriched, gap_seconds=1800.0)
+
+    query = (
+        stats.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("session_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    rows = {r["user_key"]: r for r in spark.sql("SELECT * FROM session_stats").collect()}
+    assert rows["u1"]["n_sessions"] == 2 and rows["u1"]["n_events"] == 3
+    assert rows["u2"]["n_sessions"] == 1 and rows["u2"]["n_events"] == 1
