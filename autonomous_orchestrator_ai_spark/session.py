@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # codegen-heavy operators (minhash/simhash/LSH) compile many large
+        # Janino classes; the JVM's default 240m code cache fills mid-session
+        # and the JIT silently falls back to interpretation (observed 5-10x
+        # slowdowns late in long sessions). One JVM flag fixes it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

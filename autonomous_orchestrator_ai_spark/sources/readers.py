@@ -62,6 +62,29 @@ def kafka_batch(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     )
 
 
+def parse_avro_value(df: DataFrame, avro_schema_json: str) -> DataFrame:
+    """Avro decode of the Kafka value (the reference's actual wire format,
+    kafka/schemas/customer_events.avsc). Requires the spark-avro package on
+    the classpath — absent in this container, so this raises a clear error
+    at call time; the JSON path (parse_kafka_messages) is the tested route,
+    exactly as the reference itself reads the topic as JSON
+    (ingest_transform.py:117-118)."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("pyspark avro functions unavailable") from exc
+    parsed = df.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("timestamp").alias("kafka_timestamp"),
+        F.col("offset").alias("kafka_offset"),
+        F.col("partition").alias("kafka_partition"),
+        from_avro(F.col("value"), avro_schema_json).alias("data"),
+    )
+    return parsed.select(
+        "kafka_key", "kafka_timestamp", "kafka_offset", "kafka_partition", "data.*"
+    )
+
+
 KAFKA_ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField("key", T.BinaryType()),
