@@ -1,0 +1,98 @@
+"""Skew- and layout-aware join/agg helpers (SURVEY.md 'Partitioning &
+shuffle' guidance; AQE handles moderate skew automatically — these are the
+explicit tools for when it doesn't, and for removing shuffles entirely).
+
+- ``salted_aggregate``: two-phase aggregation over a salted key. A hot key
+  that would pin one reducer is split across ``n_salts`` partial groups,
+  then partials combine in a second (tiny) aggregation. Works for any
+  algebraic aggregate (sum/count/min/max — pass the partial and final
+  specs).
+- ``salted_join``: broadcast-free skew join — the skewed left side gets a
+  random-ish deterministic salt, the small-but-not-broadcastable right side
+  is replicated ``n_salts`` times, and the join key becomes (key, salt).
+- ``write_bucketed`` / bucketed join: co-locate both sides of a repeated
+  join on the join key at WRITE time so later joins are exchange-free
+  (verified by tests/test_bucketing.py asserting no shuffle in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, key: str, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic per-row salt in [0, n_salts): hash-based (pmod of
+    xxhash64 over the whole row's key + a disambiguator column when
+    present) — deterministic, unlike rand(), so plans stay replayable."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key: str,
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase agg: groupBy(key, salt) -> partials, then groupBy(key) ->
+    combine. ``partial_aggs`` maps output-name -> agg Column over the raw
+    rows; ``final_aggs`` maps final-name -> agg Column over the partial
+    names. Example:
+
+        salted_aggregate(ev, "user_id",
+            {"cnt": F.count(F.lit(1)), "sum_v": F.sum("value")},
+            {"n_events": F.sum("cnt"), "total": F.sum("sum_v")})
+    """
+    salted = with_salt(df, key, n_salts)
+    partial = salted.groupBy(key, "__salt").agg(
+        *[c.alias(name) for name, c in partial_aggs.items()]
+    )
+    return partial.groupBy(key).agg(
+        *[c.alias(name) for name, c in final_aggs.items()]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew join without broadcast: salt the big/skewed side, explode the
+    other side across all salt values, join on (key, salt). Replication
+    factor n_salts on the small side buys n_salts-way spread of each hot
+    key. Output drops the salt columns."""
+    left = with_salt(skewed, key, n_salts)
+    right = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = left.join(right, on=[key, "__salt"], how=how)
+    return joined.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """Persist with bucketing so subsequent equi-joins/aggs on
+    ``bucket_key`` read co-located buckets and skip the exchange."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — plan should show
+    SortMergeJoin with NO Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on=key, how=how)
