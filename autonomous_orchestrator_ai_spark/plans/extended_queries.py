@@ -312,6 +312,90 @@ def doc_embedding_quality_by_label(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "above_segment_average_customers",
+    oracle="""
+    WITH seg AS (SELECT c_mktsegment, AVG(c_acctbal) AS seg_avg
+                 FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_above_avg,
+           ROUND(MAX(c.c_acctbal - seg.seg_avg), 4) AS max_excess
+    FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+    WHERE c.c_acctbal > seg.seg_avg
+    GROUP BY c.c_mktsegment
+    """,
+)
+def above_segment_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (acctbal > segment average), decorrelated
+    as agg + self-join — the plan Catalyst itself produces for the
+    correlated SQL; written explicitly so the broadcast of the tiny
+    aggregate side is guaranteed."""
+    cust = table(spark, sf_dir, "customer")
+    seg = cust.groupBy("c_mktsegment").agg(F.avg("c_acctbal").alias("seg_avg"))
+    return (
+        cust.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.round(F.max(F.col("c_acctbal") - F.col("seg_avg")), 4).alias("max_excess"),
+        )
+    )
+
+
+@register(
+    "props_payload_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_parsed,
+           ROUND(AVG(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def props_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction profiling over the payload column (S2's scalar
+    cousin: get_json_object + try_cast, null-safe)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_parsed"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@register(
+    "nation_region_lookup_join",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def nation_region_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The F3 dictionary-decode pattern at its scale form: broadcast lookup
+    join through two dimension tables (enrich.region_lookup_df's real-data
+    twin)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
     "argmax_event_per_user",
     oracle="""
     SELECT user_id,
