@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the scale claims (pushdown, pruning,
+broadcast, no stray shuffles) asserted against `.explain` output so a
+refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from autonomous_orchestrator_ai_spark.plans import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, name: str) -> str:
+    registry.load_all()
+    df = registry.QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_nodes(plan: str) -> list[str]:
+    """Operator names from the detail section — one entry per physical node
+    (the tree section would double-count)."""
+    import re
+
+    return re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+
+
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = formatted_plan(spark, "tpch_q6_forecast_revenue")
+    # all three predicates reach the parquet reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    # projection pruned to exactly the needed columns
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    for col in ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]:
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q5_joins_are_broadcast(spark):
+    plan = formatted_plan(spark, "tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # every dim side broadcast at this SF
+
+
+def test_q1_partial_aggregation(spark):
+    nodes = plan_nodes(formatted_plan(spark, "tpch_q1_pricing_summary"))
+    # map-side partial + final: two HashAggregates around one Exchange
+    assert nodes.count("HashAggregate") == 2
+    assert nodes.count("Exchange") == 1
+    # whole-stage codegen subtrees exist (AQE hides *(n) markers in the
+    # pre-execution simple plan, so ask the codegen explain directly)
+    registry.load_all()
+    df = registry.QUERIES["tpch_q1_pricing_summary"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_pipeline_run_report_single_scan(spark):
+    nodes = plan_nodes(formatted_plan(spark, "pipeline_run_report"))
+    assert nodes.count("Scan") == 1  # all four counters, one pass
+    assert nodes.count("Exchange") == 1  # single-row final combine only
+
+
+def test_top_k_uses_take_ordered(spark):
+    plan = formatted_plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 10
+
+
+def test_asof_join_single_shuffle_for_window(spark):
+    nodes = plan_nodes(formatted_plan(spark, "purchase_asof_signup"))
+    # the union feeds ONE exchange (hash on user_id) for the running-last
+    # window; the as-of join adds no join exchanges at all
+    assert "Window" in nodes
+    assert nodes.count("Exchange") == 1
+    assert not any("Join" in n for n in nodes)
+
+
+def test_no_cartesian_products_in_relational_queries(spark):
+    for name in [
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "returned_items_top_customers",
+        "late_shipping_orders",
+        "nation_region_lookup_join",
+    ]:
+        plan = formatted_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
