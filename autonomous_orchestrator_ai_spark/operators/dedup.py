@@ -25,7 +25,7 @@ Embedding-cosine near-dup lives in ``operators.similarity``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import (

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from autonomous_orchestrator_ai_spark.functions.text import fingerprint, word_shingles
+from autonomous_orchestrator_ai_spark.functions.text import fingerprint
 from autonomous_orchestrator_ai_spark.operators.dedup import (
     exact_dedup_by_fingerprint,
     minhash_near_duplicates,

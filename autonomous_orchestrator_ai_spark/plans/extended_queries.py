@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from autonomous_orchestrator_ai_spark.functions.text import quality_score, token_count
+from autonomous_orchestrator_ai_spark.functions.text import token_count
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
 
 

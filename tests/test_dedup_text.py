@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import (
     fingerprint,

@@ -7,7 +7,6 @@ from __future__ import annotations
 import contextlib
 import io
 
-import pytest
 
 from autonomous_orchestrator_ai_spark.plans import registry
 

@@ -5,7 +5,6 @@ from __future__ import annotations
 import json
 from datetime import datetime, timezone
 
-import pytest
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.transform import parse_kafka_messages
