@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.asof import asof_join
+from autonomous_orchestrator_ai_spark.operators.rangejoin import range_join
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
 
 SESSION_GAP_SECONDS = 1800  # 30-minute inactivity gap
@@ -245,6 +246,42 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             "n_events",
         )
+    )
+
+
+@register(
+    "purchases_in_signup_window",
+    oracle="""
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_in_window,
+           ROUND(SUM(p.value), 2) AS window_revenue
+    FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts AS start, ts + INTERVAL 1 HOUR AS "end"
+          FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.start AND p.ts < s."end"
+    GROUP BY p.user_id
+    """,
+)
+def purchases_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (custom operator, operators/rangejoin.py):
+    purchases landing inside any [signup, signup+1h) window, per user. The
+    Spark side buckets ranges to make the join equi; the oracle is DuckDB's
+    plain inequality join."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    joined = range_join(
+        purchases, signups, "ts", "start", "end", bucket_seconds=3600
+    ).filter(F.col("user_id") == F.col("s_user"))
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_in_window"),
+        F.round(F.sum("value"), 2).alias("window_revenue"),
     )
 
 
