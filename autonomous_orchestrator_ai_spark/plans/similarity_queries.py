@@ -121,6 +121,20 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_ann_topk")  # no oracle: approximate + iterative (kmeans); pytest checks recall
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (operators/ivf.py): k-means inverted lists
+    (an iterative DataFrame algorithm — the oracle contract's exempt
+    category), n_probe-nearest lists re-ranked exactly. Driver records a
+    rows-only check; tests/test_ivf.py asserts recall on clustered data."""
+    from autonomous_orchestrator_ai_spark.operators.ivf import ivf_topk, kmeans
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = kmeans(emb, k=8, iterations=3)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, centroids, k=5, n_probe=3)
+
+
 @register("lsh_ann_topk")  # no oracle: approximate operator; pytest checks recall
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH with 1-bit multi-probe
