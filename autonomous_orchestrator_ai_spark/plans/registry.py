@@ -54,6 +54,7 @@ def load_all() -> None:
         similarity_queries,
         text_queries,
         tpch,
+        tpch_extra,
         window_queries,
     )
 

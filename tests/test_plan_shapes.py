@@ -96,3 +96,36 @@ def test_no_cartesian_products_in_relational_queries(spark):
     ]:
         plan = formatted_plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q7_dims_broadcast_one_fact_shuffle_join(spark):
+    """Q7: the only non-broadcast join may be lineitem⋈orders; customer,
+    supplier, and both nation copies must come in as broadcasts."""
+    nodes = plan_nodes(formatted_plan(spark, "tpch_q7_volume_shipping"))
+    assert nodes.count("BroadcastHashJoin") >= 4
+    assert nodes.count("SortMergeJoin") <= 1
+
+
+def test_q13_left_outer_and_two_aggregations(spark):
+    plan = formatted_plan(spark, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    nodes = plan_nodes(plan)
+    # per-customer agg + histogram agg, each split partial/final
+    assert nodes.count("HashAggregate") == 4
+
+
+def test_q16_distinct_agg_expands(spark):
+    """COUNT(DISTINCT) compiles to Spark's two-phase distinct aggregate —
+    the keyed expansion, never a global collect."""
+    nodes = plan_nodes(formatted_plan(spark, "tpch_q16_supplier_part_variety"))
+    assert nodes.count("HashAggregate") >= 3
+    assert "BroadcastHashJoin" in nodes
+
+
+def test_q15_threshold_is_broadcast_not_cartesian(spark):
+    plan = formatted_plan(spark, "tpch_q15_top_supplier")
+    # Catalyst rewrites crossJoin + equality filter into a broadcast hash
+    # join keyed on the equality; a shuffled CartesianProduct would be a
+    # scale bug
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin Cross" in plan or "BroadcastNestedLoopJoin" in plan
