@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import token_count
-from autonomous_orchestrator_ai_spark.plans.registry import register, table
+from autonomous_orchestrator_ai_spark.plans.registry import (
+    exact_money_sum,
+    register,
+    table,
+)
 
 
 @register(
@@ -66,7 +70,7 @@ def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_items_top_customers",
     oracle="""
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            c_acctbal
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -91,7 +95,7 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -104,9 +108,11 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_ratio",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                                       ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                 4) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
     """,
@@ -124,8 +130,12 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(
+                        F.col("p_type") == "PROMO", rev.cast("decimal(18,4)")
+                    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+                ).cast("double")
+                / F.sum(rev.cast("decimal(18,4)")).cast("double"),
                 4,
             ).alias("promo_revenue_pct")
         )
@@ -183,7 +193,7 @@ def event_counts_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_revenue
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
     FROM orders GROUP BY 1
     """,
 )
@@ -194,7 +204,7 @@ def revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            exact_money_sum(F.col("o_totalprice")).alias("total_revenue"),
         )
     )
 
@@ -204,7 +214,7 @@ def revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -215,7 +225,7 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            exact_money_sum(F.col("l_quantity")).alias("sum_qty"),
         )
     )
 
@@ -258,7 +268,7 @@ def part_type_string_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT strftime(win_start, '%Y-%m-%d') AS win_start_day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM contrib GROUP BY win_start
     """,
 )
@@ -270,7 +280,7 @@ def sliding_window_daily_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 days", "1 day").alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_money_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_start_day"),
@@ -370,7 +380,7 @@ def props_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.r_name AS region_name,
            CAST(COUNT(DISTINCT n.n_nationkey) AS BIGINT) AS n_nations,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
                     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
@@ -390,7 +400,7 @@ def nation_region_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("n_nationkey").alias("n_nations"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            exact_money_sum(F.col("c_acctbal")).alias("total_acctbal"),
         )
     )
 

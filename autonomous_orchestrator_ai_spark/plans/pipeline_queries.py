@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.transform import quarantine_split
-from autonomous_orchestrator_ai_spark.plans.registry import register, table
+from autonomous_orchestrator_ai_spark.plans.registry import (
+    exact_money_sum,
+    register,
+    table,
+)
 
 #: Synthetic processing delay in seconds := value * 4 (deterministic stand-in
 #: for processing_timestamp - event_timestamp; late iff > 900s, i.e. the
@@ -133,7 +137,7 @@ def dq_flag_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           ROUND(SUM(value), 2) AS total_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
            ROUND(AVG(value), 4) AS avg_value
     FROM events GROUP BY event_type
     """,
@@ -147,7 +151,7 @@ def events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_money_sum(F.col("value")).alias("total_value"),
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
@@ -223,11 +227,11 @@ def payload_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quarantine_split_counts",
     oracle="""
     SELECT 'quarantined' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events WHERE value > 400 OR user_id IS NULL
     UNION ALL
     SELECT 'clean' AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events WHERE NOT COALESCE(value > 400 OR user_id IS NULL, FALSE)
     """,
 )
@@ -241,7 +245,7 @@ def quarantine_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(df: DataFrame, bucket: str) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_money_sum(F.col("value")).alias("total_value"),
         ).select(F.lit(bucket).alias("bucket"), "n_rows", "total_value")
 
     return side(quarantined, "quarantined").unionAll(side(clean, "clean"))

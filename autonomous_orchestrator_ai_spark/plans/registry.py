@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def exact_money_sum(expr) -> F.Column:
+    """Order-independent money sum: accumulate as DECIMAL(18,4) — lossless
+    for this dataset (every money/qty/value column is exactly <=4dp) and
+    exact under any summation order — round to cents, return double.
+    ROUND(SUM(double), 2) is summation-order-dependent at the half-cent
+    boundary (~3/1000 groups flip between Spark and DuckDB at sf0.01), and
+    the driver's session parallelism is unknown, so every money sum in an
+    oracle-checked query must go through this. Oracle-side mirror:
+    CAST(ROUND(SUM(CAST(x AS DECIMAL(18,4))), 2) AS DOUBLE)."""
+    return F.round(F.sum(expr.cast("decimal(18,4)")), 2).cast("double")
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 

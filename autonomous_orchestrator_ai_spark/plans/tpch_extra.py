@@ -23,16 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from autonomous_orchestrator_ai_spark.plans.registry import (
+    exact_money_sum as _exact_money_sum,
+)
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
-
-
-def _exact_money_sum(expr: F.Column) -> F.Column:
-    """Order-independent money sum: accumulate as DECIMAL(18,4) (exact — the
-    per-row double is within 1 ulp of its true 4dp value, so the cast is
-    deterministic in both engines), round to cents, hand back a double.
-    Large double sums rounded to 2dp are otherwise summation-order-dependent
-    at the half-cent boundary (~3/1000 groups flip at sf0.01)."""
-    return F.round(F.sum(expr.cast("decimal(18,4)")), 2).cast("double")
 
 
 @register(
@@ -94,8 +88,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 6) AS mkt_share
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                              THEN CAST(volume AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -140,10 +135,15 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
     )
+    dec_vol = volume.cast("decimal(18,4)")
     return joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
-            / F.sum(volume),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", dec_vol).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum(dec_vol).cast("double"),
             6,
         ).alias("mkt_share")
     )
@@ -331,7 +331,8 @@ def tpch_q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFram
     "tpch_q20_bulk_suppliers",
     oracle="""
     WITH per_supp AS (
-      SELECT l_suppkey, SUM(l_quantity) AS qty
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE p_name LIKE 'large%'
         AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
@@ -356,7 +357,7 @@ def tpch_q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum("l_quantity").alias("qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("qty"))
     )
     threshold = per_supp.agg((0.5 * F.avg("qty")).alias("thr"))
     supp = table(spark, sf_dir, "supplier")

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.asof import asof_join
 from autonomous_orchestrator_ai_spark.operators.rangejoin import range_join
-from autonomous_orchestrator_ai_spark.plans.registry import register, table
+from autonomous_orchestrator_ai_spark.plans.registry import (
+    exact_money_sum,
+    register,
+    table,
+)
 
 SESSION_GAP_SECONDS = 1800  # 30-minute inactivity gap
 
@@ -23,7 +27,7 @@ SESSION_GAP_SECONDS = 1800  # 30-minute inactivity gap
     "top_spenders_per_type",
     oracle="""
     WITH sums AS (
-      SELECT event_type, user_id, ROUND(SUM(value), 2) AS total_value
+      SELECT event_type, user_id, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
       FROM events GROUP BY event_type, user_id
     ), ranked AS (
       SELECT event_type, user_id, total_value,
@@ -42,7 +46,7 @@ def top_spenders_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = (
         table(spark, sf_dir, "events")
         .groupBy("event_type", "user_id")
-        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(exact_money_sum(F.col("value")).alias("total_value"))
     )
     w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
     return (
@@ -129,7 +133,7 @@ def user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -142,7 +146,7 @@ def daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_money_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
@@ -254,7 +258,7 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.user_id,
            CAST(COUNT(*) AS BIGINT) AS n_purchases_in_window,
-           ROUND(SUM(p.value), 2) AS window_revenue
+           CAST(ROUND(SUM(CAST(p.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS window_revenue
     FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
     JOIN (SELECT user_id, ts AS start, ts + INTERVAL 1 HOUR AS "end"
           FROM events WHERE event_type = 'signup') s
@@ -281,7 +285,7 @@ def purchases_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("user_id") == F.col("s_user"))
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_purchases_in_window"),
-        F.round(F.sum("value"), 2).alias("window_revenue"),
+        exact_money_sum(F.col("value")).alias("window_revenue"),
     )
 
 
