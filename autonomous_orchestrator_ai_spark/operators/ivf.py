@@ -24,6 +24,9 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 from autonomous_orchestrator_ai_spark.operators.similarity import (
     _as_double_array,
     cosine,
@@ -64,7 +67,9 @@ def kmeans(
     """Lloyd's k-means; returns (k, dim) centroid matrix. Seeds = k rows
     evenly spaced in id order (deterministic, and spread across the data —
     taking the k smallest ids would often seed inside one cluster)."""
-    data = df.select(F.col(id_col), _as_double_array(vec_col).alias("__v"))
+    data = ensure_min_parallelism(df).select(
+        F.col(id_col), _as_double_array(vec_col).alias("__v")
+    )
     n = data.count()
     w = Window.orderBy(id_col)
     stride = max(1, n // k)
@@ -116,7 +121,7 @@ def ivf_topk(
     lists, exact-cosine re-rank inside them. Same output shape as
     cosine_topk: (query_id, neighbor_id, cosine_sim, rank)."""
     cols = _centroid_lits(centroids)
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
     ).withColumn("bucket", _nearest_centroid(F.col("__cv"), cols))
 

@@ -21,6 +21,10 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
+
 
 def _as_double_array(col: str | F.Column) -> F.Column:
     col = F.col(col) if isinstance(col, str) else col
@@ -59,7 +63,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
     )
     pairs = c.crossJoin(F.broadcast(q))
@@ -126,7 +130,7 @@ def lsh_bucketed_topk(
     Index cost at scale: the corpus is replicated n_tables times in the
     bucketed index (standard LSH space/recall trade); probe cost per query
     is n_tables * (1 + n_planes * multiprobe) bucket lookups."""
-    c_base = corpus.select(
+    c_base = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
     )
     q_base = queries.select(
@@ -188,7 +192,7 @@ def embedding_near_duplicates(
     LSH-bucketed: near-identical vectors land in the same sign bucket with
     high probability, so the self-join is per-bucket, not all-pairs."""
     planes = hyperplanes(dim, n_planes, seed)
-    e = embeddings.select(
+    e = ensure_min_parallelism(embeddings).select(
         F.col(id_col), _as_double_array(vec_col).alias("__v")
     ).withColumn("bucket", signbit_bucket(F.col("__v"), planes))
     a = e.select(

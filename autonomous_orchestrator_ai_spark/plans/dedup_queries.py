@@ -39,7 +39,9 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
 def _minhash_sql(j: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{j}:' || s)))"
+    # hash family j = hex chars [4j, 4j+4) of one md5 per shingle — mirrors
+    # operators.dedup.chunked_minhash exactly (substr is 1-based in both)
+    return f"list_min(list_transform(sh, s -> substr(md5(s), {1 + 4 * j}, 4)))"
 
 
 @register(

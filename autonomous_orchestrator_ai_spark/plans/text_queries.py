@@ -18,6 +18,9 @@ from autonomous_orchestrator_ai_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
 
 # DuckDB mirrors of functions/text.py ---------------------------------------
@@ -58,7 +61,7 @@ _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts + quality heuristics — all per-row
     expressions, one codegen stage over the scan."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -83,7 +86,7 @@ def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling grouped by source — the 'how big is each slice of my
     training mix' query."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).alias("total_tokens"),
@@ -122,7 +125,7 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language-ID (functions.text.lang_id) distribution.
     The synthetic corpus is English-ish regardless of its lang label, so this
     measures the operator, not the label."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
     return docs.groupBy(lang_id("text").alias("predicted_lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -138,7 +141,7 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints (md5 of normalized text) for the first 100 docs
     — the portable-hash primitive every dedup operator builds on."""
-    docs = table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
     return docs.filter(F.col("doc_id") < 100).select(
         "doc_id", fingerprint("text").alias("fp"), "lang"
     )
