@@ -35,9 +35,9 @@ from autonomous_orchestrator_ai_spark.operators.similarity import (
 
 
 def _centroid_lits(centroids: np.ndarray):
-    return [
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ]
+    # one ArrayType Literal per centroid (not dim scalar literals) — small
+    # expression tree, fast whole-stage-codegen JIT
+    return [F.lit([float(x) for x in c]) for c in centroids]
 
 
 def _nearest_centroid(vec, centroid_cols) -> F.Column:

@@ -98,7 +98,9 @@ def signbit_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
     """Sign-pattern bucket id: bit p set iff vec · plane_p >= 0."""
     bucket = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        # one ArrayType Literal node per plane (F.lit on the list), not
+        # dim separate Literal nodes — keeps codegen small and JIT fast
+        plane_lit = F.lit([float(x) for x in plane])
         bucket = bucket + (dot(vec, plane_lit) >= 0).cast("bigint") * F.lit(
             2**p
         ).cast("bigint")
