@@ -292,35 +292,38 @@ def simhash_signature(
     bits. Token bit b = parity of hex digit b of md5(token) (portable across
     engines). Returns (id, simhash bigint).
 
-    Pure higher-order-function expression (transform + aggregate over the
-    token array) — no explode, no shuffle."""
-    toks = F.array_distinct(
-        F.split(normalized_text(F.col(text_col)), r"\s+")
-    )
-    # md5 once per token (the expensive part) via an intermediate projection,
-    # then 16 cheap digit-parity extractions per hash — not 16 md5s/token.
+    Shape: explode tokens -> one md5 + ``bits`` cheap digit-parity columns
+    per token -> groupBy(id) sums. The groupBy's map-side partial aggregate
+    collapses the token blowup inside each partition, so the shuffle carries
+    one (id, bits+1 ints) row per doc — and the expression tree is flat
+    (no per-bit higher-order-function folds, which at bits=16 compiled into
+    multi-second whole-stage-codegen JIT and code-cache pressure)."""
     df = ensure_min_parallelism(df)
-    prepared = df.select(
-        F.col(id_col), F.transform(toks, lambda t: F.md5(t)).alias("__hashes")
+    toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), r"\s+"))
+    # md5 once per token (the expensive part), then `bits` parity extracts
+    hashed = df.select(F.col(id_col), F.explode(toks).alias("__t")).select(
+        F.col(id_col), F.md5("__t").alias("__h")
     )
-
-    def _parity_fn(pos: int):
-        # factory (see minhash_signatures): hex digit `pos` of the token
-        # hash, parity of its value
-        return lambda h: F.conv(F.substring(h, pos + 1, 1), 16, 10).cast("int") % 2
-
-    bit_cols = []
-    n = F.size(F.col("__hashes"))
+    parities = hashed.select(
+        F.col(id_col),
+        *[
+            (F.conv(F.substring("__h", b + 1, 1), 16, 10).cast("int") % 2).alias(
+                f"__p{b}"
+            )
+            for b in range(bits)
+        ],
+    )
+    per_doc = parities.groupBy(id_col).agg(
+        *[F.sum(f"__p{b}").alias(f"__ones{b}") for b in range(bits)],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        ones = F.aggregate(
-            F.transform(F.col("__hashes"), _parity_fn(b)), F.lit(0), lambda acc, x: acc + x
-        )
         # majority of tokens set this bit
-        bit_cols.append((ones * 2 >= n).cast("bigint") * F.lit(2**b).cast("bigint"))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return prepared.select(F.col(id_col), sig.alias("simhash"))
+        sig = sig + (F.col(f"__ones{b}") * 2 >= F.col("__n")).cast(
+            "bigint"
+        ) * F.lit(2**b).cast("bigint")
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_duplicate_groups(
