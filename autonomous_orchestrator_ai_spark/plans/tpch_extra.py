@@ -413,3 +413,146 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey AS bp, MIN(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           min_cost AS unit_cost
+    FROM costs
+      JOIN best ON l_partkey = bp AND unit_cost = min_cost
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier per part within one region —
+    correlated per-part MIN, decorrelated as aggregate + equality join-back.
+    Adaptation: no partsupp table here, so lineitem is the part↔supplier
+    link and 'supply cost' is the observed unit price
+    (l_extendedprice / l_quantity, an exact IEEE division in both engines;
+    MIN and the equality join-back compare those exact doubles, so ties
+    surface every minimal supplier identically in Spark and DuckDB; the
+    output keeps the raw double — MIN of a deterministic division is
+    bit-identical cross-engine, while ROUND(x, 4) flips at half-way
+    boundaries).
+    Scale: region→nation→supplier reduce and broadcast into the lineitem
+    scan; the two aggregates and the join-back all share one shuffle key
+    (l_partkey), so AQE plans agg→agg→join without re-exchanging."""
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    costs = (
+        li.join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = table(spark, sf_dir, "part")
+    return (
+        costs.join(
+            best,
+            (F.col("l_partkey") == F.col("bp"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("min_cost").alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH partval AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS value
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_7', 'NATION_8')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey,
+           CAST(ROUND(value, 2) AS DOUBLE) AS part_value
+    FROM partval
+    WHERE value > (
+      SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 0.001
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_7', 'NATION_8')
+    )
+    ORDER BY part_value DESC, partkey
+    LIMIT 100
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of total value —
+    grouped aggregate HAVING-compared against a scalar subquery (global
+    sum × fraction). Adaptation: no partsupp, so 'value' is shipped
+    revenue of the part from the filtered suppliers' lineitems.
+    Scale: the scalar total re-aggregates the per-part values (one extra
+    reduce over #parts rows, NOT a second lineitem scan) and is broadcast
+    into the HAVING filter. Sums accumulate as DECIMAL(18,4) (exact under
+    any order — registry.exact_money_sum rationale); the 0.001 threshold
+    multiply happens in double identically in both engines."""
+    nation = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    partval = (
+        li.join(F.broadcast(supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("value")
+        )
+    )
+    total = partval.agg(F.sum("value").alias("grand"))
+    return (
+        partval.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand") * F.lit(0.001))
+        .select("partkey", F.round("value", 2).cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("partkey"))
+        .limit(100)
+    )
