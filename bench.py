@@ -26,6 +26,7 @@ HEADLINE = [
     # LLM-data-pipeline operators
     "cosine_topk_bruteforce",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "minhash_lsh_near_dups",
     "ngram_jaccard_pairs",
     "simhash_collision_groups",
