@@ -1,0 +1,274 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(BASELINE.json north star; complements operators/dedup.py and
+functions/text.py).
+
+These are the "assemble the training mix" operations that sit between raw
+ingest and tokenization at 100 TB:
+
+- **Deterministic sampling** — keep a row iff a hex prefix of
+  ``md5(salt:key)`` falls under a threshold. Pure map-side filter: no
+  shuffle, no RNG state, reproducible across runs/engines/partitionings
+  (``rand()`` is none of those), and monotone in the fraction (a 20%
+  sample is a subset of the 40% sample with the same salt — lets you grow
+  a mix without resampling everything).
+- **Stratified sampling** — per-stratum fractions via a broadcast-joined
+  rates table (never a giant CASE: the rates side is data, not plan).
+- **Token-budget packing** — per-source cumulative token counts in
+  hash-determined order, cut at a budget: "give me ~N tokens from each
+  source" as one window over one shuffle.
+- **Vocabulary top-k** — corpus term frequency (explode -> count -> top-k);
+  partial aggregation collapses the token blowup map-side before the
+  shuffle.
+- **Decontamination** — flag training docs sharing any k-gram shingle with
+  a benchmark set. The benchmark side is small by construction, so its
+  distinct shingle set broadcasts; the train side is never self-joined.
+- **PII redaction** — built-in ``regexp_replace`` chain (emails, phone-ish
+  digit runs, IPv4); JVM-side, no UDFs.
+
+Every sampling decision is a pure function of (salt, key), so any engine —
+or the DuckDB oracle — reproduces the exact same subset bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import (
+    token_count,
+    tokens,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+#: Resolution of the sampling threshold: first 4 hex chars of the digest
+#: (16 bits — fraction granularity 1/65536).
+_HEX_CHARS = 4
+_BUCKETS = 16 ** _HEX_CHARS
+
+
+def sample_hash(key: Column | str, salt: str = "") -> Column:
+    """Portable per-row draw: ``md5('<salt>:' || key)``. Lowercase hex in
+    both Spark and DuckDB; lexicographic order on the hex string equals
+    numeric order, so thresholding needs no integer conversion."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+
+
+def hex_threshold(fraction: float) -> str | None:
+    """4-hex-char threshold such that P[hash_prefix < threshold] ==
+    round(fraction * 65536)/65536. ``None`` means keep everything."""
+    if fraction >= 1.0:
+        return None
+    buckets = max(int(round(fraction * _BUCKETS)), 0)
+    return format(buckets, f"0{_HEX_CHARS}x")
+
+
+def sample_predicate(fraction: float, key_col: str, salt: str = "") -> Column:
+    """The keep-row predicate for ``deterministic_sample`` (exposed so SQL
+    oracles and composed pipelines can reuse it)."""
+    thr = hex_threshold(fraction)
+    if thr is None:
+        return F.lit(True)
+    return F.substring(sample_hash(key_col, salt), 1, _HEX_CHARS) < thr
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row from md5(salt:key).
+
+    Map-side only: the filter pushes into the scan stage, costs one digest
+    per row, and never shuffles. Same (salt, key) -> same decision on any
+    cluster size, so reruns and engine ports see the identical subset.
+    """
+    return df.filter(sample_predicate(fraction, key_col, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling ("30% of src0, 10% of src1, ...").
+
+    The (stratum -> threshold) table rides a broadcast join — rates are
+    data, not plan, so 10k strata cost the same plan as 10. Strata absent
+    from ``fractions`` are dropped (fraction 0). This is the deterministic
+    twin of ``df.sampleBy`` (which is RNG-seeded per partition and NOT
+    stable under repartitioning).
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(s, hex_threshold(f) or "zzzz") for s, f in fractions.items()],
+        [strata_col, "__thr"],
+    )
+    draw = F.substring(sample_hash(key_col, salt), 1, _HEX_CHARS)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(draw < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing (data mixing)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_pack(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str,
+    id_col: str,
+    strata_col: str | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Select documents until each stratum holds ~``budget_tokens`` tokens.
+
+    Docs are taken in hash-of-id order (a deterministic shuffle of the
+    corpus — no recency/size bias) and kept while the running token total
+    stays <= budget. Adds ``n_tokens`` and ``running_tokens`` columns.
+
+    One shuffle (the window partition on the stratum). Budget skew is
+    bounded: each stratum's window state is a single running sum, and a
+    stratum's rows sort within its partition only — no global sort. At the
+    100 TB scale the stratum count (data sources) is small; per-stratum
+    row counts are bounded by budget/min_doc_tokens regardless of corpus
+    size, because the window can early-stop at the cut in one pass over
+    the sorted partition.
+    """
+    part = [strata_col] if strata_col else [F.lit(1)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(sample_hash(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_running = df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "running_tokens", F.sum("n_tokens").over(w)
+    )
+    return with_running.filter(F.col("running_tokens") <= budget_tokens)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary profiling
+# ---------------------------------------------------------------------------
+
+
+def top_k_tokens(
+    df: DataFrame, k: int, text_col: str = "text"
+) -> DataFrame:
+    """Corpus term frequency, top-k: (token, n) with a total order
+    (count desc, token asc) so the LIMIT is deterministic.
+
+    explode -> groupBy(token).count() gets map-side partial aggregation
+    for free (the shuffle carries one row per distinct token per
+    partition, not one per occurrence); the top-k itself is
+    TakeOrderedAndProject — no global sort materialization."""
+    text = F.col(text_col)
+    toks = df.select(F.explode(tokens(F.lower(text))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Training docs sharing at least one word-``k``-gram shingle with any
+    benchmark doc: (id, n_shared_shingles).
+
+    The benchmark's distinct shingle set is broadcast (eval sets are small
+    by construction), so the train side is a single scan + broadcast hash
+    join + partial-agg count: no shuffle of the corpus, no self-join. For
+    benchmark sets too big to broadcast, swap the broadcast for the
+    Bloom-filter semi-join in operators/sketch.py and exact-verify the
+    survivors."""
+    bench_shingles = (
+        benchmark.select(
+            F.explode(word_shingles(text_col, shingle_k)).alias("__s")
+        ).distinct()
+    )
+    train_shingles = train.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("__s")
+    ).distinct()
+    return (
+        train_shingles.join(F.broadcast(bench_shingles), "__s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Drop contaminated training docs (left-anti against the report)."""
+    contaminated = contamination_report(
+        train, benchmark, text_col, id_col, shingle_k
+    ).select(id_col)
+    return train.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) chain, applied in order. All built-in
+#: regexp_replace — stays inside whole-stage codegen.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().\-\s]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with typed
+    placeholder tags. Order matters: emails first (they contain dots and
+    digits), IPs before generic digit runs."""
+    out = F.col(text) if isinstance(text, str) else text
+    for pattern, replacement in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def pii_hit_counts(text: Column | str) -> Column:
+    """Struct of per-category match counts (email/ip/phone) — the audit
+    aggregate run before deciding to redact."""
+    text = F.col(text) if isinstance(text, str) else text
+    counts = []
+    names = ["emails", "ips", "phones"]
+    scrubbed = text
+    for (pattern, _), name in zip(PII_PATTERNS, names):
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pattern), F.lit(0)))
+            .cast("bigint")
+            .alias(name)
+        )
+        # remove already-counted spans so phone-run counting never re-reads
+        # the digits inside an email/IP
+        scrubbed = F.regexp_replace(scrubbed, pattern, " ")
+    return F.struct(*counts)

@@ -1,0 +1,171 @@
+"""Corpus-curation queries over ``documents`` (operators/curation.py) with
+exact DuckDB-oracle replicas.
+
+Every sampling decision is md5-threshold based (see operators/curation.py),
+so the oracle reproduces the exact subset — these are value-hash-checked,
+not just statistically plausible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import token_count
+from autonomous_orchestrator_ai_spark.operators.curation import (
+    contamination_report,
+    deterministic_sample,
+    hex_threshold,
+    stratified_sample,
+    token_budget_pack,
+    top_k_tokens,
+)
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
+from autonomous_orchestrator_ai_spark.plans.dedup_queries import SHINGLES_SQL
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+from autonomous_orchestrator_ai_spark.plans.text_queries import _TOKEN_COUNT
+
+# DuckDB mirror of operators.curation.sample_hash / sample_predicate
+_DRAW_SQL = "substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+
+_SAMPLE_FRACTION = 0.3
+_SAMPLE_THR = hex_threshold(_SAMPLE_FRACTION)
+
+
+@register(
+    "sampled_corpus_profile",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_TOKEN_COUNT}) AS BIGINT) AS total_tokens
+    FROM documents
+    WHERE {_DRAW_SQL.format(salt="s1")} < '{_SAMPLE_THR}'
+    GROUP BY source
+    """,
+)
+def sampled_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% corpus sample, profiled by source
+    (operators.curation.deterministic_sample). The sampling predicate is a
+    map-side md5 threshold — it pushes to the scan stage and shuffles
+    nothing; the same (salt, key) pairs select the identical subset on any
+    engine, which is exactly what the oracle verifies."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    sampled = deterministic_sample(docs, _SAMPLE_FRACTION, "doc_id", salt="s1")
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+
+
+# 20 sources src0..src19; fraction cycles 0.1/0.2/0.3/0.4/0.5 — an explicit
+# per-stratum mix spec, as a data table on both sides.
+_STRATA_FRACTIONS = {f"src{i}": ((i % 5) + 1) / 10 for i in range(20)}
+_STRATA_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN '{hex_threshold(f)}'" for s, f in _STRATA_FRACTIONS.items()
+    )
+    + " END"
+)
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE {_DRAW_SQL.format(salt="s2")} < {_STRATA_CASE}
+    GROUP BY source
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling (operators.curation.stratified_sample):
+    rates 10%-50% cycling across the 20 sources, thresholds broadcast-joined
+    as data. The deterministic twin of ``sampleBy`` — stable under
+    repartitioning, reproducible cross-engine."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    sampled = stratified_sample(
+        docs, _STRATA_FRACTIONS, strata_col="source", key_col="doc_id", salt="s2"
+    )
+    return sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+_BUDGET = 3000
+
+
+@register(
+    "token_budget_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, CAST({_TOKEN_COUNT} AS BIGINT) AS n_tokens,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    ranked AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM toks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM ranked WHERE running <= {_BUDGET}
+    GROUP BY source
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing (operators.curation.token_budget_pack): take docs per
+    source in hash-of-id order until each source contributes ~3000 tokens.
+    One shuffle (window partition on source); the cut is a running sum, so
+    per-source state is O(1)."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    packed = token_budget_pack(
+        docs, _BUDGET, text_col="text", id_col="doc_id", strata_col="source"
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+@register(
+    "top_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> '')
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token LIMIT 25
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-25 (operators.curation.top_k_tokens) — the
+    wordcount-at-scale shape: map-side partial agg collapses the exploded
+    tokens, TakeOrderedAndProject avoids a global sort."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    return top_k_tokens(docs, 25, "text")
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    bench AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % 17 = 0),
+    train AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM docs
+              WHERE doc_id % 17 <> 0)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM train t JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report (operators.curation.contamination_report):
+    training docs (94% of the corpus) sharing any 3-gram shingle with the
+    held-out 'benchmark' slice (doc_id % 17 == 0). The benchmark shingle
+    set is broadcast — the corpus is scanned once and never self-joined."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_report(train, bench, "text", "doc_id", shingle_k=3)

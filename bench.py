@@ -32,6 +32,9 @@ HEADLINE = [
     "simhash_collision_groups",
     "dedup_keep_first",
     "text_stats_per_doc",
+    "benchmark_contamination",
+    "token_budget_mix",
+    "top_tokens",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",

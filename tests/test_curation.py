@@ -1,0 +1,201 @@
+"""Unit tests for corpus-curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.curation import (
+    contamination_report,
+    decontaminate,
+    deterministic_sample,
+    hex_threshold,
+    pii_hit_counts,
+    redact_pii,
+    sample_predicate,
+    stratified_sample,
+    token_budget_pack,
+    top_k_tokens,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "key")
+
+
+class TestDeterministicSample:
+    def test_rate_close_to_fraction(self, keyed):
+        n = deterministic_sample(keyed, 0.25, "key").count()
+        assert 0.20 * 2000 <= n <= 0.30 * 2000
+
+    def test_deterministic_across_calls(self, keyed):
+        a = {r.key for r in deterministic_sample(keyed, 0.3, "key").collect()}
+        b = {r.key for r in deterministic_sample(keyed, 0.3, "key").collect()}
+        assert a == b
+
+    def test_monotone_in_fraction(self, keyed):
+        """Same salt: the 20% sample is a subset of the 40% sample — lets a
+        mix grow without resampling."""
+        small = {r.key for r in deterministic_sample(keyed, 0.2, "key", "s").collect()}
+        large = {r.key for r in deterministic_sample(keyed, 0.4, "key", "s").collect()}
+        assert small <= large
+
+    def test_salt_changes_subset(self, keyed):
+        a = {r.key for r in deterministic_sample(keyed, 0.3, "key", "s1").collect()}
+        b = {r.key for r in deterministic_sample(keyed, 0.3, "key", "s2").collect()}
+        assert a != b
+
+    def test_boundary_fractions(self, keyed):
+        assert deterministic_sample(keyed, 1.0, "key").count() == 2000
+        assert deterministic_sample(keyed, 0.0, "key").count() == 0
+
+    def test_hex_threshold_values(self):
+        assert hex_threshold(1.0) is None
+        assert hex_threshold(0.0) == "0000"
+        assert hex_threshold(0.5) == "8000"
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates(self, spark):
+        df = spark.range(0, 3000).select(
+            F.col("id").alias("key"),
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+        )
+        out = stratified_sample(
+            df, {"s0": 0.1, "s1": 0.5}, strata_col="src", key_col="key"
+        )
+        counts = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        assert "s2" not in counts  # unlisted stratum dropped
+        assert 50 <= counts["s0"] <= 150  # ~100 of 1000
+        assert 400 <= counts["s1"] <= 600  # ~500 of 1000
+
+    def test_matches_global_predicate(self, spark):
+        """A stratified sample at uniform rates == the global sample."""
+        df = spark.range(0, 500).select(
+            F.col("id").alias("key"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("src"),
+        )
+        strat = {
+            r.key
+            for r in stratified_sample(
+                df, {"s0": 0.3, "s1": 0.3}, "src", "key", salt="x"
+            ).collect()
+        }
+        plain = {
+            r.key for r in df.filter(sample_predicate(0.3, "key", "x")).collect()
+        }
+        assert strat == plain
+
+
+class TestTokenBudgetPack:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            Row(doc_id=i, src=f"s{i % 2}", text=" ".join(["w"] * (10 + i)))
+            for i in range(40)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_budget_respected(self, docs):
+        packed = token_budget_pack(docs, 60, "text", "doc_id", strata_col="src")
+        per_src = packed.groupBy("src").agg(F.sum("n_tokens").alias("t")).collect()
+        assert per_src and all(r.t <= 60 for r in per_src)
+
+    def test_maximal_under_order(self, docs):
+        """The doc after the cut (in hash order) would overflow the budget."""
+        packed = token_budget_pack(docs, 60, "text", "doc_id", strata_col="src")
+        kept = packed.groupBy("src").agg(
+            F.sum("n_tokens").alias("t"), F.count("*").alias("n")
+        ).collect()
+        # every source keeps at least one doc (smallest doc is 10 tokens)
+        assert all(r.n >= 1 for r in kept)
+        # rerunning with a larger budget keeps strictly more tokens
+        bigger = token_budget_pack(docs, 200, "text", "doc_id", strata_col="src")
+        bigger_t = dict(
+            (r.src, r.t)
+            for r in bigger.groupBy("src").agg(F.sum("n_tokens").alias("t")).collect()
+        )
+        for r in kept:
+            assert bigger_t[r.src] > r.t
+
+    def test_global_pack_without_strata(self, docs):
+        packed = token_budget_pack(docs, 100, "text", "doc_id")
+        total = packed.agg(F.sum("n_tokens").alias("t")).collect()[0].t
+        assert total is not None and total <= 100
+
+
+class TestTopKTokens:
+    def test_counts_and_order(self, spark):
+        df = spark.createDataFrame(
+            [Row(text="a b a"), Row(text="b a"), Row(text="c"), Row(text="  ")]
+        )
+        out = top_k_tokens(df, 2, "text").collect()
+        assert [(r.token, r.n) for r in out] == [("a", 3), ("b", 2)]
+
+    def test_lowercases(self, spark):
+        df = spark.createDataFrame([Row(text="Foo foo FOO")])
+        out = top_k_tokens(df, 1, "text").collect()
+        assert [(r.token, r.n) for r in out] == [("foo", 3)]
+
+
+class TestContamination:
+    @pytest.fixture(scope="class")
+    def corpora(self, spark):
+        train = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the quick brown fox jumps"),  # shares shingle
+                Row(doc_id=2, text="entirely different words here now"),
+                Row(doc_id=3, text="quick brown fox trailing tail"),  # shares
+            ]
+        )
+        bench = spark.createDataFrame(
+            [Row(doc_id=100, text="lazy dog quick brown fox")]
+        )
+        return train, bench
+
+    def test_report_flags_overlaps(self, corpora):
+        train, bench = corpora
+        report = contamination_report(train, bench, "text", "doc_id", shingle_k=3)
+        got = {r.doc_id: r.n_shared_shingles for r in report.collect()}
+        assert set(got) == {1, 3}
+        assert all(n >= 1 for n in got.values())
+
+    def test_decontaminate_drops_flagged(self, corpora):
+        train, bench = corpora
+        clean = decontaminate(train, bench, "text", "doc_id", shingle_k=3)
+        assert {r.doc_id for r in clean.collect()} == {2}
+
+
+class TestPIIRedaction:
+    def test_redacts_all_categories(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(
+                    text=(
+                        "mail bob.smith+x@example.co.uk or call +1 (415) 555-0199; "
+                        "host 10.0.12.7 stays up"
+                    )
+                )
+            ]
+        )
+        out = df.select(redact_pii("text").alias("t")).collect()[0].t
+        assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out
+        assert "example.co.uk" not in out
+        assert "555" not in out
+        assert "10.0.12.7" not in out
+
+    def test_clean_text_unchanged(self, spark):
+        df = spark.createDataFrame([Row(text="no sensitive content here")])
+        out = df.select(redact_pii("text").alias("t")).collect()[0].t
+        assert out == "no sensitive content here"
+
+    def test_hit_counts(self, spark):
+        df = spark.createDataFrame(
+            [Row(text="a@b.com c@d.org at 10.0.0.1 call 415-555-0199")]
+        )
+        row = df.select(pii_hit_counts("text").alias("c")).collect()[0].c
+        assert row.emails == 2
+        assert row.ips == 1
+        assert row.phones == 1
