@@ -93,6 +93,17 @@ def quality_score(text: Column | str) -> Column:
     return 0.4 * length_term + 0.3 * sw_term + 0.3 * punct_term
 
 
+def distinct_token_ratio(text: Column | str) -> Column:
+    """distinct tokens / tokens (1.0 for empty) — the within-document
+    repetition signal: heavily templated/looping text scores low.
+    Per-row expression, no shuffle."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(toks)) / n
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language identification (stopword-profile heuristic)
 # ---------------------------------------------------------------------------

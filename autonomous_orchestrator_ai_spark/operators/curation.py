@@ -183,6 +183,60 @@ def top_k_tokens(
 
 
 # ---------------------------------------------------------------------------
+# Repetition quality filters (Gopher/C4-style rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals for quality filtering:
+
+    - ``distinct_token_ratio`` — distinct/total tokens (per-row expression);
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over total bigrams (the "repeated n-gram" rule from large-corpus
+      quality pipelines).
+
+    The bigram mode is computed explode -> groupBy(doc, gram) -> groupBy(doc)
+    — linear in corpus size with map-side partial aggregation, instead of
+    the per-row O(len^2) higher-order-function count-each-element shape,
+    which degrades quadratically on long documents. Two shuffles, both keyed
+    by doc id (the second reuses the first's partitioning under AQE).
+    Documents with fewer than two tokens get top_bigram_frac 0.0.
+    """
+    from autonomous_orchestrator_ai_spark.functions.text import (
+        distinct_token_ratio,
+        normalized_text,
+    )
+
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(1))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    grams = df.select(F.col(id_col), F.explode(bigrams).alias("__g"))
+    gram_counts = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = gram_counts.groupBy(id_col).agg(
+        F.max("__c").alias("__top"), F.sum("__c").alias("__total")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.round(distinct_token_ratio(text_col), 6).alias("distinct_token_ratio"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "distinct_token_ratio",
+        F.round(
+            F.coalesce(F.col("__top") / F.col("__total"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 

@@ -3,13 +3,17 @@ quantizer scale path alongside LSH (operators/similarity.py).
 
 Two pieces:
 
-1. ``kmeans`` — Lloyd's iterations: the assignment step is an Arrow-batched
-   pandas UDF computing ``argmax(2·X·Cᵀ − ‖c‖²)`` as ONE BLAS matmul per
-   batch (centroids ride along in the serialized closure — k·dim floats).
-   The centroid update is a posexplode + per-dimension mean: the groupBy
-   does map-side partial aggregation, so the dim× row blowup never crosses
-   the shuffle — only k·dim partials per partition do. Centroids live on
-   the driver between iterations; the data never leaves executors.
+1. ``kmeans`` — Lloyd's iterations: each iteration is ONE ``mapInPandas``
+   job that fuses assignment and update. Per Arrow batch it computes
+   ``argmax(2·X·Cᵀ − ‖c‖²)`` as one BLAS matmul (centroids ride along in
+   the serialized closure — k·dim floats), accumulates per-cluster
+   (count, sum-vector) partials across the partition, and emits k tiny
+   rows. The driver sums the ≤ partitions·k partials — tree-aggregate
+   shape, zero shuffles per iteration, and the scan is persisted across
+   iterations so the parquet read + Arrow conversion happen once. (Past
+   ~10k partitions × large k the driver-side reduce should get one
+   groupBy(cluster) stage in front of it; at that point the partials are
+   still ~10^-6 of the data size.)
 2. ``ivf_topk`` — corpus rows are bucketed by nearest centroid (the
    inverted lists); a query probes its ``n_probe`` nearest centroids and
    re-ranks only those lists with exact cosine. At 100 TB the inverted
@@ -79,6 +83,34 @@ def _probe_udf(centroids: np.ndarray, n_probe: int):
     return probes
 
 
+def _partials_fn(centroids: np.ndarray):
+    """mapInPandas body: per-partition fused assign + partial-sum. Emits
+    one (cluster, count, sum-vector) row per non-empty cluster."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+    k, dim = c.shape
+
+    def fn(batches):
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for pdf in batches:
+            x = _stack(pdf["__v"])
+            assign = (2.0 * (x @ c.T) - c_norm2).argmax(axis=1)
+            counts += np.bincount(assign, minlength=k)
+            np.add.at(sums, assign, x)
+        hit = np.flatnonzero(counts)
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    "c": hit.astype(np.int32),
+                    "n": counts[hit],
+                    "s": [sums[i].tolist() for i in hit],
+                }
+            )
+
+    return fn
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -89,44 +121,45 @@ def kmeans(
     """Lloyd's k-means; returns (k, dim) centroid matrix. Seeds = k rows
     evenly spaced in id order (deterministic, and spread across the data —
     taking the k smallest ids would often seed inside one cluster)."""
-    data = ensure_min_parallelism(df).select(
-        F.col(id_col), _as_double_array(vec_col).alias("__v")
+    data = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), _as_double_array(vec_col).alias("__v"))
+        .persist()
     )
-    n = data.count()
-    w = Window.orderBy(id_col)
-    stride = max(1, n // k)
-    seeds = (
-        data.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") - 1) % stride == 0)
-        .orderBy("__rn")
-        .limit(k)
-        .collect()
-    )
-    centroids = np.array([row["__v"] for row in seeds], dtype=np.float64)
-    if len(centroids) < k:  # tiny inputs: pad with repeats
-        centroids = np.vstack([centroids] * ((k // len(centroids)) + 1))[:k]
-
-    for _ in range(iterations):
-        assigned = data.withColumn(
-            "__c", _nearest_centroid_udf(centroids)(F.col("__v"))
-        )
-        flat = assigned.select("__c", F.posexplode("__v").alias("__i", "__x"))
-        means = (
-            flat.groupBy("__c", "__i")
-            .agg(F.avg("__x").alias("m"))
+    try:
+        n = data.count()
+        w = Window.orderBy(id_col)
+        stride = max(1, n // k)
+        seeds = (
+            data.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") - 1) % stride == 0)
+            .orderBy("__rn")
+            .limit(k)
             .collect()
         )
-        new_centroids = centroids.copy()
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cluster.setdefault(r["__c"], {})[r["__i"]] = r["m"]
-        for cid, dims in by_cluster.items():
-            for i, m in dims.items():
-                new_centroids[cid][i] = m
-        if np.allclose(new_centroids, centroids, atol=1e-9):
-            break
-        centroids = new_centroids
-    return centroids
+        centroids = np.array([row["__v"] for row in seeds], dtype=np.float64)
+        if len(centroids) < k:  # tiny inputs: pad with repeats
+            centroids = np.vstack([centroids] * ((k // len(centroids)) + 1))[:k]
+        dim = centroids.shape[1]
+
+        for _ in range(iterations):
+            partials = data.select("__v").mapInPandas(
+                _partials_fn(centroids), schema="c int, n long, s array<double>"
+            ).collect()
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            for r in partials:
+                counts[r["c"]] += r["n"]
+                sums[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+            new_centroids = centroids.copy()
+            hit = counts > 0
+            new_centroids[hit] = sums[hit] / counts[hit, None]
+            if np.allclose(new_centroids, centroids, atol=1e-9):
+                break
+            centroids = new_centroids
+        return centroids
+    finally:
+        data.unpersist()
 
 
 def ivf_topk(

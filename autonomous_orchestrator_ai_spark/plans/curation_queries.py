@@ -16,6 +16,7 @@ from autonomous_orchestrator_ai_spark.operators.curation import (
     contamination_report,
     deterministic_sample,
     hex_threshold,
+    repetition_stats,
     stratified_sample,
     token_budget_pack,
     top_k_tokens,
@@ -146,6 +147,39 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, TakeOrderedAndProject avoids a global sort."""
     docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
     return top_k_tokens(docs, 25, "text")
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t,
+             string_split_regex(lower(trim(text)), '\\s+') AS lt,
+             trim(text) = '' AS empty
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+    pd AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS total FROM gc GROUP BY doc_id)
+    SELECT k.doc_id,
+           ROUND(CASE WHEN k.empty THEN 1.0
+                      ELSE len(list_distinct(k.lt)) * 1.0 / len(k.lt) END, 6)
+             AS distinct_token_ratio,
+           ROUND(COALESCE(pd.top * 1.0 / pd.total, 0.0), 6) AS top_bigram_frac
+    FROM toks k LEFT JOIN pd ON k.doc_id = pd.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document
+    (operators.curation.repetition_stats): distinct-token ratio (per-row
+    expression) and top-bigram fraction (explode -> two keyed aggregations,
+    linear in corpus size — NOT the per-row O(len^2) HOF shape, which
+    degrades on long documents)."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    return repetition_stats(docs, "text", "doc_id")
 
 
 @register(

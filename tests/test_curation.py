@@ -199,3 +199,39 @@ class TestPIIRedaction:
         assert row.emails == 2
         assert row.ips == 1
         assert row.phones == 1
+
+
+class TestRepetitionStats:
+    def test_known_values(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            repetition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # 4 tokens, 2 distinct; bigrams: "a b","b a","a b" -> top 2/3
+                Row(doc_id=1, text="a b a b"),
+                # all distinct; bigrams all unique -> top 1/3
+                Row(doc_id=2, text="w x y z"),
+                Row(doc_id=3, text="solo"),  # no bigrams
+            ]
+        )
+        got = {
+            r.doc_id: (r.distinct_token_ratio, r.top_bigram_frac)
+            for r in repetition_stats(df, "text", "doc_id").collect()
+        }
+        assert got[1] == (0.5, round(2 / 3, 6))
+        assert got[2] == (1.0, round(1 / 3, 6))
+        assert got[3] == (1.0, 0.0)
+
+    def test_distinct_token_ratio_empty(self, spark):
+        from autonomous_orchestrator_ai_spark.functions.text import (
+            distinct_token_ratio,
+        )
+
+        df = spark.createDataFrame([Row(text=""), Row(text="A a")])
+        vals = [
+            r.v for r in df.select(distinct_token_ratio("text").alias("v")).collect()
+        ]
+        assert vals[0] == 1.0
+        assert vals[1] == 0.5  # case-insensitive

@@ -129,3 +129,42 @@ def test_q15_threshold_is_broadcast_not_cartesian(spark):
     # scale bug
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin Cross" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_deterministic_sample_is_map_side(spark):
+    """The md5-threshold sampling predicate must stay a scan-stage filter:
+    no exchange before the per-source aggregation, no join, no window."""
+    nodes = plan_nodes(formatted_plan(spark, "sampled_corpus_profile"))
+    assert not any("Join" in n for n in nodes)
+    assert "Window" not in nodes
+    # partial + final agg around the single groupBy(source) exchange; the
+    # ensure_min_parallelism repartition adds one more exchange at most
+    assert nodes.count("Exchange") <= 2
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The per-stratum threshold table rides a broadcast join — never a
+    shuffle of the corpus keyed on the stratum."""
+    plan = formatted_plan(spark, "stratified_sample_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_tokens_partial_agg_and_take_ordered(spark):
+    plan = formatted_plan(spark, "top_tokens")
+    nodes = plan_nodes(plan)
+    # exploded tokens collapse map-side before the shuffle (partial+final)
+    assert nodes.count("HashAggregate") == 2
+    # the LIMIT never materializes a global sort
+    assert "TakeOrderedAndProject" in nodes
+    assert "Sort" not in nodes
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark):
+    """The corpus side must never self-join or shuffle on shingles: the
+    benchmark shingle set is the broadcast side of the probe join."""
+    plan = formatted_plan(spark, "benchmark_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    nodes = plan_nodes(formatted_plan(spark, "benchmark_contamination"))
+    assert "CartesianProduct" not in nodes
