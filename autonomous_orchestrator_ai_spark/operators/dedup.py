@@ -281,6 +281,61 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash fingerprint sketches)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    containment: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-sketch containment:
+    (id_a, id_b, shared, containment) where containment =
+    |sketch_a ∩ sketch_b| / min(|sketch_a|, |sketch_b|).
+
+    Sketches (functions.text.winnowing_sketch) are per-row expressions —
+    the only shuffle is the inverted-index self-join on sketch hashes,
+    which touches ~1/w of the gram count. Unlike bag-of-shingles Jaccard
+    this is substring-sensitive: any shared run of >= k+w-1 chars leaves
+    a common sketch hash, so it catches copy-paste spans inside otherwise
+    different documents; the min-size denominator makes it a containment
+    measure (a short doc fully embedded in a long one scores 1.0)."""
+    from autonomous_orchestrator_ai_spark.functions.text import winnowing_sketch
+
+    df = ensure_min_parallelism(df)
+    sk = df.select(F.col(id_col), winnowing_sketch(text_col, k, w).alias("__sk"))
+    exploded = sk.select(
+        F.col(id_col),
+        F.size("__sk").alias("__sz"),
+        F.explode("__sk").alias("__h"),
+    ).persist()
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__h"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__h"
+    )
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.min(F.least("__sza", "__szb")).alias("__msz"),
+        )
+        .withColumn(
+            "containment", F.round(F.col("shared") / F.col("__msz"), 6)
+        )
+        .filter(F.col("containment") >= containment)
+        .select("id_a", "id_b", "shared", "containment")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -184,3 +184,86 @@ def simhash_collision_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.array_join(F.col("doc_ids"), ",").alias("doc_ids"),
     )
+
+
+# --- winnowing (rolling-hash) fingerprints --------------------------------
+
+_WK, _WW = 8, 4  # k-gram chars, winnow window
+
+#: norm text must live in a CTE: inlining it into the per-gram lambda makes
+#: the oracle recompute the regex normalization once PER GRAM (O(n^2) —
+#: observed 90s vs 1.4s at sf0.01).
+_NORM_CTE = "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nm FROM documents"
+
+_GRAM_HASHES = (
+    f"list_transform(range(1, greatest(len(nm) - {_WK} + 2, 2)), "
+    f"i -> CAST(('0x' || substr(md5(nm[i:i+{_WK - 1}]), 1, 8)) AS BIGINT))"
+)
+_SKETCH = (
+    f"list_distinct(list_transform(range(1, greatest(len(h) - {_WW} + 2, 2)), "
+    f"j -> list_min(h[j:j+{_WW - 1}])))"
+)
+
+
+@register(
+    "doc_winnowing_sketches",
+    oracle=f"""
+    WITH d AS ({_NORM_CTE}),
+    g AS (SELECT doc_id, {_GRAM_HASHES} AS h FROM d WHERE doc_id < 100),
+    s AS (SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams, {_SKETCH} AS sk FROM g)
+    SELECT doc_id, n_grams,
+           CAST(len(sk) AS BIGINT) AS sketch_size,
+           array_to_string(list_sort(sk), ',') AS sketch
+    FROM s
+    """,
+)
+def doc_winnowing_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (functions.text.winnowing_sketch,
+    k=8 chars, window 4) for the first 100 docs — the positional/substring
+    fingerprint family next to the bag-of-words md5 `doc_fingerprints`.
+    Whole sketch is one per-row expression; no shuffle."""
+    from autonomous_orchestrator_ai_spark.functions.text import (
+        char_gram_hashes,
+        winnowing_sketch,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.size(char_gram_hashes("text", _WK)).cast("bigint").alias("n_grams"),
+        F.size(winnowing_sketch("text", _WK, _WW)).cast("bigint").alias("sketch_size"),
+        F.array_join(
+            F.sort_array(winnowing_sketch("text", _WK, _WW)), ","
+        ).alias("sketch"),
+    )
+
+
+@register(
+    "winnowing_near_dup_pairs",
+    oracle=f"""
+    WITH d AS ({_NORM_CTE}),
+    g AS (SELECT doc_id, {_GRAM_HASHES} AS h FROM d),
+    s AS (SELECT doc_id, {_SKETCH} AS sk FROM g),
+    e AS (SELECT doc_id, len(sk) AS sz, unnest(sk) AS hh FROM s),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared,
+                 MIN(least(a.sz, b.sz)) AS msz
+          FROM e a JOIN e b ON a.hh = b.hh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, shared, ROUND(shared * 1.0 / msz, 6) AS containment
+    FROM p WHERE shared * 1.0 / msz >= 0.6
+    """,
+)
+def winnowing_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-sensitive near-dup pairs via winnowing-sketch containment
+    >= 0.6 (operators.dedup.winnowing_near_duplicates). The inverted-index
+    join runs on ~1/w of the gram count; the min-sketch-size denominator
+    makes embedded copies score 1.0."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return winnowing_near_duplicates(
+        docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6
+    )

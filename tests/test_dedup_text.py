@@ -123,3 +123,62 @@ def test_lang_id(spark):
     assert got[3] == "es"
     assert got[4] == "zh"
     assert got[5] == "und"
+
+
+# -- winnowing (rolling-hash fingerprints) ----------------------------------
+
+
+def test_char_gram_hashes_counts(spark):
+    from pyspark.sql import functions as F
+
+    from autonomous_orchestrator_ai_spark.functions.text import char_gram_hashes
+
+    df = spark.createDataFrame([("abcdefghij",), ("abc",)], ["text"])
+    got = [r[0] for r in df.select(F.size(char_gram_hashes("text", 8))).collect()]
+    assert got[0] == 3               # 10 - 8 + 1
+    assert got[1] == 1               # shorter than k -> single whole-doc gram
+
+
+def test_winnowing_sketch_subset_and_normalization(docs):
+    from pyspark.sql import functions as F
+
+    from autonomous_orchestrator_ai_spark.functions.text import (
+        char_gram_hashes,
+        winnowing_sketch,
+    )
+
+    rows = docs.select(
+        "doc_id",
+        char_gram_hashes("text").alias("g"),
+        winnowing_sketch("text").alias("sk"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert set(r["sk"]) <= set(r["g"])      # sketch is a subset of grams
+        assert 0 < len(r["sk"]) <= len(r["g"])
+    # normalization-invariant: doc 3 == doc 0 after case/whitespace collapse
+    assert sorted(by_id[0]["sk"]) == sorted(by_id[3]["sk"])
+    assert sorted(by_id[0]["sk"]) != sorted(by_id[2]["sk"])
+
+
+def test_winnowing_catches_copied_span(spark):
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates,
+    )
+
+    copied = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, copied + " and then some entirely original trailing words"),
+        (1, "unrelated preamble text here " + copied),
+        (2, "totally disjoint vocabulary about catalyst optimizer internals"),
+        (3, copied),                 # fully contained in 0 and 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in winnowing_near_duplicates(df, containment=0.5).collect()
+    }
+    assert (0, 1) in pairs           # share a long span -> common sketch hashes
+    assert pairs[(0, 3)] == 1.0      # doc 3 fully embedded in doc 0
+    assert pairs[(1, 3)] == 1.0
+    assert not any(2 in p for p in pairs)
