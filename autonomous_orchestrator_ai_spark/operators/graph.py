@@ -1,0 +1,128 @@
+"""Distributed graph operators: connected components over an edge list.
+
+The corpus-dedup pipeline ends with this step: near-dup PAIRS (from
+MinHash-LSH / n-gram Jaccard / winnowing) are edges of an undirected
+graph; each connected component is one duplicate CLUSTER, and dedup keeps
+one representative per cluster. The reference repo has no graph surface
+at all — this is part of the beyond-reference training-data toolkit
+(SURVEY.md §2 "beyond" scope), expressed entirely in DataFrame ops.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round every node takes the min label among itself
+and its neighbors; fixpoint = every node labeled with the smallest node
+id reachable from it (the canonical component id). Rounds needed = graph
+diameter, which for near-dup clusters is tiny (dup clusters are dense —
+typically 2-4 hops). For adversarially long chains at 100 TB scale the
+classic fix is the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+which converges in O(log^2 n) rounds; the propagation loop below is the
+right trade for dedup graphs because its per-round cost is one shuffle
+join + one shuffle agg on the EDGE list only (never materializing
+anything superlinear), and real dup-cluster diameters don't grow with
+corpus size.
+
+Scale notes (100 TB story):
+- State per round is (node, label) — two bigints — plus the symmetrized
+  edge list; both shuffle-partitioned by key. Nothing is ever collected
+  to the driver except the single-row convergence check.
+- ``localCheckpoint`` after every round truncates the lineage; without it
+  the plan doubles per iteration and Catalyst analysis time explodes.
+- The convergence check is a ``limit(1).count()`` on the changed-rows
+  frame — it short-circuits: Spark stops scanning as soon as one changed
+  row is found, so converged rounds pay a near-free probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters", "dedup_survivors"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component
+    is the smallest node id in that node's connected component.
+
+    Node ids must be orderable (the component id is their min); any
+    numeric/string type works. Nodes with no edges don't appear — callers
+    wanting singleton components coalesce missing nodes to themselves
+    (see ``dedup_survivors``).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # symmetrize once; propagation then only needs one join direction
+    sym = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        # each node pulls its neighbors' current labels, keeps the min of
+        # (own label, neighbor labels) — one shuffle join + one shuffle agg
+        neighbor_labels = sym.join(
+            labels, sym["d"] == labels["node"]
+        ).select(sym["s"].alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (component, n_docs,
+    doc_ids) — one row per connected component, members sorted. Every
+    cluster has >= 2 members by construction (each node has an edge)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("doc_ids"),
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Rows of ``df`` surviving cluster-level dedup: per connected
+    component of the near-dup graph, only the smallest id survives; rows
+    with no near-dup edge survive as their own singleton cluster.
+
+    The component labels frame is tiny relative to the corpus (only docs
+    that HAVE a near-dup), so the label join broadcasts in practice and
+    the corpus itself is never shuffled."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        df.join(cc, df[id_col] == cc["node"], "left")
+        .filter(
+            F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+        )
+        .drop("node", "component")
+    )

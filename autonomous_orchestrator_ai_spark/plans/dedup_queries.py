@@ -267,3 +267,80 @@ def winnowing_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_near_duplicates(
         docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6
     )
+
+
+# --- connected-components dedup clustering ---------------------------------
+
+#: n-gram Jaccard >= 0.2 pairs as the near-dup edge list, symmetrized, plus
+#: the min-label fixpoint (DuckDB recursive CTE computes min reachable node
+#: via transitive closure — fine at oracle scale; the Spark side iterates
+#: label propagation instead, see operators/graph.py).
+_CC_CTES = f"""
+    docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    exploded AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, COUNT(*) n_sh FROM exploded GROUP BY doc_id),
+    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) shared
+               FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    edges AS (SELECT s.id_a, s.id_b
+              FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
+                            JOIN sizes sb ON s.id_b = sb.doc_id
+              WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= 0.2),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(s, d) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component
+             FROM reach GROUP BY s)
+"""
+
+
+def _ngram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+
+
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(node)), ',') AS doc_ids
+    FROM comp GROUP BY component
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (operators.graph —
+    iterative min-label propagation) over the n-gram-Jaccard >= 0.2
+    near-dup graph. One row per cluster with sorted members."""
+    from autonomous_orchestrator_ai_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(_ngram_edges(spark, sf_dir))
+
+
+@register(
+    "near_dup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+    WHERE COALESCE(comp.component, d.doc_id) = d.doc_id
+    """,
+)
+def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after cluster-level near-dup removal: smallest doc_id per
+    connected component survives, edge-free docs survive as singletons
+    (operators.graph.dedup_survivors). Summary mirrors dedup_keep_first
+    so the two dedup severities are directly comparable."""
+    from autonomous_orchestrator_ai_spark.operators.graph import dedup_survivors
+
+    docs = table(spark, sf_dir, "documents")
+    survivors = dedup_survivors(docs, _ngram_edges(spark, sf_dir), "doc_id")
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -1,0 +1,51 @@
+"""Connected-components / dedup-clustering operator tests."""
+
+from __future__ import annotations
+
+from autonomous_orchestrator_ai_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    dedup_survivors,
+)
+
+
+def _cc_map(edges_df):
+    return {
+        r["node"]: r["component"] for r in connected_components(edges_df).collect()
+    }
+
+
+def test_cc_two_components_and_chain(spark):
+    # chain 1-2-3-4-5 (diameter 4 forces multiple propagation rounds)
+    # plus triangle 10-11-12, plus isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = _cc_map(edges)
+    assert {comp[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {comp[n] for n in (10, 11, 12)} == {10}
+    assert {comp[n] for n in (20, 21)} == {20}
+
+
+def test_cc_direction_and_duplicate_edges_irrelevant(spark):
+    a = spark.createDataFrame([(7, 3), (3, 7), (7, 3), (9, 7)], ["id_a", "id_b"])
+    comp = _cc_map(a)
+    assert comp == {3: 3, 7: 3, 9: 3}
+
+
+def test_dedup_clusters_members_sorted(spark):
+    edges = spark.createDataFrame([(5, 2), (2, 9), (40, 41)], ["id_a", "id_b"])
+    rows = {r["component"]: r for r in dedup_clusters(edges).collect()}
+    assert rows[2]["n_docs"] == 3 and rows[2]["doc_ids"] == "2,5,9"
+    assert rows[40]["n_docs"] == 2 and rows[40]["doc_ids"] == "40,41"
+
+
+def test_dedup_survivors_keeps_min_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    # cluster {1,4,5} -> keep 1; docs 0,2,3 edge-free singletons
+    assert kept == [0, 1, 2, 3]
