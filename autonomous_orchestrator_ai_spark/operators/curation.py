@@ -24,6 +24,14 @@ ingest and tokenization at 100 TB:
   distinct shingle set broadcasts; the train side is never self-joined.
 - **PII redaction** — built-in ``regexp_replace`` chain (emails, phone-ish
   digit runs, IPv4); JVM-side, no UDFs.
+- **Quantile quality filtering** — keep the best fraction per stratum:
+  exact rank-based cut (oracle-checkable) + approx-percentile threshold
+  (bounded-state scale path).
+- **Boilerplate discovery** — word-n-gram document frequency over the
+  corpus (the C4/RefinedWeb repeated-boilerplate profile).
+- **Incremental dedup** — new-batch content fingerprints anti-joined
+  against the accumulated index; the continuous-ingestion complement to
+  the whole-corpus dedup in operators/dedup.py.
 
 Every sampling decision is a pure function of (salt, key), so any engine —
 or the DuckDB oracle — reproduces the exact same subset bit-for-bit.
@@ -35,6 +43,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import (
+    fingerprint,
     token_count,
     tokens,
     word_shingles,
@@ -284,6 +293,145 @@ def decontaminate(
         train, benchmark, text_col, id_col, shingle_k
     ).select(id_col)
     return train.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-based quality filtering
+# ---------------------------------------------------------------------------
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    keep_frac: float,
+    score: Column | str,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best ~``keep_frac`` of rows by ``score`` within each stratum
+    ("top 25% quality docs per source" — the standard corpus quality gate).
+
+    Rank-based: ``percent_rank`` over (score desc, id asc). The boundary is
+    integer arithmetic ((rank-1)/(n-1) vs the fraction), so the kept set is
+    deterministic and engine-portable — unlike a float threshold, where a
+    row sitting exactly on an approximated cut flips between engines.
+
+    Cost: one shuffle + per-stratum sort (the window partition). Fine while
+    every stratum fits a sort spill; for huge strata or a global filter at
+    the 100 TB scale use ``quality_threshold_filter`` — bounded-state
+    sketch, no sort.
+    """
+    score = F.col(score) if isinstance(score, str) else score
+    part = [F.col(strata_col)] if strata_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(score.desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= keep_frac)
+        .drop("__pr")
+    )
+
+
+def quality_threshold_filter(
+    df: DataFrame,
+    keep_frac: float,
+    score_col: str,
+    strata_col: str,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale path of ``quality_quantile_filter``: per-stratum cut via
+    ``approx_percentile`` (KLL-style sketch — bounded memory per group, no
+    sort), broadcast the tiny (stratum, threshold) table back, keep rows at
+    or above their stratum's threshold.
+
+    Two scans of the corpus, zero sorts, and the only shuffle is the
+    partial-aggregated sketch merge — this is the shape that survives a
+    stratum with 10^10 rows. Approximate at the boundary (ties and sketch
+    error), so it's unit-tested, not oracle-hashed.
+    """
+    thresholds = df.groupBy(strata_col).agg(
+        F.approx_percentile(
+            F.col(score_col), F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate discovery (n-gram document frequency)
+# ---------------------------------------------------------------------------
+
+
+def ngram_doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(shingle, doc_freq) for word ``k``-grams appearing in at least
+    ``min_docs`` distinct documents — the C4/RefinedWeb "boilerplate
+    discovery" profile (cookie banners, nav bars, license footers show up
+    here first).
+
+    ``word_shingles`` is distinct per document, so the exploded (doc, gram)
+    pairs are already unique — no ``distinct()`` and therefore no extra
+    shuffle before the count; the single groupBy gets map-side partial
+    aggregation, so the shuffle carries one row per distinct gram per
+    partition, not one per occurrence."""
+    grams = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+    )
+    return (
+        grams.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs accumulated fingerprint index)
+# ---------------------------------------------------------------------------
+
+
+def dedup_batch_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Continuous-ingestion dedup: drop batch rows whose content fingerprint
+    is already in the accumulated ``index`` (one ``fp_col`` column), then
+    keep one row (smallest id) per fingerprint within the batch itself.
+    Returns survivors with the fingerprint column attached — feed them to
+    ``updated_fingerprint_index`` to advance the index.
+
+    The anti-join shuffles both sides on fp. At the 100 TB scale the index
+    dwarfs every batch, so (a) persist the index BUCKETED by fp
+    (``operators.skew.write_bucketed``) — its side of the join then reads
+    pre-partitioned with no exchange; (b) optionally pre-filter the batch
+    through a Bloom sketch of the index (``operators.sketch``) so only
+    probable hits reach the exact anti-join."""
+    fps = batch.withColumn(fp_col, fingerprint(text_col))
+    fresh = fps.join(index.select(fp_col), fp_col, "left_anti")
+    w = Window.partitionBy(fp_col).orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def updated_fingerprint_index(
+    index: DataFrame, survivors: DataFrame, fp_col: str = "fp"
+) -> DataFrame:
+    """The next index state: old index ∪ the accepted batch's fingerprints.
+    Survivors are already unique per fp, and the anti-join guarantees they
+    are disjoint from the index, so the union needs no ``distinct()``."""
+    return index.select(fp_col).unionByName(survivors.select(fp_col))
 
 
 # ---------------------------------------------------------------------------

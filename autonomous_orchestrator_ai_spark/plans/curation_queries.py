@@ -11,11 +11,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from autonomous_orchestrator_ai_spark.functions.text import token_count
+from autonomous_orchestrator_ai_spark.functions.text import (
+    fingerprint,
+    quality_score,
+    token_count,
+)
 from autonomous_orchestrator_ai_spark.operators.curation import (
     contamination_report,
+    dedup_batch_against_index,
     deterministic_sample,
     hex_threshold,
+    ngram_doc_frequency,
+    quality_quantile_filter,
     repetition_stats,
     stratified_sample,
     token_budget_pack,
@@ -26,7 +33,11 @@ from autonomous_orchestrator_ai_spark.operators.partitioning import (
 )
 from autonomous_orchestrator_ai_spark.plans.dedup_queries import SHINGLES_SQL
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
-from autonomous_orchestrator_ai_spark.plans.text_queries import _TOKEN_COUNT
+from autonomous_orchestrator_ai_spark.plans.text_queries import (
+    _NORM,
+    _QUALITY,
+    _TOKEN_COUNT,
+)
 
 # DuckDB mirror of operators.curation.sample_hash / sample_predicate
 _DRAW_SQL = "substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 4)"
@@ -203,3 +214,97 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return contamination_report(train, bench, "text", "doc_id", shingle_k=3)
+
+
+_KEEP_FRAC = 0.25
+
+
+@register(
+    "quality_filtered_by_source",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, doc_id, ROUND({_QUALITY}, 6) AS q FROM documents),
+    ranked AS (
+      SELECT source, q,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY q DESC, doc_id) AS pr
+      FROM scored)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(AVG(q), 6) AS avg_quality,
+           ROUND(MIN(q), 6) AS min_quality
+    FROM ranked WHERE pr <= {_KEEP_FRAC}
+    GROUP BY source
+    """,
+)
+def quality_filtered_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile quality gate
+    (operators.curation.quality_quantile_filter): keep the top 25% of docs
+    by quality score within each source. Ranking is on the 6dp-rounded
+    score (exact ties broken by doc_id) so the kept set is engine-exact;
+    the percent_rank boundary itself is integer arithmetic."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    scored = docs.withColumn("q", F.round(quality_score("text"), 6))
+    kept = quality_quantile_filter(scored, _KEEP_FRAC, "q", strata_col="source")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.min("q"), 6).alias("min_quality"),
+    )
+
+
+_BOILER_MIN_DOCS = 2
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    grams AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+    freq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+             FROM grams GROUP BY shingle)
+    SELECT shingle, doc_freq FROM freq
+    WHERE doc_freq >= {_BOILER_MIN_DOCS}
+    ORDER BY doc_freq DESC, shingle LIMIT 20
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate discovery (operators.curation.ngram_doc_frequency): the
+    20 word-3-grams shared by the most documents. Per-doc-distinct shingles
+    make the exploded pairs unique without a distinct(), so the profile is
+    one partial-aggregated count; the top-20 is TakeOrderedAndProject."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    freq = ngram_doc_frequency(
+        docs, "text", "doc_id", k=3, min_docs=_BOILER_MIN_DOCS
+    )
+    return freq.orderBy(F.desc("doc_freq"), F.asc("shingle")).limit(20)
+
+
+@register(
+    "incremental_dedup_counts",
+    oracle=f"""
+    WITH fps AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
+    idx AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+    fresh AS (SELECT b.* FROM batch b LEFT JOIN idx ON b.fp = idx.fp
+              WHERE idx.fp IS NULL),
+    kept AS (SELECT * FROM fresh
+             QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY source
+    """,
+)
+def incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup
+    (operators.curation.dedup_batch_against_index): even doc_ids play the
+    already-ingested corpus (its fingerprint index), odd doc_ids the
+    incoming batch. Batch rows whose content fingerprint is already indexed
+    are dropped (anti-join), in-batch dups keep the smallest id, and the
+    survivors are profiled by source."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    index = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = dedup_batch_against_index(batch, index, "text", "doc_id", "fp")
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -235,3 +235,103 @@ class TestRepetitionStats:
         ]
         assert vals[0] == 1.0
         assert vals[1] == 0.5  # case-insensitive
+
+
+class TestQualityQuantileFilter:
+    def test_keeps_top_fraction_per_stratum(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            quality_quantile_filter,
+        )
+
+        rows = [
+            Row(doc_id=i, source=s, q=float(i % 10))
+            for s in ("a", "b")
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows)
+        # percent_rank <= 0.25 over 10 rows keeps ranks 1..3 (pr 0, 1/9, 2/9)
+        kept = quality_quantile_filter(df, 0.25, "q", strata_col="source")
+        by_source = {
+            s: sorted(r.q for r in g)
+            for s, g in __import__("itertools").groupby(
+                sorted(kept.collect(), key=lambda r: r.source),
+                key=lambda r: r.source,
+            )
+        }
+        assert by_source == {"a": [7.0, 8.0, 9.0], "b": [7.0, 8.0, 9.0]}
+
+    def test_tie_break_is_deterministic(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            quality_quantile_filter,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, q=1.0) for i in range(8)]  # all tied
+        )
+        kept = sorted(
+            r.doc_id for r in quality_quantile_filter(df, 0.5, "q").collect()
+        )
+        # rank breaks ties by doc_id: pr = (rank-1)/7 <= 0.5 -> ranks 1..4
+        assert kept == [0, 1, 2, 3]
+
+    def test_threshold_filter_scale_path(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            quality_threshold_filter,
+        )
+
+        rows = [Row(doc_id=i, source="s", q=float(i)) for i in range(100)]
+        kept = quality_threshold_filter(
+            spark.createDataFrame(rows), 0.25, "q", "source"
+        )
+        ids = sorted(r.doc_id for r in kept.collect())
+        # exact percentile on tiny data: threshold ~= 74.25 -> keep >= 75
+        assert ids[0] >= 74 and 24 <= len(ids) <= 27
+
+
+class TestNgramDocFrequency:
+    def test_counts_documents_not_occurrences(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            ngram_doc_frequency,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="click here to accept cookies please"),
+                Row(doc_id=2, text="click here to accept cookies now"),
+                Row(doc_id=3, text="something entirely different indeed"),
+            ]
+        )
+        freq = {
+            r.shingle: r.doc_freq
+            for r in ngram_doc_frequency(df, "text", "doc_id", k=3).collect()
+        }
+        assert freq["click here to"] == 2
+        assert freq["here to accept"] == 2
+        assert "something entirely different" not in freq  # only 1 doc
+
+
+class TestIncrementalDedup:
+    def test_index_hits_in_batch_dups_and_fresh(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            dedup_batch_against_index,
+            updated_fingerprint_index,
+        )
+        from autonomous_orchestrator_ai_spark.functions.text import fingerprint
+
+        seen = spark.createDataFrame([Row(text="already ingested doc")])
+        index = seen.select(fingerprint("text").alias("fp")).distinct()
+        batch = spark.createDataFrame(
+            [
+                Row(doc_id=10, text="already  INGESTED doc "),  # index hit
+                Row(doc_id=11, text="brand new doc"),
+                Row(doc_id=12, text="Brand NEW doc"),  # in-batch dup of 11
+                Row(doc_id=13, text="another fresh one"),
+            ]
+        )
+        kept = dedup_batch_against_index(batch, index)
+        assert sorted(r.doc_id for r in kept.collect()) == [11, 13]
+        # advancing the index makes a replay of the same batch a no-op
+        next_index = updated_fingerprint_index(index, kept)
+        assert next_index.count() == 3
+        replay = dedup_batch_against_index(batch, next_index)
+        assert replay.count() == 0
