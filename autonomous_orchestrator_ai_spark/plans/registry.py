@@ -63,6 +63,7 @@ def load_all() -> None:
         dedup_queries,
         dq_queries,
         extended_queries,
+        layout_queries,
         pipeline_queries,
         similarity_queries,
         text_queries,

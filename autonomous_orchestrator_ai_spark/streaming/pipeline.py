@@ -154,6 +154,51 @@ def run_bounded(
     return totals
 
 
+def incremental_dedup_sink(
+    docs_stream: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_seconds: float | None = None,
+) -> None:
+    """Streaming corpus dedup: T4 (foreachBatch) composed with the
+    continuous-ingestion dedup operators (operators/curation.py). Each
+    micro-batch is anti-joined against the on-disk fingerprint index;
+    survivors append to the corpus sink and their fingerprints advance the
+    index, so duplicates are dropped across batches, runs, and restarts.
+
+    The survivors frame is ``localCheckpoint``-materialized before either
+    write: both sinks read it without re-reading ``index_path``, which the
+    second write is itself appending to (reading and writing one path in a
+    single plan is undefined). Replays of committed batches are no-ops by
+    construction (their fingerprints are indexed, the anti-join drops
+    everything); the residual at-least-once window is a crash between the
+    two appends — at scale, put the index in a transactional table format
+    and MERGE both writes atomically.
+    """
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        dedup_batch_against_index,
+    )
+
+    def dedup_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except Exception:  # first batch: no index yet
+            index = spark.createDataFrame([], "fp string")
+        kept = dedup_batch_against_index(
+            batch_df, index, text_col, id_col
+        ).localCheckpoint()
+        kept.drop("fp").write.mode("append").parquet(out_path)
+        kept.select("fp").write.mode("append").parquet(index_path)
+
+    run_foreach_batch(docs_stream, dedup_batch, checkpoint, timeout_seconds)
+
+
 def run_foreach_batch(
     df: DataFrame,
     batch_fn,

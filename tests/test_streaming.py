@@ -107,3 +107,68 @@ def test_streaming_windowed_counts(spark, tmp_path, event_jsonl):
     got = {r["h"]: r["n"] for r in rows}
     assert got["2024-01-14 20"] == 1  # the late event's hour
     assert got["2024-01-15 00"] == 3
+
+
+def test_incremental_dedup_sink(spark, tmp_path):
+    """Streaming dedup across micro-batches, runs, and restarts: survivors
+    accumulate in the corpus sink, fingerprints in the index, duplicates
+    (even reformatted ones) never land twice."""
+    import json as _json
+
+    from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+        incremental_dedup_sink,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        (in_dir / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    write_file(
+        "b0.jsonl",
+        [
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "delta epsilon"},
+            {"doc_id": 3, "text": "ALPHA  beta gamma "},  # dup of 1, reformatted
+        ],
+    )
+    write_file(
+        "b1.jsonl",
+        [
+            {"doc_id": 4, "text": "delta epsilon"},  # dup of 2, other batch
+            {"doc_id": 5, "text": "zeta eta theta"},
+        ],
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir))
+        )
+
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "fp_index")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    incremental_dedup_sink(stream(), out, idx, ckpt, timeout_seconds=120)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 5}
+    assert spark.read.parquet(idx).count() == 3
+
+    # a later run over the same checkpoint: replayed content is dropped,
+    # fresh content lands exactly once
+    write_file(
+        "b2.jsonl",
+        [
+            {"doc_id": 6, "text": "alpha beta gamma"},  # dup of committed 1
+            {"doc_id": 7, "text": "brand new words"},
+        ],
+    )
+    incremental_dedup_sink(stream(), out, idx, ckpt, timeout_seconds=120)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 5, 7}
+    assert spark.read.parquet(idx).count() == 4
