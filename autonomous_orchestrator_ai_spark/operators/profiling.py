@@ -1,0 +1,51 @@
+"""Table profiling: one-pass per-column statistics (the ANALYZE/data-audit
+operator every curation pipeline runs before trusting a new drop of data).
+
+One aggregation job computes every column's null count, distinct count,
+and min/max; a ``stack`` unpivot turns the single wide row into one tidy
+row per column. The scan happens once regardless of column count.
+
+Exact distinct counts use Spark's multi-distinct rewrite (an Expand that
+replicates each input row once per distinct aggregate — still one scan,
+but shuffle volume multiplies by the column count). At 100 TB switch
+``exact_distinct=False``: HyperLogLog sketches aggregate in fixed space
+with ordinary partial aggregation and no Expand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_columns"]
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_value, max_value) per
+    column, from ONE pass over ``df``. min/max are computed on the native
+    type (so numeric/temporal ordering is correct) and cast to string only
+    for the tidy output. NULL-only columns yield NULL min/max; distinct
+    counts ignore NULLs (COUNT DISTINCT semantics on both engines)."""
+    cols = list(cols or df.columns)
+    distinct_agg = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}"),
+            distinct_agg(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nn_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__rows as n_rows",
+        f"stack({len(cols)}, {stacked}) as "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")

@@ -422,3 +422,183 @@ def argmax_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", "ts").alias("last_event_id"),
         F.round(F.max_by("value", "ts"), 2).alias("last_value"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage is
+    the users whose earliest qualifying event strictly follows their
+    previous stage's time. Three keyed min-aggregations chained by
+    user_id-keyed joins — every shuffle is on user_id, so AQE reuses one
+    exchange layout end to end; no window, no sort, no self-join blowup."""
+    events = table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT f.user_id,
+             strftime(date_trunc('week', f.t0), '%Y-%m-%d') AS cohort_week,
+             CAST(FLOOR(date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE)) / 7.0)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week, counted
+    in each subsequent week-offset they were active. first-seen is one
+    user_id-keyed agg joined back (broadcast at these scales; same-key
+    shuffle at large ones), then a distinct + count — the standard cohort
+    shape with no window function and no per-user collect."""
+    events = table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    activity = (
+        events.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", "t0"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(
+                F.datediff(F.col("ts"), F.col("t0")) / F.lit(7.0)
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
+@register(
+    "embedding_snapshot_drift",
+    oracle="""
+    WITH flat AS (
+      SELECT label, vec_id % 2 AS half, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (SELECT label, half, i, AVG(v) AS m
+             FROM flat GROUP BY label, half, i),
+    paired AS (
+      SELECT a.label, a.i, a.m AS m0, b.m AS m1
+      FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+      WHERE a.half = 0 AND b.half = 1)
+    SELECT label, ROUND(SQRT(SUM((m0 - m1) * (m0 - m1))), 6) AS centroid_shift
+    FROM paired GROUP BY label
+    """,
+)
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus snapshots (even/odd
+    vec_ids standing in for old/new): per-label L2 distance between the
+    snapshots' centroids — the 'did my encoder or data shift' check run
+    before reusing an ANN index. posexplode -> (label, half, dim) means ->
+    pair -> distance; all partial-aggregated, nothing leaves the JVM."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    cent = flat.groupBy("label", "half", "i").agg(F.avg("v").alias("m"))
+    a = cent.filter(F.col("half") == 0).select("label", "i", F.col("m").alias("m0"))
+    b = cent.filter(F.col("half") == 1).select("label", "i", F.col("m").alias("m1"))
+    paired = a.join(b, ["label", "i"])
+    diff = F.col("m0") - F.col("m1")
+    return paired.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_shift")
+    )
+
+
+@register(
+    "orders_column_profile",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_k,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn_k,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx_k,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_c,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn_c,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx_c,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_s,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_s,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_s,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_p,
+             CAST(MIN(o_orderpriority) AS VARCHAR) AS mn_p,
+             CAST(MAX(o_orderpriority) AS VARCHAR) AS mx_p
+      FROM orders)
+    SELECT 'o_orderkey' AS column, n_rows, nn_k AS n_nulls, nd_k AS n_distinct,
+           mn_k AS min_value, mx_k AS max_value FROM stats
+    UNION ALL
+    SELECT 'o_custkey', n_rows, nn_c, nd_c, mn_c, mx_c FROM stats
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_s, nd_s, mn_s, mx_s FROM stats
+    UNION ALL
+    SELECT 'o_orderpriority', n_rows, nn_p, nd_p, mn_p, mx_p FROM stats
+    """,
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators.profiling.profile_columns) on four
+    orders columns: null/distinct counts + min/max per column from a single
+    scan (Spark's multi-distinct Expand), unpivoted to a tidy row per
+    column. String-formatted min/max restricted here to int/varchar columns
+    where both engines' rendering agrees byte-for-byte."""
+    from autonomous_orchestrator_ai_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

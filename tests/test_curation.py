@@ -335,3 +335,35 @@ class TestIncrementalDedup:
         assert next_index.count() == 3
         replay = dedup_batch_against_index(batch, next_index)
         assert replay.count() == 0
+
+
+class TestProfileColumns:
+    def test_one_pass_profile(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.profiling import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(a=1, b="x", c=None),
+                Row(a=2, b="x", c=None),
+                Row(a=None, b="y", c=None),
+            ],
+            "a int, b string, c string",
+        )
+        prof = {r.column: r for r in profile_columns(df).collect()}
+        assert prof["a"].n_rows == 3
+        assert prof["a"].n_nulls == 1 and prof["a"].n_distinct == 2
+        assert prof["a"].min_value == "1" and prof["a"].max_value == "2"
+        assert prof["b"].n_nulls == 0 and prof["b"].n_distinct == 2
+        assert prof["c"].n_nulls == 3 and prof["c"].n_distinct == 0
+        assert prof["c"].min_value is None
+
+    def test_approx_distinct_scale_path(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.profiling import (
+            profile_columns,
+        )
+
+        df = spark.range(1000).select(F.col("id").alias("k"))
+        row = profile_columns(df, exact_distinct=False).first()
+        assert abs(row.n_distinct - 1000) / 1000 < 0.1
