@@ -308,3 +308,136 @@ def incremental_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     kept = dedup_batch_against_index(batch, index, "text", "doc_id", "fp")
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=r"""
+    WITH aug AS (
+      SELECT source, text ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+             THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+             ELSE '' END ||
+        CASE WHEN doc_id % 13 = 0
+             THEN ' call +1 415 555 01' || CAST(doc_id % 89 + 10 AS VARCHAR)
+             ELSE '' END AS t
+      FROM documents),
+    hits AS (
+      SELECT source, t,
+        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g') AS t1
+      FROM aug),
+    hits2 AS (
+      SELECT source, t, emails,
+        len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS ips,
+        regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', ' ', 'g') AS t2
+      FROM hits),
+    hits3 AS (
+      SELECT source, t, emails, ips,
+        len(regexp_extract_all(t2, '\+?\d[\d().\-\s]{6,}\d')) AS phones
+      FROM hits2),
+    red AS (
+      SELECT source, emails, ips, phones,
+        len(t) - len(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+?\d[\d().\-\s]{6,}\d', '<PHONE>', 'g')) AS delta
+      FROM hits3)
+    SELECT source,
+           CAST(SUM(emails) AS BIGINT) AS n_emails,
+           CAST(SUM(ips) AS BIGINT) AS n_ips,
+           CAST(SUM(phones) AS BIGINT) AS n_phones,
+           CAST(SUM(delta) AS BIGINT) AS chars_delta
+    FROM red GROUP BY source
+    """,
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit (operators.curation.redact_pii / pii_hit_counts):
+    per-source counts of detected emails / IPv4s / phone-like runs plus the
+    net character delta after typed-tag redaction. The corpus is synthetic
+    and PII-free, so deterministic PII is injected (doc_id-keyed) before
+    auditing — the regex chain under test is the production one. All
+    regexp_* built-ins: single scan, codegen, zero Python."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        pii_hit_counts,
+        redact_pii,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1 415 555 01"),
+                    (F.col("doc_id") % 89 + 10).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("t"),
+    )
+    audited = aug.select(
+        "source",
+        pii_hit_counts("t").alias("hits"),
+        (F.length("t") - F.length(redact_pii("t"))).alias("delta"),
+    )
+    return audited.groupBy("source").agg(
+        F.sum("hits.emails").alias("n_emails"),
+        F.sum("hits.ips").alias("n_ips"),
+        F.sum("hits.phones").alias("n_phones"),
+        F.sum("delta").alias("chars_delta"),
+    )
+
+
+@register(
+    "doc_chunk_stats",
+    oracle="""
+    WITH chunks AS (
+      SELECT source,
+             substring(text, unnest(generate_series(0, len(text) - 1, 300)) + 1, 400) AS chunk_text
+      FROM documents WHERE len(text) > 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT md5(chunk_text)) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(len(chunk_text)) AS BIGINT) AS chunk_chars,
+           CAST(MAX(len(chunk_text)) AS BIGINT) AS max_chunk_len
+    FROM chunks GROUP BY source
+    """,
+)
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window chunking profile (operators.chunking.chunk_text —
+    400-char windows, 300 stride, 100 overlap): per-source chunk counts,
+    md5-distinct chunks, and char volume. The explode multiplies rows by
+    ceil(len/stride) uniformly; everything stays in whole-stage codegen."""
+    from autonomous_orchestrator_ai_spark.operators.chunking import chunk_text
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "text", size=400, stride=300, keep_cols=["source"])
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_distinct(F.md5("chunk_text")).alias("n_distinct_chunks"),
+        F.sum(F.length("chunk_text")).alias("chunk_chars"),
+        F.max(F.length("chunk_text")).alias("max_chunk_len"),
+    )

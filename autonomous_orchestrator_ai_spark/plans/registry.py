@@ -67,6 +67,7 @@ def load_all() -> None:
         pipeline_queries,
         similarity_queries,
         text_queries,
+        timeseries_queries,
         tpch,
         tpch_extra,
         window_queries,

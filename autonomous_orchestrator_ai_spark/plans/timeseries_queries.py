@@ -1,0 +1,154 @@
+"""Time-series queries: gap-filled dense series (LOCF) and trailing-window
+anomaly scoring over the events stream.
+
+The reference's windowed aggregation (ingest_transform.py:198-210) only
+emits buckets where data exists and flags anomalies with fixed thresholds
+(agent/tools.py decision rules); these queries add the dense-series and
+self-calibrating (trailing z-score) forms a monitoring pipeline actually
+deploys.
+
+Determinism notes: bucket averages go through the exact-decimal-sum path
+(see ``registry.exact_money_sum``) before one IEEE double division, and
+the z-score is an explicit sum/sum-of-squares formula — identical
+expression trees on identical exact inputs are bit-identical across
+engines, so rounding is cosmetic rather than load-bearing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.gapfill import (
+    time_bucket_gapfill,
+)
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+GAPFILL_BUCKET_SECONDS = 3600
+
+
+@register(
+    "hourly_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS bucket,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS value_avg
+      FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1, 2),
+    bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b),
+    grid AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM b) t
+      CROSS JOIN (SELECT unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+                  FROM bounds) g),
+    f AS (
+      SELECT g.event_type, g.bucket, b.value_avg,
+             last_value(b.value_avg IGNORE NULLS)
+               OVER (PARTITION BY g.event_type ORDER BY g.bucket) AS value_avg_filled,
+             b.value_avg IS NULL AS gap_filled
+      FROM grid g LEFT JOIN b USING (event_type, bucket))
+    SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           value_avg, value_avg_filled, gap_filled
+    FROM f
+    """,
+)
+def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series of average purchase/error value with
+    last-observation-carried-forward gap fill (operators.gapfill — the
+    Timescale ``time_bucket_gapfill`` + ``locf`` shape). The bucket range
+    is one broadcast row; the grid explode is shuffle-free; LOCF is one
+    running window per key."""
+    events = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    avg_exact = F.round(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+        / F.count(F.lit(1)),
+        4,
+    )
+    filled = time_bucket_gapfill(
+        events,
+        ts_col="ts",
+        width_seconds=GAPFILL_BUCKET_SECONDS,
+        keys=["event_type"],
+        value_agg=avg_exact,
+        value_name="value_avg",
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value_avg",
+        "value_avg_filled",
+        "gap_filled",
+    )
+
+
+@register(
+    "event_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT event_type, day, n_events,
+             SUM(n_events) OVER w AS s1,
+             SUM(n_events * n_events) OVER w AS s2,
+             COUNT(*) OVER w AS c
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+           ROUND(CAST(s1 AS DOUBLE) / c, 4) AS trailing_mean,
+           ROUND((n_events - CAST(s1 AS DOUBLE) / c)
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / c)
+                        / (c - 1)), 4) AS zscore,
+           abs((n_events - CAST(s1 AS DOUBLE) / c)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / c)
+                      / (c - 1))) >= 2.0 AS is_anomaly
+    FROM scored
+    WHERE c >= 3 AND CAST(s2 AS DOUBLE) * c > CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+    """,
+)
+def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection on daily event volume: each
+    (event_type, day)'s count scored against its own trailing-7-day
+    mean/stddev (the self-exclusive ROWS frame). Variance comes from
+    explicit sum / sum-of-squares window aggregates over exact integer
+    counts — one shuffle on event_type, one sort, engine-portable
+    arithmetic. Frames with <3 days or zero variance are not scored."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    n = F.col("n_events")
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum(n).over(w).alias("s1"),
+        F.sum(n * n).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    )
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    c = F.col("c")
+    mean = s1 / c
+    sd = F.sqrt((s2 - s1 * s1 / c) / (c - F.lit(1)))
+    z = (n - mean) / sd
+    return scored.filter(
+        (c >= 3) & (s2 * c > s1 * s1)
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(mean, 4).alias("trailing_mean"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )
