@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "numeric_histogram"]
 
 
 def profile_columns(
@@ -49,3 +49,48 @@ def profile_columns(
         f"stack({len(cols)}, {stacked}) as "
         "(column, n_nulls, n_distinct, min_value, max_value)",
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram over ``col``: (bin, lo, hi, n_rows). The
+    [min, max] bounds are ONE aggregated row broadcast into the binning
+    pass — two scans total, both fully partial-aggregated; no shuffle
+    bigger than n_bins rows leaves the map side.
+
+    Bin math is a single multiply-then-divide (``(v - mn) * n / (mx -
+    mn)``) so re-computations on other engines agree bit-for-bit; the max
+    value is clamped into the last bin. Degenerate min == max collapses to
+    one bin."""
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    v = F.col(col).cast("double")
+    bounds = df.agg(F.min(v).alias("__mn"), F.max(v).alias("__mx"))
+    mn, mx = F.col("__mn"), F.col("__mx")
+    bin_ = (
+        F.when(mx == mn, F.lit(0))
+        .otherwise(
+            F.least(F.floor((v - mn) * n_bins / (mx - mn)), F.lit(n_bins - 1))
+        )
+        .cast("bigint")
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # mn/mx are constant broadcast columns; min() just carries them
+            # through the aggregation without a second join.
+            F.min(mn).alias("__mn"),
+            F.min(mx).alias("__mx"),
+        )
+    )
+    width = (F.col("__mx") - F.col("__mn")) / n_bins
+    return binned.select(
+        "bin",
+        F.round(F.col("__mn") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.col("__mn") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+        "n_rows",
+    )

@@ -602,3 +602,35 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(
         orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(value AS DOUBLE)) AS mn, MAX(CAST(value AS DOUBLE)) AS mx
+      FROM events),
+    binned AS (
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - mn) * 20 / (mx - mn)) AS BIGINT), 19)
+             END AS bin, mn, mx
+      FROM events CROSS JOIN bounds
+      WHERE value IS NOT NULL)
+    SELECT bin,
+           ROUND(mn + bin * ((mx - mn) / 20), 6) AS bin_lo,
+           ROUND(mn + (bin + 1) * ((mx - mn) / 20), 6) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM binned GROUP BY bin, mn, mx
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of events.value
+    (operators.profiling.numeric_histogram): bounds are one broadcast row,
+    binning partial-aggregates map-side, and the multiply-then-divide bin
+    expression is engine-portable bit-for-bit."""
+    from autonomous_orchestrator_ai_spark.operators.profiling import (
+        numeric_histogram,
+    )
+
+    events = table(spark, sf_dir, "events")
+    return numeric_histogram(events, "value", n_bins=20)

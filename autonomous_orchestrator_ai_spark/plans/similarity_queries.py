@@ -143,3 +143,42 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4)
+    SELECT e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators.semdedup): within each
+    label block, drop vectors with a lower-id cosine>=0.4 neighbor; report
+    per-label survivor counts. Label is the blocking column here; at scale
+    the block id comes from operators.ivf.kmeans so per-block sizes bound
+    the quadratic comparison term."""
+    from autonomous_orchestrator_ai_spark.operators.semdedup import (
+        semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    survivors = semantic_dedup(emb, block_col="label", threshold=0.4).select(
+        F.col("vec_id").alias("surv_id")
+    )
+    return (
+        emb.join(survivors, emb.vec_id == survivors.surv_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("surv_id").alias("n_survivors"),
+        )
+    )

@@ -73,3 +73,60 @@ class TestChunkText:
         df = spark.createDataFrame([Row(doc_id=1, text="abc")])
         with pytest.raises(ValueError):
             chunk_text(df, "text", size=0, stride=3)
+
+
+class TestSemanticDedup:
+    def test_drops_higher_id_near_dups(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.semdedup import (
+            semantic_dedup,
+            semantic_dedup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+                Row(vec_id=2, embedding=[0.9, 0.1], label=0),
+                Row(vec_id=3, embedding=[0.0, 1.0], label=0),
+                Row(vec_id=4, embedding=[1.0, 0.0], label=1),  # other block
+            ]
+        )
+        pairs = semantic_dedup_pairs(df, "label", 0.9).collect()
+        assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+        kept = {r.vec_id for r in semantic_dedup(df, "label", 0.9).collect()}
+        assert kept == {1, 3, 4}
+
+    def test_blocking_prevents_cross_block_drops(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.semdedup import (
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+                Row(vec_id=2, embedding=[1.0, 0.0], label=1),
+            ]
+        )
+        assert semantic_dedup(df, "label", 0.9).count() == 2
+
+
+class TestNumericHistogram:
+    def test_equi_width_bins(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.profiling import (
+            numeric_histogram,
+        )
+
+        df = spark.createDataFrame([Row(v=float(i)) for i in range(10)])
+        rows = {r.bin: r for r in numeric_histogram(df, "v", 5).collect()}
+        assert len(rows) == 5
+        # max value clamps into the last bin
+        assert all(rows[b].n_rows == 2 for b in range(5))
+        assert rows[0].bin_lo == 0.0 and rows[4].bin_hi == 9.0
+
+    def test_degenerate_single_value(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.profiling import (
+            numeric_histogram,
+        )
+
+        df = spark.createDataFrame([Row(v=3.0), Row(v=3.0)])
+        rows = numeric_histogram(df, "v", 4).collect()
+        assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n_rows == 2
