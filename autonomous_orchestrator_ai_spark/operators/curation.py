@@ -474,3 +474,45 @@ def pii_hit_counts(text: Column | str) -> Column:
         # the digits inside an email/IP
         scrubbed = F.regexp_replace(scrubbed, pattern, " ")
     return F.struct(*counts)
+
+
+#: 13 lowercase-hex chars = 52 bits — exactly representable in a double.
+_KEY_HEX_CHARS = 13
+_KEY_BUCKETS = float(16**_KEY_HEX_CHARS)
+
+
+def weighted_sample_key(
+    weight: Column, id_col: Column | str, salt: str = ""
+) -> Column:
+    """Efraimidis–Spirakis (A-ES) sort key for weighted sampling WITHOUT
+    replacement: rank by ``ln(u) / w`` descending, where ``u`` is the
+    row's deterministic md5 uniform draw. Taking the global top-k of this
+    key IS a weighted sample of size k — one expression per row, no
+    shuffle beyond the top-k itself, and portable: any engine recomputing
+    md5 + the same arithmetic selects the identical rows."""
+    h = sample_hash(id_col, salt)
+    v = F.conv(F.substring(h, 1, _KEY_HEX_CHARS), 16, 10).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(_KEY_BUCKETS)
+    return F.log(u) / weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Top-``k`` rows by the A-ES key (ties broken by id): a
+    weight-proportional sample without replacement. Rows with
+    non-positive weight are excluded. Plan shape is
+    TakeOrderedAndProject — per-partition top-k partials, single
+    driver-side merge of k rows per partition, never a full sort."""
+    keyed = df.filter(weight > 0).withColumn(
+        "__wkey", weighted_sample_key(weight, id_col, salt)
+    )
+    return (
+        keyed.orderBy(F.desc("__wkey"), F.asc(id_col))
+        .limit(k)
+        .drop("__wkey")
+    )

@@ -441,3 +441,33 @@ def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("chunk_text")).alias("chunk_chars"),
         F.max(F.length("chunk_text")).alias("max_chunk_len"),
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 0.5)
+                / 4503599627370496.0) / n_chars AS wkey
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY wkey DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus sample of 50 docs without replacement
+    (operators.curation.weighted_sample — Efraimidis–Spirakis exponential
+    keys over the deterministic md5 draw). TakeOrderedAndProject plan:
+    per-partition top-k, no full sort, no shuffle of the corpus; the same
+    arithmetic recomputed in DuckDB selects the identical rows."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(
+        docs, k=50, weight=F.col("n_chars"), id_col="doc_id", salt="wsamp"
+    )

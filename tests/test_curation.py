@@ -367,3 +367,43 @@ class TestProfileColumns:
         df = spark.range(1000).select(F.col("id").alias("k"))
         row = profile_columns(df, exact_distinct=False).first()
         assert abs(row.n_distinct - 1000) / 1000 < 0.1
+
+
+class TestWeightedSample:
+    def test_deterministic_and_nested(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, w=float(i % 10 + 1)) for i in range(200)]
+        )
+        top5 = {r.doc_id for r in weighted_sample(df, 5, F.col("w"), "doc_id").collect()}
+        top5_again = {r.doc_id for r in weighted_sample(df, 5, F.col("w"), "doc_id").collect()}
+        top20 = {r.doc_id for r in weighted_sample(df, 20, F.col("w"), "doc_id").collect()}
+        assert top5 == top5_again
+        assert top5 <= top20  # A-ES keys are fixed, so top-k sets nest
+
+    def test_weight_proportional(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        # one row carries ~99% of the total weight: it must be sampled
+        df = spark.createDataFrame(
+            [Row(doc_id=0, w=100000.0)]
+            + [Row(doc_id=i, w=0.001) for i in range(1, 100)]
+        )
+        ids = {r.doc_id for r in weighted_sample(df, 3, F.col("w"), "doc_id").collect()}
+        assert 0 in ids
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, w=0.0), Row(doc_id=2, w=-1.0), Row(doc_id=3, w=1.0)]
+        )
+        ids = {r.doc_id for r in weighted_sample(df, 10, F.col("w"), "doc_id").collect()}
+        assert ids == {3}
