@@ -168,3 +168,45 @@ def test_contamination_broadcasts_benchmark_shingles(spark):
     assert "SortMergeJoin" not in plan
     nodes = plan_nodes(formatted_plan(spark, "benchmark_contamination"))
     assert "CartesianProduct" not in nodes
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    plan = formatted_plan(spark, "weighted_sample_docs")
+    # A-ES top-k must be per-partition partial top-k, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    nodes = plan_nodes(plan)
+    assert "Sort" not in nodes and "Exchange" not in nodes
+
+
+def test_gapfill_broadcasts_bounds_single_window(spark):
+    plan = formatted_plan(spark, "hourly_gapfill_locf")
+    nodes = plan_nodes(plan)
+    # bucket bounds (1 row) and the dense grid side arrive by broadcast
+    assert "BroadcastExchange" in nodes
+    # LOCF is exactly one window pass
+    assert nodes.count("Window") == 1
+    assert "SortMergeJoin" not in nodes
+
+
+def test_histogram_bounds_broadcast_two_scans(spark):
+    plan = formatted_plan(spark, "value_histogram")
+    nodes = plan_nodes(plan)
+    assert "BroadcastExchange" in nodes
+    # binning aggregates partially before the n_bins-row shuffle
+    assert nodes.count("HashAggregate") >= 4  # bounds partial+final, bins partial+final
+    scans = [n for n in nodes if n == "Scan"]
+    assert len(scans) <= 2
+
+
+def test_chunking_prunes_to_text_columns(spark):
+    plan = formatted_plan(spark, "doc_chunk_stats")
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "source" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_semantic_dedup_joins_on_block(spark):
+    plan = formatted_plan(spark, "semantic_dedup_survivors")
+    # within-block self-join: equi-join on the block column, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -109,3 +109,66 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts):
         e = expected.get(t)
         e = None if pd.isna(e) else int(e)
         assert got[t] == e, (t, got[t], e)
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        min_size=1,
+        max_size=200,
+    ),
+    size=st.integers(1, 50),
+)
+@settings(**SETTINGS)
+def test_chunking_reconstructs_text(spark, text, size):
+    """With stride == size (no overlap), concatenating the chunks in
+    chunk_idx order reproduces the document exactly — nothing dropped,
+    nothing duplicated."""
+    from autonomous_orchestrator_ai_spark.operators.chunking import chunk_text
+
+    df = spark.createDataFrame([(1, text)], "doc_id: bigint, text: string")
+    rows = chunk_text(df, "text", size=size, stride=size).orderBy("chunk_idx").collect()
+    assert "".join(r.chunk_text for r in rows) == text
+    assert all(len(r.chunk_text) <= size for r in rows)
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 40), st.floats(-100, 100)),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(**SETTINGS)
+def test_gapfill_is_dense_and_carries_forward(spark, obs):
+    """The gap-filled series covers every bucket in [min, max] exactly
+    once, and every filled value equals the most recent observation."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from autonomous_orchestrator_ai_spark.operators.gapfill import (
+        time_bucket_gapfill,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", base + dt.timedelta(minutes=10 * m), v) for m, v in obs],
+        "k: string, ts: timestamp, v: double",
+    )
+    out = time_bucket_gapfill(df, "ts", 600, ["k"], F.min("v"), "v").orderBy("bucket").collect()
+    buckets = [r.bucket for r in out]
+    lo, hi = min(m for m, _ in obs), max(m for m, _ in obs)
+    assert len(buckets) == hi - lo + 1
+    assert len(set(buckets)) == len(buckets)
+    expected = dict(sorted(obs))
+    last = None
+    for r in out:
+        m = (r.bucket - base).total_seconds() / 600
+        if m in expected:
+            last = expected[m]
+            assert not r.gap_filled
+        else:
+            assert r.gap_filled
+        assert r.v_filled == last
