@@ -23,6 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
 from autonomous_orchestrator_ai_spark.operators.similarity import (
     _as_double_array,
     cosine,
@@ -40,7 +43,9 @@ def semantic_dedup_pairs(
 ) -> DataFrame:
     """(block, id_a < id_b, cosine_sim) pairs above threshold, joined only
     within ``block_col``."""
-    e = df.select(
+    # a small parquet scan arrives as one partition; the per-block cosine
+    # join is CPU-bound, so spread it before the self-join fans out
+    e = ensure_min_parallelism(df).select(
         F.col(block_col).alias("__blk"),
         F.col(id_col),
         _as_double_array(vec_col).alias("__v"),

@@ -35,6 +35,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash_collision_groups",
     "dedup_keep_first",
+    "semantic_dedup_survivors",
+    "weighted_sample_docs",
     "text_stats_per_doc",
     "benchmark_contamination",
     "token_budget_mix",
