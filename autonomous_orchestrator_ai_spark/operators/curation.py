@@ -516,3 +516,31 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    window_tokens: int,
+    partition_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Greedy in-order sequence packing: concatenate documents in
+    ``order_col`` order within each ``partition_col`` group and assign each
+    to the fixed-size training window its start offset lands in
+    (``seq_id``). The cumulative sum is per-partition-key, so the sort/
+    window parallelizes across groups — never a global single-partition
+    cumsum; at corpus scale the partition column (source, shard, date) is
+    what keeps every executor busy. Adds ``seq_start_offset`` and
+    ``seq_id``."""
+    if window_tokens <= 0:
+        raise ValueError("window_tokens must be positive")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn("seq_start_offset", start).withColumn(
+        "seq_id", F.floor(F.col("seq_start_offset") / float(window_tokens)).cast("bigint")
+    )

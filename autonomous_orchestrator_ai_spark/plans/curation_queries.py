@@ -471,3 +471,55 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(
         docs, k=50, weight=F.col("n_chars"), id_col="doc_id", salt="wsamp"
     )
+
+
+@register(
+    "sequence_packing_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id, CAST({_TOKEN_COUNT} AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_start_offset
+      FROM toks),
+    seqs AS (
+      SELECT source, CAST(FLOOR(seq_start_offset / 2048.0) AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+      FROM packed GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
+           ROUND(SUM(n_docs) * 1.0 / COUNT(*), 4) AS avg_docs_per_seq
+    FROM seqs GROUP BY source
+    """,
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order packing of each source's docs into 2048-token
+    training windows (operators.curation.pack_sequences): per-source
+    sequence counts and fill stats. The cumsum is per-source, so the sort
+    parallelizes across sources — the scale-safe form of sequence
+    packing (a GLOBAL cumsum would serialize on one partition)."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "n_tokens", 2048, "source", "doc_id")
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    return seqs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        F.max("seq_tokens").alias("max_seq_tokens"),
+        F.round(F.sum("n_docs") / F.count(F.lit(1)), 4).alias("avg_docs_per_seq"),
+    )

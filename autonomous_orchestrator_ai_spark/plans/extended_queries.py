@@ -9,7 +9,7 @@ client-side (latest-per-key, stats)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import token_count
@@ -669,4 +669,53 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "total_price",
         )
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys FROM per_key),
+    ranked AS (
+      SELECT user_id, n_rows,
+             ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id) AS rank
+      FROM per_key)
+    SELECT r.user_id, r.n_rows, CAST(r.rank AS BIGINT) AS rank,
+           ROUND(r.n_rows * 1.0 / t.total, 6) AS share,
+           ROUND(r.n_rows * t.n_keys * 1.0 / t.total, 4) AS x_over_avg
+    FROM ranked r CROSS JOIN tot t WHERE r.rank <= 10
+    """,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the top-10 heaviest events.user_id keys
+    with their share of all rows and multiple-of-average — the profile
+    that decides between plain shuffle join, AQE skew split, and salting
+    (operators.skew). One keyed agg, a 1-row broadcast total, and a
+    top-k — no full sort."""
+    events = table(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    ranked = (
+        per_key.orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+            ).cast("bigint"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n_rows",
+        "rank",
+        F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+        F.round(F.col("n_rows") * F.col("n_keys") / F.col("total"), 4).alias(
+            "x_over_avg"
+        ),
     )

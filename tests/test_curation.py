@@ -407,3 +407,37 @@ class TestWeightedSample:
         )
         ids = {r.doc_id for r in weighted_sample(df, 10, F.col("w"), "doc_id").collect()}
         assert ids == {3}
+
+
+class TestPackSequences:
+    def test_offsets_and_bins(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [
+                Row(src="a", doc_id=1, n=3),
+                Row(src="a", doc_id=2, n=4),
+                Row(src="a", doc_id=3, n=5),
+                Row(src="b", doc_id=1, n=10),
+            ]
+        )
+        out = {
+            (r.src, r.doc_id): r
+            for r in pack_sequences(df, "n", 5, "src", "doc_id").collect()
+        }
+        assert out[("a", 1)].seq_start_offset == 0 and out[("a", 1)].seq_id == 0
+        assert out[("a", 2)].seq_start_offset == 3 and out[("a", 2)].seq_id == 0
+        assert out[("a", 3)].seq_start_offset == 7 and out[("a", 3)].seq_id == 1
+        # partitions pack independently
+        assert out[("b", 1)].seq_start_offset == 0 and out[("b", 1)].seq_id == 0
+
+    def test_rejects_bad_window(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame([Row(src="a", doc_id=1, n=3)])
+        with pytest.raises(ValueError):
+            pack_sequences(df, "n", 0, "src", "doc_id")
