@@ -117,3 +117,38 @@ def jsonl_as_kafka_envelope(
         F.current_timestamp().alias("timestamp"),
         F.lit(0).alias("timestampType"),
     )
+
+
+def read_csv_strict(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+) -> DataFrame:
+    """Schema-on-read CSV: explicit DDL schema (NEVER inferSchema — at
+    100 TB inference is a full extra pass over the data), PERMISSIVE mode
+    with the raw text of unparseable lines captured in
+    ``_corrupt_record`` so bad rows quarantine instead of killing the
+    job (the reference's quarantine pattern, applied at the source)."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> DataFrame:
+    """Schema-on-read JSON-lines with corrupt-record capture — same
+    contract as ``read_csv_strict``."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

@@ -97,3 +97,69 @@ def cleanup_old_data(base_path: str, retention_days: int = 7) -> list[str]:
             shutil.rmtree(entry) if entry.is_dir() else entry.unlink()
             removed.append(str(entry))
     return removed
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite ``src``'s parquet into ``dst`` with
+    file sizes near ``target_file_bytes``. The streaming sink's
+    per-trigger micro-files are the classic 100 TB operational hazard
+    (every file is a task + a NameNode/listing entry); compaction restores
+    scan efficiency. File count comes from the on-disk byte size, the
+    rewrite is a shuffle-free ``coalesce``, and stats are returned so an
+    orchestrator can log/assert them. ``dst`` must not exist."""
+    src_p, dst_p = Path(src), Path(dst)
+    if dst_p.exists():
+        raise FileExistsError(f"compaction target already exists: {dst}")
+    files = [p for p in src_p.rglob("*.parquet") if p.is_file()]
+    total_bytes = sum(p.stat().st_size for p in files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil division
+    df = spark.read.parquet(src)
+    df.coalesce(int(n_out)).write.parquet(str(dst_p))
+    out_files = [p for p in dst_p.rglob("*.parquet") if p.is_file()]
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "bytes": total_bytes,
+    }
+
+
+def write_versioned_snapshot(df: DataFrame, base_path: str) -> int:
+    """Append-only versioned snapshot (mini-lakehouse commit protocol):
+    data lands under ``base_path/v=N/`` FIRST, and only then is the
+    single-file manifest ``_latest`` swapped to N — readers following the
+    manifest never observe a half-written version, giving atomic
+    publish on any filesystem with atomic rename. Returns N."""
+    import os
+    import tempfile
+
+    base = Path(base_path)
+    base.mkdir(parents=True, exist_ok=True)
+    current = read_latest_version(base_path)
+    version = current + 1
+    df.write.parquet(str(base / f"v={version}"))
+    fd, tmp = tempfile.mkstemp(dir=base, prefix="._latest")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, base / "_latest")
+    return version
+
+
+def read_latest_version(base_path: str) -> int:
+    """Version in the ``_latest`` manifest, or 0 if never written."""
+    manifest = Path(base_path) / "_latest"
+    if not manifest.exists():
+        return 0
+    return int(manifest.read_text().strip())
+
+
+def read_latest_snapshot(spark, base_path: str) -> DataFrame:
+    """The DataFrame for the manifest's current version."""
+    version = read_latest_version(base_path)
+    if version == 0:
+        raise FileNotFoundError(f"no snapshot published under {base_path}")
+    return spark.read.parquet(str(Path(base_path) / f"v={version}"))

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import json
 import time
+
+import pytest
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -130,3 +132,82 @@ def test_retention_cleanup(tmp_path):
     removed = cleanup_old_data(str(base), retention_days=7)
     assert str(base / "fresh.txt") not in removed
     assert (base / "fresh.txt").exists()
+
+
+class TestCompaction:
+    def test_compacts_many_small_files(self, spark, tmp_path):
+        from autonomous_orchestrator_ai_spark.sources.writers import (
+            compact_parquet,
+        )
+
+        src = tmp_path / "small"
+        spark.range(1000).repartition(20).write.parquet(str(src))
+        stats = compact_parquet(
+            spark, str(src), str(tmp_path / "compact"), target_file_bytes=10**9
+        )
+        assert stats["files_before"] == 20
+        assert stats["files_after"] == 1
+        assert spark.read.parquet(str(tmp_path / "compact")).count() == 1000
+
+    def test_refuses_existing_target(self, spark, tmp_path):
+        from autonomous_orchestrator_ai_spark.sources.writers import (
+            compact_parquet,
+        )
+
+        src = tmp_path / "src"
+        spark.range(10).write.parquet(str(src))
+        with pytest.raises(FileExistsError):
+            compact_parquet(spark, str(src), str(src))
+
+
+class TestVersionedSnapshots:
+    def test_publish_and_read_latest(self, spark, tmp_path):
+        from autonomous_orchestrator_ai_spark.sources.writers import (
+            read_latest_snapshot,
+            read_latest_version,
+            write_versioned_snapshot,
+        )
+
+        base = str(tmp_path / "snap")
+        assert write_versioned_snapshot(spark.range(5), base) == 1
+        assert write_versioned_snapshot(spark.range(7), base) == 2
+        assert read_latest_version(base) == 2
+        assert read_latest_snapshot(spark, base).count() == 7
+        # old version remains readable (time travel)
+        assert spark.read.parquet(f"{base}/v=1").count() == 5
+
+    def test_unpublished_raises(self, spark, tmp_path):
+        from autonomous_orchestrator_ai_spark.sources.writers import (
+            read_latest_snapshot,
+        )
+
+        with pytest.raises(FileNotFoundError):
+            read_latest_snapshot(spark, str(tmp_path / "missing"))
+
+
+class TestStrictReaders:
+    def test_csv_corrupt_capture(self, spark, tmp_path):
+        from autonomous_orchestrator_ai_spark.sources.readers import (
+            read_csv_strict,
+        )
+
+        p = tmp_path / "data.csv"
+        p.write_text("id,value\n1,2.5\nnot_an_int,3.0\n2,4.5\n")
+        df = read_csv_strict(spark, str(p), "id int, value double").cache()
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2 and bad.count() == 1
+        assert bad.first()._corrupt_record.startswith("not_an_int")
+        df.unpersist()
+
+    def test_jsonl_corrupt_capture(self, spark, tmp_path):
+        from autonomous_orchestrator_ai_spark.sources.readers import (
+            read_jsonl,
+        )
+
+        p = tmp_path / "data.jsonl"
+        p.write_text('{"id": 1}\n{broken\n{"id": 2}\n')
+        df = read_jsonl(spark, str(p), "id int").cache()
+        assert df.filter(F.col("_corrupt_record").isNull()).count() == 2
+        assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+        df.unpersist()
