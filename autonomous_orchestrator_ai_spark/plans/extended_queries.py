@@ -719,3 +719,42 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_over_avg"
         ),
     )
+
+
+@register(
+    "order_value_deciles",
+    oracle="""
+    WITH tiled AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             NTILE(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+    SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(price), 2) AS lo,
+           ROUND(MAX(price), 2) AS hi
+    FROM tiled GROUP BY o_orderpriority, decile
+    """,
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-priority order-value deciles (NTILE): the ranking-function
+    complement to percent_rank/row_number already in the surface. The
+    tile window partitions by priority, so sorting parallelizes across
+    groups — the scale-safe form (a GLOBAL ntile would be one sort
+    partition). Unique tie-break (o_orderkey) keeps bucket edges
+    engine-identical."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    tiled = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )
+    return tiled.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("price"), 2).alias("lo"),
+        F.round(F.max("price"), 2).alias("hi"),
+    )

@@ -215,3 +215,46 @@ def run_foreach_batch(
     query.awaitTermination(timeout_seconds)
     if query.isActive:
         query.stop()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left row with right rows
+    of the same ``key`` whose timestamp lands in [left_ts, left_ts +
+    ``within``] (the view→click attribution shape).
+
+    Both sides carry a watermark AND the join condition bounds the time
+    range — that pair is what lets Spark expire join state instead of
+    buffering both streams forever; without it a stream-stream join is an
+    unbounded-memory plan. State size is O(events inside watermark +
+    ``within``), independent of total stream length. Output columns:
+    ``key``, ``left_ts``, ``right_ts`` plus disambiguated left_/right_
+    copies of remaining columns."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = l.join(r, cond, how)
+    keep = [
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{left_ts}").alias(left_ts),
+        F.col(f"r.{right_ts}").alias(right_ts),
+    ]
+    for side, df_, ts in (("left", left, left_ts), ("right", right, right_ts)):
+        for c in df_.columns:
+            if c not in (key, left_ts, right_ts):
+                keep.append(
+                    F.col(f"{side[0]}.{c}").alias(f"{side}_{c}")
+                )
+    return joined.select(*keep)

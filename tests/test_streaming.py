@@ -172,3 +172,63 @@ def test_incremental_dedup_sink(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2, 5, 7}
     assert spark.read.parquet(idx).count() == 4
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """View→click attribution: clicks join only when they land within 30
+    minutes after the same user's view; later clicks age out."""
+    import json as _json
+
+    from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    views_dir = tmp_path / "views"
+    clicks_dir = tmp_path / "clicks"
+    views_dir.mkdir()
+    clicks_dir.mkdir()
+    (views_dir / "v.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 1, "view_ts": "2024-01-15T10:00:00", "page": "a"},
+                {"user_id": 2, "view_ts": "2024-01-15T10:05:00", "page": "b"},
+            ]
+        )
+    )
+    (clicks_dir / "c.jsonl").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 1, "click_ts": "2024-01-15T10:10:00", "target": "x"},
+                {"user_id": 1, "click_ts": "2024-01-15T11:30:00", "target": "y"},  # too late
+                {"user_id": 2, "click_ts": "2024-01-15T10:04:00", "target": "z"},  # before view
+            ]
+        )
+    )
+    views = (
+        spark.readStream.schema("user_id bigint, view_ts string, page string")
+        .json(str(views_dir))
+        .withColumn("view_ts", F.to_timestamp("view_ts"))
+    )
+    clicks = (
+        spark.readStream.schema("user_id bigint, click_ts string, target string")
+        .json(str(clicks_dir))
+        .withColumn("click_ts", F.to_timestamp("click_ts"))
+    )
+    joined = stream_stream_interval_join(
+        views, clicks, "user_id", "view_ts", "click_ts", within="30 minutes"
+    )
+    out = str(tmp_path / "joined_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == 1
+    assert rows[0].left_page == "a" and rows[0].right_target == "x"
