@@ -66,6 +66,7 @@ def load_all() -> None:
         layout_queries,
         pipeline_queries,
         similarity_queries,
+        snapshot_queries,
         text_queries,
         timeseries_queries,
         tpch,
