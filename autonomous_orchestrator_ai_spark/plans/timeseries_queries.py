@@ -152,3 +152,85 @@ def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, event_type, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag per (user, time) gives adjacent pairs, counted and normalized per
+    source state — the user-journey profile behind funnel design. One
+    user_id-keyed sort for the lag, one pair-keyed agg, one tiny window
+    over the 5x5 result."""
+    events = table(spark, sf_dir, "events")
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "event_type",
+            F.lag("event_type").over(seq_w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total_w = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total_w), 6).alias("p"),
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling weekly-active-users: exact distinct users over each
+    trailing 7-day window. The day grid (one row per distinct day) is
+    broadcast into a range join against the deduped (user, day) set, so
+    each user-day lands in <=7 windows — linear fan-out, no
+    quadratic self-join, no giant collect_set window state. At extreme
+    scale swap exact distinct for per-day HLL sketches merged across the
+    window."""
+    events = table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select(F.col("day").alias("grid_day")).distinct()
+    return (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("grid_day"))
+            & (F.col("day") >= F.date_sub(F.col("grid_day"), 6)),
+        )
+        .groupBy("grid_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(
+            F.date_format("grid_day", "yyyy-MM-dd").alias("day"),
+            "active_users_7d",
+        )
+    )
