@@ -65,6 +65,7 @@ def load_all() -> None:
         extended_queries,
         layout_queries,
         pipeline_queries,
+        scoring_queries,
         similarity_queries,
         snapshot_queries,
         text_queries,

@@ -1,0 +1,180 @@
+"""Corpus-relative scoring queries (operators.scoring) with DuckDB oracles.
+
+TF-IDF salience, unigram-LM log-probability quality, rank-trimmed robust
+statistics, and the deterministic random-projection sketch. These extend the
+reference's per-row quality surface (SURVEY.md §2.10) to corpus-relative
+signals a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
+from autonomous_orchestrator_ai_spark.operators.scoring import (
+    random_projection,
+    tfidf_terms,
+    top_terms_per_doc,
+    trimmed_stats,
+    unigram_logprob,
+)
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+# DuckDB token mirror of operators.scoring.explode_tokens: lowercase,
+# whitespace-split, drop empties (empty docs contribute no rows).
+_TOKENS_CTE = """
+    tokens AS (
+      SELECT doc_id, t AS token
+      FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t <> ''
+    )
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tokens WHERE doc_id < 50 GROUP BY doc_id, token),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tokens GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1.0) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf, df,
+             ROUND(tfidf, 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token ASC) AS rnk
+      FROM scored)
+    SELECT doc_id, token, tf, df, tfidf
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms for each of the first 50 docs. Document frequency
+    is computed over the WHOLE corpus (statistics side, token-keyed shuffle
+    join); the scored slice is broadcast into it. idf = ln((N+1)/(df+1))+1
+    (smoothed, sklearn-style)."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    scored = tfidf_terms(docs, scored_docs=docs.filter(F.col("doc_id") < 50))
+    return top_terms_per_doc(
+        scored.withColumn("tfidf", F.round("tfidf", 6)), k=3
+    ).select("doc_id", "token", "tf", "df", "tfidf")
+
+
+@register(
+    "unigram_logprob_by_source",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    vocab AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tokens GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total_tokens FROM vocab),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             AVG(ln(v.cnt * 1.0 / tot.total_tokens)) AS mean_logprob
+      FROM tokens t JOIN vocab v USING (token) CROSS JOIN tot
+      GROUP BY t.doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.mean_logprob), 4) AS avg_logprob,
+           ROUND(MIN(p.mean_logprob), 4) AS worst_logprob,
+           ROUND(MAX(p.mean_logprob), 4) AS best_logprob
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def unigram_logprob_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality signal (the CCNet perplexity proxy) rolled up by
+    source: which corpus slices are full of globally-rare tokens. One
+    vocabulary shuffle + one token join + two aggregations."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    per_doc = unigram_logprob(docs)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mean_logprob"), 4).alias("avg_logprob"),
+            F.round(F.min("mean_logprob"), 4).alias("worst_logprob"),
+            F.round(F.max("mean_logprob"), 4).alias("best_logprob"),
+        )
+    )
+
+
+@register(
+    "trimmed_value_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    kept AS (
+      SELECT event_type, value FROM ranked
+      WHERE rn > CAST(floor(n * 0.05) AS BIGINT)
+        AND rn <= n - CAST(floor(n * 0.05) AS BIGINT))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(AVG(value), 4) AS trimmed_mean,
+           ROUND(stddev_pop(value), 4) AS trimmed_std,
+           ROUND(MIN(value), 4) AS lo_cut,
+           ROUND(MAX(value), 4) AS hi_cut
+    FROM kept GROUP BY event_type
+    """,
+)
+def trimmed_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-trimmed (5% each tail) robust mean/std of events.value per type.
+    Order-statistic cuts, not interpolated percentiles — exact and
+    engine-portable; one shuffle serves the window and the aggregation."""
+    events = table(spark, sf_dir, "events")
+    out = trimmed_stats(events, "event_type", "value", "event_id", 0.05)
+    return out.select(
+        "event_type",
+        "n_kept",
+        F.round("trimmed_mean", 4).alias("trimmed_mean"),
+        F.round("trimmed_std", 4).alias("trimmed_std"),
+        F.round("lo_cut", 4).alias("lo_cut"),
+        F.round("hi_cut", 4).alias("hi_cut"),
+    )
+
+
+@register(
+    "random_projection_sketch",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS j,
+             unnest(embedding) AS v
+      FROM embeddings WHERE vec_id < 20),
+    dims AS (SELECT DISTINCT j FROM comps),
+    matrix AS (
+      SELECT dims.j AS j, CAST(k.k AS INTEGER) AS k,
+             CASE WHEN substr(md5('rp_' || dims.j || '_' || k.k), 1, 1) < '8'
+                  THEN 1.0 ELSE -1.0 END AS sign
+      FROM dims, generate_series(0, 7) AS k(k))
+    SELECT c.vec_id, m.k,
+           ROUND(SUM(c.v * m.sign), 4) AS component
+    FROM comps c JOIN matrix m USING (j)
+    GROUP BY c.vec_id, m.k
+    """,
+)
+def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 sign projection of the first 20 embeddings
+    to 8 dimensions. The projection matrix is derived from md5 — identical
+    on any engine, no stored model — generated inline and broadcast, so the
+    operator is one broadcast join + one aggregation at any corpus size."""
+    emb = ensure_min_parallelism(table(spark, sf_dir, "embeddings"))
+    out = random_projection(emb.filter(F.col("vec_id") < 20), 8, seed="rp")
+    return out.select(
+        "vec_id", "k", F.round("component", 4).alias("component")
+    )

@@ -1,0 +1,152 @@
+"""operators.scoring: TF-IDF, unigram log-prob, trimmed stats, random
+projection — algebraic invariants plus plan-shape checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.scoring import (
+    explode_tokens,
+    random_projection,
+    tfidf_terms,
+    top_terms_per_doc,
+    trimmed_stats,
+    unigram_logprob,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "a"),
+            (2, "the dog sat on the log", "a"),
+            (3, "quantum flux capacitor", "b"),
+            (4, "", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+class TestTfidf:
+    def test_rare_terms_outscore_common(self, docs):
+        scored = tfidf_terms(docs).collect()
+        by = {(r.doc_id, r.token): r for r in scored}
+        # "quantum" appears in 1 doc, "the" in 2: idf(quantum) > idf(the)
+        assert by[(3, "quantum")].tfidf > by[(1, "the")].tfidf / by[(1, "the")].tf
+        # df counts documents, not occurrences: "the" occurs 4x in 2 docs
+        assert by[(1, "the")].df == 2 and by[(1, "the")].tf == 2
+
+    def test_empty_doc_contributes_nothing(self, docs):
+        assert explode_tokens(docs, "doc_id", "text").filter(
+            F.col("doc_id") == 4
+        ).count() == 0
+
+    def test_sliced_scoring_keeps_corpus_df(self, docs):
+        whole = tfidf_terms(docs)
+        sliced = tfidf_terms(docs, scored_docs=docs.filter(F.col("doc_id") == 1))
+        w = {r.token: r for r in whole.filter(F.col("doc_id") == 1).collect()}
+        s = {r.token: r for r in sliced.collect()}
+        assert set(s) == set(w)
+        for t in s:
+            assert s[t].df == w[t].df and s[t].tfidf == pytest.approx(w[t].tfidf)
+
+    def test_top_terms_deterministic_tiebreak(self, docs):
+        top = top_terms_per_doc(tfidf_terms(docs), k=2)
+        rows = top.filter(F.col("doc_id") == 3).orderBy("token").collect()
+        assert len(rows) == 2  # 3 equal-score tokens -> lexicographic pick
+        assert [r.token for r in rows] == ["capacitor", "flux"]
+
+
+class TestUnigramLogprob:
+    def test_matches_hand_computation(self, docs):
+        out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+        # corpus: doc1+doc2+doc3 tokens
+        toks = (
+            "the cat sat on the mat the dog sat on the log "
+            "quantum flux capacitor"
+        ).split()
+        total = len(toks)
+        cnt = {t: toks.count(t) for t in set(toks)}
+        d3 = [math.log(cnt[t] / total) for t in "quantum flux capacitor".split()]
+        assert out[3].mean_logprob == pytest.approx(sum(d3) / 3)
+        assert out[3].n_tokens == 3
+        assert 4 not in out  # empty doc has no tokens
+        # common-word doc scores higher than rare-word doc
+        assert out[1].mean_logprob > out[3].mean_logprob
+
+
+class TestTrimmedStats:
+    def test_outlier_removed(self, spark):
+        rows = [("a", float(v), v) for v in range(1, 21)] + [("a", 1e9, 99)]
+        df = spark.createDataFrame(rows, "g string, value double, id long")
+        out = trimmed_stats(df, "g", "value", "id", 0.05).collect()[0]
+        # n=21, k=floor(1.05)=1: drop min(1.0) and max(1e9)
+        assert out.n_kept == 19
+        assert out.hi_cut == 20.0 and out.lo_cut == 2.0
+        assert out.trimmed_mean == pytest.approx(sum(range(2, 21)) / 19)
+
+    def test_zero_trim_is_plain_stats(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0, 1), ("a", 3.0, 2)], "g string, value double, id long"
+        )
+        out = trimmed_stats(df, "g", "value", "id", 0.0).collect()[0]
+        assert out.n_kept == 2 and out.trimmed_mean == 2.0
+
+    def test_single_shuffle_plan(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0, 1)], "g string, value double, id long"
+        )
+        plan = trimmed_stats(df, "g", "value", "id")._jdf.queryExecution().executedPlan().toString()
+        # window + final agg reuse one hash-partitioning on g
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRandomProjection:
+    def test_shape_and_determinism(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(5)
+        out1 = random_projection(emb, 4).orderBy("vec_id", "k").collect()
+        out2 = random_projection(emb, 4).orderBy("vec_id", "k").collect()
+        assert len(out1) == 5 * 4
+        assert [r.component for r in out1] == [r.component for r in out2]
+
+    def test_linearity(self, spark):
+        # projection of 2v == 2 * projection of v (it's a linear map)
+        base = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            (r.vec_id, r.k): r.component
+            for r in random_projection(base, 3).collect()
+        }
+        for k in range(3):
+            assert out[(2, k)] == pytest.approx(2 * out[(1, k)])
+
+    def test_broadcast_join_plan(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = random_projection(emb, 4)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestRegisteredQueries:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "tfidf_top_terms",
+            "unigram_logprob_by_source",
+            "trimmed_value_stats",
+            "random_projection_sketch",
+        ],
+    )
+    def test_runs_nonempty(self, spark, name):
+        from autonomous_orchestrator_ai_spark.plans import registry
+
+        registry.load_all()
+        df = registry.QUERIES[name](spark, SF)
+        assert df.count() > 0
