@@ -273,9 +273,13 @@ def contamination_report(
     )
     train_shingles = train.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("__s")
-    ).distinct()
+    )
+    # Join BEFORE the distinct: the broadcast hash join filters the train
+    # shingle stream down to benchmark hits map-side, so the dedup shuffle
+    # carries only matches — not the entire corpus's (id, shingle) pairs.
     return (
         train_shingles.join(F.broadcast(bench_shingles), "__s")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
