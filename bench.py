@@ -42,6 +42,10 @@ HEADLINE = [
     "token_budget_mix",
     "top_tokens",
     "doc_repetition_stats",
+    "tfidf_top_terms",
+    "unigram_logprob_by_source",
+    "trimmed_value_stats",
+    "random_projection_sketch",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",
