@@ -232,3 +232,118 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].user_id == 1
     assert rows[0].left_page == "a" and rows[0].right_target == "x"
+
+
+class TestBucketedUpsertSink:
+    def test_latest_wins_merge_across_batches(self, spark, tmp_path):
+        import json as _json
+
+        from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+            bucketed_upsert_sink,
+            read_upsert_table,
+        )
+
+        in_dir = tmp_path / "updates"
+        in_dir.mkdir()
+
+        def write_file(name, rows):
+            (in_dir / name).write_text(
+                "\n".join(_json.dumps(r) for r in rows) + "\n"
+            )
+
+        write_file(
+            "b0.jsonl",
+            [
+                {"id": 1, "plan": "free", "seq": 10},
+                {"id": 2, "plan": "basic", "seq": 10},
+                {"id": 2, "plan": "premium", "seq": 11},  # in-batch collapse
+            ],
+        )
+        write_file(
+            "b1.jsonl",
+            [
+                {"id": 1, "plan": "enterprise", "seq": 20},  # update
+                {"id": 3, "plan": "basic", "seq": 20},       # insert
+                {"id": 2, "plan": "stale", "seq": 5},        # stale: ignored
+            ],
+        )
+
+        def stream():
+            return (
+                spark.readStream.schema("id bigint, plan string, seq bigint")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(in_dir))
+            )
+
+        table = str(tmp_path / "upsert_table")
+        ckpt = str(tmp_path / "upsert_ckpt")
+        bucketed_upsert_sink(
+            stream(), table, ckpt, ["id"], "seq", n_buckets=8,
+            timeout_seconds=120,
+        )
+
+        state = {r.id: (r.plan, r.seq) for r in read_upsert_table(spark, table).collect()}
+        assert state == {
+            1: ("enterprise", 20),
+            2: ("premium", 11),
+            3: ("basic", 20),
+        }
+
+        # second run, same checkpoint: tie on seq -> incoming batch wins
+        write_file("b2.jsonl", [{"id": 3, "plan": "premium", "seq": 20}])
+        bucketed_upsert_sink(
+            stream(), table, ckpt, ["id"], "seq", n_buckets=8,
+            timeout_seconds=120,
+        )
+        state = {r.id: (r.plan, r.seq) for r in read_upsert_table(spark, table).collect()}
+        assert state[3] == ("premium", 20)
+        assert len(state) == 3
+
+    def test_untouched_bucket_files_not_rewritten(self, spark, tmp_path):
+        import os
+
+        from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+            bucketed_upsert_sink,
+        )
+
+        in_dir = tmp_path / "updates"
+        in_dir.mkdir()
+        rows0 = [{"id": i, "plan": "p", "seq": 1} for i in range(50)]
+        (in_dir / "b0.jsonl").write_text(
+            "\n".join(__import__("json").dumps(r) for r in rows0) + "\n"
+        )
+
+        def stream():
+            return (
+                spark.readStream.schema("id bigint, plan string, seq bigint")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(in_dir))
+            )
+
+        table = str(tmp_path / "t")
+        bucketed_upsert_sink(
+            stream(), table, str(tmp_path / "c1"), ["id"], "seq",
+            n_buckets=16, timeout_seconds=120,
+        )
+        mtimes = {}
+        for root, _dirs, files in os.walk(table):
+            for f in files:
+                p = os.path.join(root, f)
+                mtimes[p] = os.path.getmtime(p)
+
+        # one-key update: only that key's bucket partition may change
+        (in_dir / "b1.jsonl").write_text(
+            __import__("json").dumps({"id": 0, "plan": "q", "seq": 2}) + "\n"
+        )
+        bucketed_upsert_sink(
+            stream(), table, str(tmp_path / "c1"), ["id"], "seq",
+            n_buckets=16, timeout_seconds=120,
+        )
+        from pyspark.sql import functions as F
+
+        bucket0 = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(0).cast("bigint")), F.lit(16)).cast("int").alias("b")
+        ).collect()[0].b
+        for p, old_m in mtimes.items():
+            if os.path.exists(p) and f"__bucket={bucket0}" not in p and p.endswith(".parquet"):
+                assert os.path.getmtime(p) == old_m, f"untouched bucket rewritten: {p}"
