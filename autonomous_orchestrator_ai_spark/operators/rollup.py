@@ -56,15 +56,16 @@ def refresh_rollup_incremental(
     spark: SparkSession, events_tail: DataFrame, rollup_path: str, bucket: str = "1 hour"
 ) -> None:
     """Recompute only the date partitions the tail touches (dynamic
-    partition overwrite — history partitions untouched)."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        _bucketed(events_tail, bucket).write.mode("overwrite").partitionBy(
-            "bucket_date"
-        ).parquet(rollup_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    partition overwrite — history partitions untouched). Uses the
+    per-write option, which overrides the session conf, so concurrent
+    plain overwrites on the same SparkSession keep static semantics."""
+    (
+        _bucketed(events_tail, bucket)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket_date")
+        .parquet(rollup_path)
+    )
 
 
 def rollup_with_tail(

@@ -268,6 +268,7 @@ def bucketed_upsert_sink(
     seq_col: str,
     n_buckets: int = 64,
     timeout_seconds: float | None = None,
+    staging_dir: str | None = None,
 ) -> None:
     """Streaming SCD-1 upsert (latest-wins MERGE) with bucket-pruned
     rewrites — the keyed-table complement of ``incremental_dedup_sink``.
@@ -289,6 +290,22 @@ def bucketed_upsert_sink(
     per-partition on plain parquet; a crash mid-commit can leave a mix of
     old/new buckets (each internally consistent). A transactional table
     format gives the cross-partition commit; the dataflow stays identical.
+
+    Table existence is decided by an explicit ``FileSystem.exists`` probe
+    (never by catching read/union errors): a drifted batch schema or a
+    transient storage failure fails the micro-batch loudly — Structured
+    Streaming retries it — instead of being mistaken for "first batch"
+    and dynamic-overwriting live buckets with batch-only rows.
+
+    Durability: the merged result must be materialized before the
+    overwrite deletes the partitions it was read from. The default uses
+    ``localCheckpoint`` — blocks live on executor-local storage with
+    truncated lineage, so losing an executor between materialization and
+    the write (e.g. dynamic-allocation scale-in) fails the batch; the
+    parquet commit is job-atomic and replay repairs, so this is an
+    availability gap, not corruption. For long-running deployments pass
+    ``staging_dir``: the merge is staged to reliable storage and re-read,
+    surviving executor loss at the cost of one extra write.
     """
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -304,14 +321,16 @@ def bucketed_upsert_sink(
         affected = [
             r[0] for r in incoming.select("__bucket").distinct().collect()
         ]
-        try:
+        if _hadoop_path_exists(spark, table_path):
             current = (
                 spark.read.parquet(table_path)
                 .filter(F.col("__bucket").isin(affected))
                 .withColumn("__prio", F.lit(0))
             )
+            # outside any guard: a schema-drifted batch fails the union
+            # (and the micro-batch) instead of silently dropping `current`
             merged_in = incoming.unionByName(current)
-        except Exception:  # first batch: table doesn't exist yet
+        else:  # first batch: table doesn't exist yet
             merged_in = incoming
         w = Window.partitionBy(*key_cols).orderBy(
             F.desc(seq_col), F.desc("__prio")
@@ -320,40 +339,38 @@ def bucketed_upsert_sink(
             merged_in.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__prio")
-            # the upsert read-modify-writes the same path: materialize
-            # before the overwrite drops the partitions being read
-            .localCheckpoint()
         )
-        # mode=overwrite under dynamic partitionOverwriteMode replaces only
-        # the buckets present in `merged` (and creates the table on the
-        # first batch); committed-epoch replays rewrite the same buckets to
-        # the same state, so the sink is idempotent.
-        with _dynamic_partition_overwrite(spark):
-            merged.write.mode("overwrite").partitionBy("__bucket").parquet(
-                table_path
-            )
+        # the upsert read-modify-writes the same path: materialize before
+        # the overwrite drops the partitions being read
+        if staging_dir is not None:
+            stage = f"{staging_dir.rstrip('/')}/epoch={epoch_id}"
+            merged.write.mode("overwrite").parquet(stage)
+            merged = spark.read.parquet(stage)
+        else:
+            merged = merged.localCheckpoint()
+        # mode=overwrite + the per-write dynamic partitionOverwriteMode
+        # option replaces only the buckets present in `merged` (and creates
+        # the table on the first batch); committed-epoch replays rewrite the
+        # same buckets to the same state, so the sink is idempotent. The
+        # per-write option takes precedence over the session conf, so
+        # concurrent writers on this SparkSession are unaffected.
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(table_path)
+        )
 
     run_foreach_batch(stream, merge_batch, checkpoint, timeout_seconds)
 
 
-class _dynamic_partition_overwrite:
-    """Scope spark.sql.sources.partitionOverwriteMode=dynamic: overwrite
-    replaces only the partitions present in the written data."""
-
-    KEY = "spark.sql.sources.partitionOverwriteMode"
-
-    def __init__(self, spark) -> None:
-        self.spark = spark
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get(self.KEY, None)
-        self.spark.conf.set(self.KEY, "dynamic")
-
-    def __exit__(self, *exc):
-        if self.prev is None:
-            self.spark.conf.unset(self.KEY)
-        else:
-            self.spark.conf.set(self.KEY, self.prev)
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists, via the table's own Hadoop FileSystem
+    (works for local paths, HDFS, and object stores alike)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def read_upsert_table(spark, table_path: str) -> DataFrame:

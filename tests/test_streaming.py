@@ -299,6 +299,99 @@ class TestBucketedUpsertSink:
         assert state[3] == ("premium", 20)
         assert len(state) == 3
 
+    def test_schema_drift_fails_batch_without_data_loss(self, spark, tmp_path):
+        """A batch whose schema drifted must FAIL the micro-batch (union
+        error), never be treated as 'table missing' and dynamic-overwrite
+        live buckets with batch-only rows."""
+        import json as _json
+
+        import pytest
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
+        from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+            bucketed_upsert_sink,
+            read_upsert_table,
+        )
+
+        in1 = tmp_path / "in1"
+        in1.mkdir()
+        (in1 / "b0.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"id": i, "plan": "p", "seq": 1}) for i in range(40)
+            )
+            + "\n"
+        )
+        table = str(tmp_path / "t")
+        bucketed_upsert_sink(
+            spark.readStream.schema("id bigint, plan string, seq bigint")
+            .json(str(in1)),
+            table,
+            str(tmp_path / "c1"),
+            ["id"],
+            "seq",
+            n_buckets=4,
+            timeout_seconds=120,
+        )
+        before = {r.id: r.plan for r in read_upsert_table(spark, table).collect()}
+        assert len(before) == 40
+
+        # drifted batch: `plan` column gone — would touch every bucket
+        in2 = tmp_path / "in2"
+        in2.mkdir()
+        (in2 / "b1.jsonl").write_text(
+            "\n".join(_json.dumps({"id": i, "seq": 2}) for i in range(40)) + "\n"
+        )
+        with pytest.raises(StreamingQueryException):
+            bucketed_upsert_sink(
+                spark.readStream.schema("id bigint, seq bigint").json(str(in2)),
+                table,
+                str(tmp_path / "c2"),
+                ["id"],
+                "seq",
+                n_buckets=4,
+                timeout_seconds=120,
+            )
+        after = {r.id: r.plan for r in read_upsert_table(spark, table).collect()}
+        assert after == before, "failed batch must leave the table intact"
+
+    def test_staging_dir_durable_merge(self, spark, tmp_path):
+        """staging_dir mode: merge staged to reliable storage instead of
+        localCheckpoint; results identical."""
+        import json as _json
+
+        from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+            bucketed_upsert_sink,
+            read_upsert_table,
+        )
+
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        (in_dir / "b0.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"id": i, "plan": "p", "seq": 1}) for i in range(10)
+            )
+            + "\n"
+        )
+        (in_dir / "b1.jsonl").write_text(
+            _json.dumps({"id": 0, "plan": "q", "seq": 2}) + "\n"
+        )
+        table = str(tmp_path / "t")
+        bucketed_upsert_sink(
+            spark.readStream.schema("id bigint, plan string, seq bigint")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(in_dir)),
+            table,
+            str(tmp_path / "c"),
+            ["id"],
+            "seq",
+            n_buckets=4,
+            timeout_seconds=120,
+            staging_dir=str(tmp_path / "stage"),
+        )
+        state = {r.id: (r.plan, r.seq) for r in read_upsert_table(spark, table).collect()}
+        assert state[0] == ("q", 2)
+        assert len(state) == 10
+
     def test_untouched_bucket_files_not_rewritten(self, spark, tmp_path):
         import os
 
@@ -344,6 +437,10 @@ class TestBucketedUpsertSink:
         bucket0 = spark.range(1).select(
             F.pmod(F.xxhash64(F.lit(0).cast("bigint")), F.lit(16)).cast("int").alias("b")
         ).collect()[0].b
+        # a rewritten bucket DELETES its old part files (new files get
+        # fresh UUID names), so existence must be asserted, not used as a
+        # skip condition — otherwise a full static overwrite passes here
         for p, old_m in mtimes.items():
-            if os.path.exists(p) and f"__bucket={bucket0}" not in p and p.endswith(".parquet"):
+            if f"__bucket={bucket0}" not in p and p.endswith(".parquet"):
+                assert os.path.exists(p), f"untouched bucket file deleted: {p}"
                 assert os.path.getmtime(p) == old_m, f"untouched bucket rewritten: {p}"
