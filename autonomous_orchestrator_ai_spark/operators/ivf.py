@@ -111,6 +111,49 @@ def _partials_fn(centroids: np.ndarray):
     return fn
 
 
+def kmeans_sample(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Lloyd's k-means trained on a bounded deterministic sample,
+    driver-side — the standard coarse-quantizer recipe (FAISS trains IVF
+    lists on ~39·k..256·k sampled vectors, not the corpus): one Spark job
+    collects the ``sample_size`` rows with the smallest
+    ``md5(id)`` (TakeOrderedAndProject — pseudo-random spread, no global
+    window, no count), then NumPy runs the iterations locally. At 100 TB
+    the sample is still ~k·256 rows, so training cost is independent of
+    corpus size; only the ASSIGNMENT pass (ivf_topk's bucketing) scans the
+    data, and that is one distributed job. Deterministic: md5 order, ties
+    by id; argmax ties break toward the lowest centroid id."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), _as_double_array(vec_col).alias("__v"))
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    centroids = x[:k]
+    if len(centroids) < k:  # tiny inputs: pad with repeats
+        centroids = np.vstack([centroids] * ((k // len(centroids)) + 1))[:k]
+    centroids = centroids.copy()
+    for _ in range(iterations):
+        c_norm2 = (centroids * centroids).sum(axis=1)
+        assign = (2.0 * (x @ centroids.T) - c_norm2).argmax(axis=1)
+        new_centroids = centroids.copy()
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                new_centroids[c] = members.mean(axis=0)
+        if np.allclose(new_centroids, centroids, atol=1e-9):
+            break
+        centroids = new_centroids
+    return centroids
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -118,22 +161,19 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Lloyd's k-means; returns (k, dim) centroid matrix. Seeds = k rows
-    evenly spaced in id order (deterministic, and spread across the data —
-    taking the k smallest ids would often seed inside one cluster)."""
+    """Full-corpus Lloyd's k-means; returns (k, dim) centroid matrix.
+    Seeds = the k rows with smallest ``md5(id)`` (one TakeOrdered job —
+    deterministic pseudo-random spread; no count, no global window).
+    Prefer ``kmeans_sample`` for coarse-quantizer training: it matches
+    this within noise and costs one job total."""
     data = (
         ensure_min_parallelism(df)
         .select(F.col(id_col), _as_double_array(vec_col).alias("__v"))
         .persist()
     )
     try:
-        n = data.count()
-        w = Window.orderBy(id_col)
-        stride = max(1, n // k)
         seeds = (
-            data.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") - 1) % stride == 0)
-            .orderBy("__rn")
+            data.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
             .limit(k)
             .collect()
         )

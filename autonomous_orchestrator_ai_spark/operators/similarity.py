@@ -96,15 +96,50 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def signbit_bucket(vec: F.Column, planes: list[list[float]]) -> F.Column:
     """Sign-pattern bucket id: bit p set iff vec · plane_p >= 0."""
-    bucket = F.lit(0).cast("bigint")
-    for p, plane in enumerate(planes):
-        # one ArrayType Literal node per plane (F.lit on the list), not
-        # dim separate Literal nodes — keeps codegen small and JIT fast
-        plane_lit = F.lit([float(x) for x in plane])
-        bucket = bucket + (dot(vec, plane_lit) >= 0).cast("bigint") * F.lit(
-            2**p
-        ).cast("bigint")
-    return bucket
+    return signbit_buckets(vec, [planes])[0]
+
+
+def signbit_buckets(
+    vec: F.Column, tables_planes: list[list[list[float]]]
+) -> F.Column:
+    """Per-table sign-pattern bucket ids for ALL hash tables in one
+    expression: returns ``array<bigint>`` of length ``n_tables`` where
+    bit p of element t is set iff vec · plane[t][p] >= 0.
+
+    Built as one nested fold over a single flattened plane-matrix literal
+    instead of n_tables · n_planes independent zip_with/aggregate trees:
+    the old form cost ~0.4 s of driver-side Column construction PER TABLE
+    (py4j lambda round-trips) and produced an analysis tree that grew
+    linearly in tables × planes; this one is O(1) lambdas regardless of
+    table/plane count. Bucket values are identical (bit p ↔ 2**p).
+    """
+    n_tables = len(tables_planes)
+    n_planes = len(tables_planes[0])
+    flat = F.array(
+        *[
+            F.lit([float(x) for x in plane])
+            for planes in tables_planes
+            for plane in planes
+        ]
+    )
+
+    def table_bucket(t: F.Column) -> F.Column:
+        # fold planes high-bit → low-bit: acc*2 + sign_bit == Σ bit_p · 2^p
+        def step(acc: F.Column, p: F.Column) -> F.Column:
+            plane = F.element_at(flat, (t * n_planes + p + 1).cast("int"))
+            return acc * F.lit(2).cast("bigint") + (
+                dot(vec, plane) >= 0
+            ).cast("bigint")
+
+        return F.aggregate(
+            F.sequence(F.lit(n_planes - 1), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("bigint"),
+            step,
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)), table_bucket
+    )
 
 
 def lsh_bucketed_topk(
@@ -139,32 +174,44 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
     )
 
-    # ONE corpus scan: all tables' buckets computed in a single projection
-    # and exploded (a union per table would re-scan and re-hash per table).
+    # ONE corpus scan, ONE bucket expression: every table's bucket comes out
+    # of a single nested-fold array (signbit_buckets) and posexplode turns
+    # (row, [b_0..b_T]) into (row, table_id, bucket). A union per table
+    # would re-scan and re-hash; per-table expressions would re-build the
+    # whole driver-side tree per table.
     all_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    c_entries = [
-        F.struct(
-            F.lit(t).alias("table_id"),
-            signbit_bucket(F.col("__cv"), all_planes[t]).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
     c = c_base.select(
-        "neighbor_id", "__cv", F.explode(F.array(*c_entries)).alias("__e")
-    ).select("neighbor_id", "__cv", "__e.table_id", "__e.bucket")
+        "neighbor_id",
+        "__cv",
+        F.posexplode(signbit_buckets(F.col("__cv"), all_planes)).alias(
+            "table_id", "bucket"
+        ),
+    )
 
-    q_entries = []
-    for t in range(n_tables):
-        b0 = signbit_bucket(F.col("__qv"), all_planes[t])
-        probes = [b0]
-        if multiprobe_bits >= 1:
-            probes += [b0.bitwiseXOR(F.lit(2**p).cast("bigint")) for p in range(n_planes)]
-        q_entries += [
-            F.struct(F.lit(t).alias("table_id"), p.alias("bucket")) for p in probes
-        ]
+    # queries: same one-shot bucket array; probes (own bucket + 1-bit
+    # flips) are generated AFTER the explode, where `bucket` is a plain
+    # attribute — the hash computation is never duplicated per probe.
     q = q_base.select(
-        "query_id", "__qv", F.explode(F.array(*q_entries)).alias("__e")
-    ).select("query_id", "__qv", "__e.table_id", "__e.bucket")
+        "query_id",
+        "__qv",
+        F.posexplode(signbit_buckets(F.col("__qv"), all_planes)).alias(
+            "table_id", "bucket"
+        ),
+    )
+    if multiprobe_bits >= 1:
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**p).cast("bigint"))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id",
+            "__qv",
+            "table_id",
+            F.explode(probe_arr).alias("bucket"),
+        )
 
     pairs = c.join(F.broadcast(q), ["table_id", "bucket"])
     if exclude_self:

@@ -127,10 +127,15 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an iterative DataFrame algorithm — the oracle contract's exempt
     category), n_probe-nearest lists re-ranked exactly. Driver records a
     rows-only check; tests/test_ivf.py asserts recall on clustered data."""
-    from autonomous_orchestrator_ai_spark.operators.ivf import ivf_topk, kmeans
+    from autonomous_orchestrator_ai_spark.operators.ivf import (
+        ivf_topk,
+        kmeans_sample,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    centroids = kmeans(emb, k=8, iterations=3)
+    # coarse quantizer trained on a bounded sample (one TakeOrdered job +
+    # driver NumPy) — corpus-size-independent, the FAISS recipe
+    centroids = kmeans_sample(emb, k=8, iterations=10, sample_size=2048)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries, centroids, k=5, n_probe=3)
 
