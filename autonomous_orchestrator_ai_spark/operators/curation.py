@@ -548,3 +548,159 @@ def pack_sequences(
     return df.withColumn("seq_start_offset", start).withColumn(
         "seq_id", F.floor(F.col("seq_start_offset") / float(window_tokens)).cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter funnel (C4 / Gopher / RefinedWeb rule cascade)
+# ---------------------------------------------------------------------------
+
+
+def first_failed_rule(rules: list[tuple[str, Column]]) -> Column:
+    """Name of the FIRST rule a row fails (null = passes all): the
+    standard quality-cascade attribution, one CASE expression, one pass.
+    Rules are (name, keep-predicate) in application order."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    expr = None
+    for name, pred in rules:
+        expr = (
+            F.when(~pred, F.lit(name))
+            if expr is None
+            else expr.when(~pred, F.lit(name))
+        )
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def filter_funnel(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Per-stage funnel report for an ordered rule cascade: one row per
+    rule with (stage, rule, n_in, n_dropped, n_out, drop_rate).
+
+    One scan, one single-row aggregate (count + one conditional sum per
+    rule — all map-side partials), then the per-stage rows are pure
+    arithmetic over that row, exploded. No per-stage re-filtering: a
+    10-rule funnel over 100 TB still reads the data exactly once."""
+    ff = first_failed_rule(rules).alias("__ff")
+    agg = df.select(ff).agg(
+        F.count(F.lit(1)).alias("__total"),
+        *[
+            F.sum((F.col("__ff") == name).cast("bigint")).alias(f"__d{i}")
+            for i, (name, _) in enumerate(rules)
+        ],
+    )
+    stages = []
+    n_in: Column = F.col("__total")
+    for i, (name, _) in enumerate(rules):
+        dropped = F.coalesce(F.col(f"__d{i}"), F.lit(0)).cast("bigint")
+        stages.append(
+            F.struct(
+                F.lit(i).cast("bigint").alias("stage"),
+                F.lit(name).alias("rule"),
+                n_in.cast("bigint").alias("n_in"),
+                dropped.alias("n_dropped"),
+                (n_in - dropped).cast("bigint").alias("n_out"),
+            )
+        )
+        n_in = n_in - dropped
+    return (
+        agg.select(F.explode(F.array(*stages)).alias("__s"))
+        .select("__s.*")
+        .withColumn(
+            "drop_rate",
+            F.round(F.col("n_dropped") / F.greatest(F.col("n_in"), F.lit(1)), 6),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group caps (domain/source frequency capping)
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    md5 draw (the CommonCrawl-style per-domain frequency cap: no domain
+    may dominate the mix). The window partitions by group, so the sort
+    parallelizes across groups — hot groups are exactly the ones being
+    cut to ``cap``. Adds nothing; returns the kept rows."""
+    w = Window.partitionBy(group_col).orderBy(
+        sample_hash(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash sharding (training shard assignment)
+# ---------------------------------------------------------------------------
+
+
+def shard_assignment(
+    id_col: Column | str, n_shards: int, salt: str = "shard"
+) -> Column:
+    """Deterministic shard id in [0, n_shards): 16-bit md5 prefix mod
+    n_shards. Portable (md5, not xxhash), uniform, and stable under
+    corpus growth — a doc's shard never changes when other docs arrive,
+    which is what makes incremental shard refresh possible."""
+    id_col = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = sample_hash(id_col, salt)
+    return (
+        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint")
+        % n_shards
+    ).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Mixture / epoch planning
+# ---------------------------------------------------------------------------
+
+
+def mixture_epoch_plan(
+    per_source_tokens: DataFrame,
+    weights: dict[str, float],
+    target_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "available_tokens",
+) -> DataFrame:
+    """Training-mix plan: given per-source available token counts, target
+    mixture weights, and a total token budget, compute each source's
+    allocated tokens and epoch count (allocation / available — >1 means
+    the source repeats, the data-constrained-scaling question). The
+    weights ride in as a broadcast literal table (data, not plan — never
+    a giant CASE); unlisted sources get weight 0."""
+    spark = per_source_tokens.sparkSession
+    total_w = sum(weights.values())
+    wdf = spark.createDataFrame(
+        [(s, float(w) / total_w) for s, w in weights.items()],
+        f"{source_col} string, weight double",
+    )
+    return (
+        per_source_tokens.join(F.broadcast(wdf), source_col, "left")
+        .withColumn("weight", F.coalesce(F.col("weight"), F.lit(0.0)))
+        .select(
+            source_col,
+            F.col(tokens_col).cast("bigint").alias(tokens_col),
+            F.round("weight", 6).alias("weight"),
+            F.round(F.col("weight") * target_tokens, 2).alias(
+                "allocated_tokens"
+            ),
+            F.round(
+                F.col("weight")
+                * target_tokens
+                / F.greatest(F.col(tokens_col), F.lit(1)),
+                4,
+            ).alias("epochs"),
+            (
+                F.col("weight") * target_tokens
+                > F.col(tokens_col).cast("double")
+            ).alias("oversampled"),
+        )
+    )

@@ -523,3 +523,176 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq_tokens").alias("max_seq_tokens"),
         F.round(F.sum("n_docs") / F.count(F.lit(1)), 4).alias("avg_docs_per_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter funnel / caps / shards / mixture plan
+# ---------------------------------------------------------------------------
+
+_FUNNEL_FF = f"""CASE
+      WHEN NOT (n_chars >= 150) THEN 'min_chars'
+      WHEN NOT (lang = 'en') THEN 'lang_en'
+      WHEN NOT ({_TOKEN_COUNT} >= 30) THEN 'min_tokens'
+      WHEN NOT (n_chars * 1.0 / ({_TOKEN_COUNT}) BETWEEN 3 AND 15)
+        THEN 'mean_word_len'
+      END"""
+
+
+@register(
+    "filter_funnel_report",
+    oracle=f"""
+    WITH flagged AS (SELECT {_FUNNEL_FF} AS ff FROM documents),
+    a AS (SELECT COUNT(*) AS total,
+          SUM(CASE WHEN ff = 'min_chars' THEN 1 ELSE 0 END) AS d0,
+          SUM(CASE WHEN ff = 'lang_en' THEN 1 ELSE 0 END) AS d1,
+          SUM(CASE WHEN ff = 'min_tokens' THEN 1 ELSE 0 END) AS d2,
+          SUM(CASE WHEN ff = 'mean_word_len' THEN 1 ELSE 0 END) AS d3
+          FROM flagged)
+    SELECT CAST(stage AS BIGINT) AS stage, rule,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(n_in - n_dropped AS BIGINT) AS n_out,
+           ROUND(n_dropped * 1.0 / GREATEST(n_in, 1), 6) AS drop_rate
+    FROM (
+      SELECT 0 AS stage, 'min_chars' AS rule, total AS n_in, d0 AS n_dropped FROM a
+      UNION ALL SELECT 1, 'lang_en', total - d0, d1 FROM a
+      UNION ALL SELECT 2, 'min_tokens', total - d0 - d1, d2 FROM a
+      UNION ALL SELECT 3, 'mean_word_len', total - d0 - d1 - d2, d3 FROM a
+    )
+    """,
+)
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-rule cascade (operators.curation.
+    filter_funnel): per-stage in/dropped/out counts and drop rates, with
+    first-failing-rule attribution. ONE scan + one single-row aggregate
+    (conditional sums, all map-side partials) no matter how many rules —
+    the per-stage rows are arithmetic, not re-filters."""
+    from autonomous_orchestrator_ai_spark.operators.curation import filter_funnel
+
+    docs = table(spark, sf_dir, "documents")
+    tc = token_count("text")
+    rules = [
+        ("min_chars", F.col("n_chars") >= 150),
+        ("lang_en", F.col("lang") == "en"),
+        ("min_tokens", tc >= 30),
+        ("mean_word_len", (F.col("n_chars") / tc).between(3, 15)),
+    ]
+    return filter_funnel(docs, rules)
+
+
+@register(
+    "domain_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_DRAW_SQL.format(salt="cap")}, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 7 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (operators.curation.cap_per_group): at
+    most 7 docs per source, chosen by deterministic md5 draw. kept_chars
+    pins the EXACT surviving subset, not just its size. The row_number
+    window partitions by source, so hot domains sort in parallel and are
+    precisely the ones cut."""
+    from autonomous_orchestrator_ai_spark.operators.curation import cap_per_group
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    kept = cap_per_group(docs, "source", "doc_id", cap=7, salt="cap").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(kept, "source").select(
+        "source", "n_total", "n_kept", "kept_chars"
+    )
+
+
+@register(
+    "training_shard_manifest",
+    oracle=f"""
+    SELECT CAST(CAST(('0x' || {_DRAW_SQL.format(salt="shard")}) AS BIGINT) % 16
+             AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_TOKEN_COUNT}) AS BIGINT) AS shard_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (operators.curation.shard_assignment):
+    16-way deterministic md5 sharding with per-shard doc/token counts —
+    the writer-side plan for `.repartition(n, shard).write`. Shard ids
+    are stable under corpus growth (pure function of doc_id), so
+    incremental ingest only rewrites the shards it touches."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        shard_assignment,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard_id", shard_assignment("doc_id", 16, salt="shard"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("shard_tokens"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+_MIX_WEIGHTS = {f"src{i}": (2.0 if i % 4 == 0 else 1.0) for i in range(20)}
+_MIX_TARGET = 500_000
+_MIX_W_SQL = " ".join(
+    f"WHEN '{s}' THEN {w / sum(_MIX_WEIGHTS.values())!r}"
+    for s, w in _MIX_WEIGHTS.items()
+)
+
+
+@register(
+    "mixture_epoch_plan",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, SUM({_TOKEN_COUNT}) AS available_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT source, available_tokens,
+          CASE source {_MIX_W_SQL} ELSE 0.0 END AS wt FROM avail)
+    SELECT source,
+           CAST(available_tokens AS BIGINT) AS available_tokens,
+           CAST(ROUND(wt, 6) AS DOUBLE) AS weight,
+           CAST(ROUND(wt * {_MIX_TARGET}, 2) AS DOUBLE) AS allocated_tokens,
+           CAST(ROUND(wt * {_MIX_TARGET} / GREATEST(available_tokens, 1), 4)
+             AS DOUBLE) AS epochs,
+           wt * {_MIX_TARGET} > available_tokens AS oversampled
+    FROM w
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix plan (operators.curation.mixture_epoch_plan): given
+    per-source available tokens, target weights, and a 500k-token budget,
+    each source's allocation and epoch count (>1 epoch = repeated data,
+    the data-constrained-scaling flag). Weights join in as a broadcast
+    table — data, not a giant CASE in the plan."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        mixture_epoch_plan as plan,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("available_tokens")
+    )
+    return plan(avail, _MIX_WEIGHTS, _MIX_TARGET)

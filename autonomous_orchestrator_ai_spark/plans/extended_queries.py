@@ -705,8 +705,13 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn(
             "rank",
+            # ranks only the 10 surviving rows; the constant partition key
+            # states "one tiny partition" explicitly instead of tripping
+            # WindowExec's move-everything-to-one-partition warning
             F.row_number().over(
-                Window.orderBy(F.desc("n_rows"), F.asc("user_id"))
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.desc("n_rows"), F.asc("user_id")
+                )
             ).cast("bigint"),
         )
     )

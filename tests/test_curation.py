@@ -441,3 +441,107 @@ class TestPackSequences:
         df = spark.createDataFrame([Row(src="a", doc_id=1, n=3)])
         with pytest.raises(ValueError):
             pack_sequences(df, "n", 0, "src", "doc_id")
+
+
+class TestFilterFunnel:
+    def test_first_fail_attribution_and_cascade_counts(self, spark):
+        from pyspark.sql import functions as F
+
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            filter_funnel,
+        )
+
+        df = spark.createDataFrame(
+            [Row(n=5), Row(n=15), Row(n=25), Row(n=35), Row(n=45)]
+        )
+        rules = [
+            ("gte10", F.col("n") >= 10),   # drops n=5
+            ("gte30", F.col("n") >= 30),   # drops 15, 25
+        ]
+        out = {r.rule: r for r in filter_funnel(df, rules).collect()}
+        assert out["gte10"].stage == 0
+        assert (out["gte10"].n_in, out["gte10"].n_dropped, out["gte10"].n_out) == (5, 1, 4)
+        assert (out["gte30"].n_in, out["gte30"].n_dropped, out["gte30"].n_out) == (4, 2, 2)
+        assert out["gte10"].drop_rate == 0.2
+
+    def test_empty_input_yields_zero_rows_not_nulls(self, spark):
+        from pyspark.sql import functions as F
+
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            filter_funnel,
+        )
+
+        df = spark.createDataFrame([], "n bigint")
+        out = filter_funnel(df, [("gte10", F.col("n") >= 10)]).collect()
+        assert len(out) == 1
+        assert (out[0].n_in, out[0].n_dropped, out[0].n_out) == (0, 0, 0)
+
+    def test_rejects_empty_rules(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            filter_funnel,
+        )
+
+        with pytest.raises(ValueError):
+            filter_funnel(spark.range(1), [])
+
+
+class TestCapAndShard:
+    def test_cap_keeps_at_most_n_per_group_deterministically(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            cap_per_group,
+        )
+
+        rows = [Row(g="a", i=i) for i in range(10)] + [Row(g="b", i=i) for i in range(2)]
+        df = spark.createDataFrame(rows)
+        kept1 = sorted((r.g, r.i) for r in cap_per_group(df, "g", "i", 3).collect())
+        kept2 = sorted((r.g, r.i) for r in cap_per_group(df, "g", "i", 3).collect())
+        assert kept1 == kept2  # deterministic
+        from collections import Counter
+
+        counts = Counter(g for g, _ in kept1)
+        assert counts["a"] == 3
+        assert counts["b"] == 2  # group under the cap survives whole
+
+    def test_shard_assignment_stable_and_in_range(self, spark):
+        from pyspark.sql import functions as F
+
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            shard_assignment,
+        )
+
+        df = spark.range(200).select(
+            shard_assignment(F.col("id"), 8).alias("s"), "id"
+        )
+        stats = df.agg(
+            F.min("s").alias("lo"), F.max("s").alias("hi"),
+            F.count_distinct("s").alias("n"),
+        ).collect()[0]
+        assert stats.lo >= 0 and stats.hi <= 7 and stats.n == 8
+        # stability under corpus growth: same id -> same shard on a subset
+        sub = spark.range(50).select(shard_assignment(F.col("id"), 8).alias("s"), "id")
+        full = {r.id: r.s for r in df.collect()}
+        assert all(full[r.id] == r.s for r in sub.collect())
+
+
+class TestMixturePlan:
+    def test_allocation_and_epochs(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            mixture_epoch_plan,
+        )
+
+        avail = spark.createDataFrame(
+            [Row(source="a", available_tokens=100), Row(source="b", available_tokens=1000)]
+        )
+        out = {r.source: r for r in mixture_epoch_plan(avail, {"a": 1, "b": 3}, 400).collect()}
+        assert out["a"].weight == 0.25 and out["a"].allocated_tokens == 100.0
+        assert out["a"].epochs == 1.0 and not out["a"].oversampled
+        assert out["b"].allocated_tokens == 300.0 and out["b"].epochs == 0.3
+
+    def test_unlisted_source_gets_zero_weight(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            mixture_epoch_plan,
+        )
+
+        avail = spark.createDataFrame([Row(source="x", available_tokens=10)])
+        r = mixture_epoch_plan(avail, {"a": 1}, 100).collect()[0]
+        assert r.weight == 0.0 and r.allocated_tokens == 0.0 and not r.oversampled
