@@ -46,6 +46,10 @@ HEADLINE = [
     "unigram_logprob_by_source",
     "trimmed_value_stats",
     "random_projection_sketch",
+    "filter_funnel_report",
+    "domain_cap_sample",
+    "training_shard_manifest",
+    "mixture_epoch_plan",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",
