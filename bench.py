@@ -31,6 +31,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pq_ann_topk",
     "minhash_lsh_near_dups",
     "ngram_jaccard_pairs",
     "simhash_collision_groups",
