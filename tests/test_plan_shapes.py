@@ -210,3 +210,42 @@ def test_semantic_dedup_joins_on_block(spark):
     # within-block self-join: equi-join on the block column, no cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_funnel_single_scan_single_exchange(spark):
+    """The whole rule cascade is one conditional-sum aggregate: one scan
+    of documents, one single-row combine exchange — never a re-filter per
+    stage."""
+    plan = formatted_plan(spark, "filter_funnel_report")
+    nodes = plan_nodes(plan)
+    assert sum(1 for n in nodes if n.startswith("Scan")) == 1
+    assert nodes.count("Exchange") == 1
+    # projection pruned to the rule inputs
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "n_chars" in read_schema
+    assert "doc_id" not in read_schema
+
+
+def test_shard_manifest_partial_agg(spark):
+    """Shard rollup: map-side partial + final around one exchange."""
+    plan = formatted_plan(spark, "training_shard_manifest")
+    nodes = plan_nodes(plan)
+    assert nodes.count("Exchange") <= 2  # distinct(source) needs Expand/2nd agg
+    assert "HashAggregate" in nodes or "ObjectHashAggregate" in nodes
+
+
+def test_domain_cap_window_is_partitioned(spark):
+    """The cap's row_number partitions by source — no global window."""
+    plan = formatted_plan(spark, "domain_cap_sample")
+    assert "Window" in plan
+    win_line = next(
+        l for l in plan.splitlines() if "partition" in l.lower() and "source" in l
+    )
+    assert win_line
+
+
+def test_mixture_plan_weights_broadcast(spark):
+    """The weights table joins in as a broadcast, not a shuffle."""
+    plan = formatted_plan(spark, "mixture_epoch_plan")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
