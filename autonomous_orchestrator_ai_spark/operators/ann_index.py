@@ -147,3 +147,37 @@ def query_lsh_index(
             "rank",
         )
     )
+
+
+def append_to_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: bucket a batch of NEW vectors with
+    the same (seeded) hash family and APPEND into the partitioned index —
+    no rebuild, no read of existing data. A vector's buckets are a pure
+    function of (vector, seed), so ingest only ever adds files to the
+    partitions the batch touches; existing partitions are untouched
+    (the property that makes this safe to run from a streaming
+    foreachBatch). Compaction of accumulated small files is
+    ``sources.writers.compact_parquet``'s job, per partition."""
+    all_planes = _planes(dim, n_planes, n_tables, seed)
+    entries = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_array(vec_col).alias("vec"),
+        F.posexplode(signbit_buckets(_as_double_array(vec_col), all_planes)).alias(
+            "table_id", "bucket"
+        ),
+    )
+    (
+        entries.repartition("table_id", "bucket")
+        .write.mode("append")
+        .partitionBy("table_id", "bucket")
+        .parquet(path)
+    )

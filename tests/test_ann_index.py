@@ -78,3 +78,44 @@ class TestLshIndex:
         }
         assert buckets  # 2 planes -> up to 4 buckets per table
         assert all(0 <= int(b.split("=")[1]) < 4 for b in buckets)
+
+
+class TestIncrementalAppend:
+    def test_appended_vectors_are_findable_and_old_files_untouched(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from autonomous_orchestrator_ai_spark.operators.ann_index import (
+            append_to_lsh_index,
+        )
+
+        emb = table(spark, SF, "embeddings")
+        base = emb.filter(F.col("vec_id") < 400)
+        extra = emb.filter(F.col("vec_id") >= 400)
+        path = str(tmp_path / "idx")
+        build_lsh_index(base, path, n_planes=4, n_tables=2, dim=64)
+        mtimes = {}
+        for root, _d, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    mtimes[p] = os.path.getmtime(p)
+
+        append_to_lsh_index(extra, path, n_planes=4, n_tables=2, dim=64)
+        # every original file still present and unmodified (append never
+        # rewrites existing partitions)
+        for p, m in mtimes.items():
+            assert os.path.exists(p) and os.path.getmtime(p) == m
+
+        # index now equals a from-scratch build over the full corpus
+        queries = emb.filter(F.col("vec_id") < 5)
+        incremental = query_lsh_index(
+            spark, path, queries, k=5, n_planes=4, n_tables=2, dim=64
+        )
+        full_path = str(tmp_path / "idx_full")
+        build_lsh_index(emb, full_path, n_planes=4, n_tables=2, dim=64)
+        full = query_lsh_index(
+            spark, full_path, queries, k=5, n_planes=4, n_tables=2, dim=64
+        )
+        assert _rows(incremental) == _rows(full)
