@@ -172,3 +172,92 @@ def test_gapfill_is_dense_and_carries_forward(spark, obs):
         else:
             assert r.gap_filled
         assert r.v_filled == last
+
+
+@given(
+    values=st.lists(st.integers(0, 1000), min_size=1, max_size=30),
+    t1=st.integers(0, 1000),
+    t2=st.integers(0, 1000),
+)
+@settings(**SETTINGS)
+def test_filter_funnel_conserves_rows(spark, values, t1, t2):
+    """Funnel accounting is exact for ANY rule set: each stage's n_out is
+    the next stage's n_in, and total = final survivors + all drops."""
+    from autonomous_orchestrator_ai_spark.operators.curation import filter_funnel
+
+    df = spark.createDataFrame([(v,) for v in values], "v: long")
+    rules = [("r1", F.col("v") >= t1), ("r2", F.col("v") < t2)]
+    out = sorted(filter_funnel(df, rules).collect(), key=lambda r: r.stage)
+    assert out[0].n_in == len(values)
+    for a, b in zip(out, out[1:]):
+        assert a.n_out == b.n_in
+        assert a.n_in - a.n_dropped == a.n_out
+    assert sum(r.n_dropped for r in out) + out[-1].n_out == len(values)
+    # funnel semantics match a sequential filter
+    survivors = [v for v in values if v >= t1 and v < t2]
+    assert out[-1].n_out == len(survivors)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    n_groups=st.integers(1, 4),
+    cap=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_cap_per_group_bounds_and_subset(spark, ids, n_groups, cap):
+    """Cap output: per-group count = min(cap, group size); kept rows are a
+    subset of the input; selection is stable under re-runs."""
+    from autonomous_orchestrator_ai_spark.operators.curation import cap_per_group
+
+    rows = [(i, f"g{i % n_groups}") for i in ids]
+    df = spark.createDataFrame(rows, "id: long, g: string")
+    kept = cap_per_group(df, "g", "id", cap).collect()
+    from collections import Counter
+
+    by_group = Counter(r.g for r in kept)
+    input_sizes = Counter(g for _, g in rows)
+    for g, n in input_sizes.items():
+        assert by_group[g] == min(cap, n)
+    assert {(r.id, r.g) for r in kept} <= set(rows)
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    n_shards=st.integers(1, 32),
+)
+@settings(**SETTINGS)
+def test_shard_assignment_total_and_in_range(spark, ids, n_shards):
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        shard_assignment,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "id: long")
+    got = df.select(shard_assignment(F.col("id"), n_shards).alias("s")).collect()
+    assert len(got) == len(ids)
+    assert all(r.s is not None and 0 <= r.s < n_shards for r in got)
+
+
+@given(
+    avail=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(1, 10**6)),
+        min_size=1,
+        max_size=6,
+    ),
+    target=st.integers(1, 10**7),
+)
+@settings(**SETTINGS)
+def test_mixture_allocations_sum_to_target(spark, avail, target):
+    """Listed sources' allocations sum to ~target (weights normalized);
+    epochs > 1 iff allocation exceeds availability."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        mixture_epoch_plan,
+    )
+
+    rows = [(f"s{i}", t) for i, (_, t) in enumerate(avail)]
+    weights = {f"s{i}": float(w + 1) for i, (w, _) in enumerate(avail)}
+    df = spark.createDataFrame(rows, "source: string, available_tokens: long")
+    out = mixture_epoch_plan(df, weights, target).collect()
+    total_alloc = sum(r.allocated_tokens for r in out)
+    assert abs(total_alloc - target) < 0.02 * target + 1
+    for r in out:
+        assert r.oversampled == (r.allocated_tokens > r.available_tokens)
