@@ -90,3 +90,26 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view so queries can be
+    written in pure ``spark.sql`` — the second half of the DataFrame/SQL
+    surface. Views are lazy (no scan happens here) and carry the same
+    nanos-timestamp normalization as ``table``."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

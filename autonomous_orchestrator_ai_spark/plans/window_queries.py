@@ -317,3 +317,48 @@ def purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("signup_ts_str"),
         (F.unix_timestamp("ts") - F.unix_timestamp("ts_asof")).alias("seconds_since_signup"),
     )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           CAST(ROUND(CAST(revenue - LAG(revenue) OVER (ORDER BY month)
+                  AS DECIMAL(18,4)), 2) AS DOUBLE) AS mom_change,
+           ROUND(revenue / NULLIF(LAG(revenue) OVER (ORDER BY month), 0) - 1.0,
+                 6) AS mom_growth
+    FROM m
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth, written in PURE ``spark.sql`` over
+    registered views (plans.registry.register_views) — the SQL half of the
+    engine's DataFrame/SQL surface; Catalyst plans it identically to the
+    DataFrame form. The LAG window is global but runs over one row per
+    month (~tens of rows after the pre-aggregate), so the single-partition
+    sort is bounded by the month count, never the orders row count."""
+    from autonomous_orchestrator_ai_spark.plans.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                   AS DOUBLE) AS revenue
+          FROM orders GROUP BY 1)
+        SELECT month, revenue,
+               CAST(ROUND(CAST(revenue - LAG(revenue)
+                      OVER (PARTITION BY 1 ORDER BY month)
+                      AS DECIMAL(18,4)), 2) AS DOUBLE) AS mom_change,
+               ROUND(revenue / NULLIF(LAG(revenue)
+                      OVER (PARTITION BY 1 ORDER BY month), 0) - 1.0,
+                     6) AS mom_growth
+        FROM m
+        """
+    )
