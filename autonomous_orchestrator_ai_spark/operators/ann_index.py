@@ -117,11 +117,16 @@ def query_lsh_index(
         (r.table_id, r.bucket)
         for r in q.select("table_id", "bucket").distinct().collect()
     }
+    index = spark.read.parquet(path)
+    if not probe_keys:  # empty query batch -> empty result, not a crash
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, cosine_sim double, rank bigint",
+        )
     # partition-literal pruning: one disjunct per probed (table, bucket).
     # The query side is small by definition (a serving batch), so
     # recomputing its bucket expression for the join is cheaper than any
     # caching machinery.
-    index = spark.read.parquet(path)
     cond = None
     for t, b in sorted(probe_keys):
         this = (F.col("table_id") == t) & (F.col("bucket") == b)

@@ -558,15 +558,19 @@ def pack_sequences(
 def first_failed_rule(rules: list[tuple[str, Column]]) -> Column:
     """Name of the FIRST rule a row fails (null = passes all): the
     standard quality-cascade attribution, one CASE expression, one pass.
-    Rules are (name, keep-predicate) in application order."""
+    Rules are (name, keep-predicate) in application order. A NULL
+    predicate counts as FAILING its rule — matching what a real
+    ``.filter(pred)`` cascade does (filter drops NULL), so n_out always
+    equals the size of the sequentially-filtered output."""
     if not rules:
         raise ValueError("rules must be non-empty")
     expr = None
     for name, pred in rules:
+        fails = ~F.coalesce(pred, F.lit(False))
         expr = (
-            F.when(~pred, F.lit(name))
+            F.when(fails, F.lit(name))
             if expr is None
-            else expr.when(~pred, F.lit(name))
+            else expr.when(fails, F.lit(name))
         )
     return expr.otherwise(F.lit(None).cast("string"))
 

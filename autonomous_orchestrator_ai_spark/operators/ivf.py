@@ -111,33 +111,33 @@ def _partials_fn(centroids: np.ndarray):
     return fn
 
 
-def kmeans_sample(
-    df: DataFrame,
-    k: int = 8,
-    iterations: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample_size: int = 4096,
+def collect_md5_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_size: int
 ) -> np.ndarray:
-    """Lloyd's k-means trained on a bounded deterministic sample,
-    driver-side — the standard coarse-quantizer recipe (FAISS trains IVF
-    lists on ~39·k..256·k sampled vectors, not the corpus): one Spark job
-    collects the ``sample_size`` rows with the smallest
-    ``md5(id)`` (TakeOrderedAndProject — pseudo-random spread, no global
-    window, no count), then NumPy runs the iterations locally. At 100 TB
-    the sample is still ~k·256 rows, so training cost is independent of
-    corpus size; only the ASSIGNMENT pass (ivf_topk's bucketing) scans the
-    data, and that is one distributed job. Deterministic: md5 order, ties
-    by id; argmax ties break toward the lowest centroid id."""
+    """One-job deterministic vector sample: the ``sample_size`` rows with
+    the smallest ``md5(id)`` (TakeOrderedAndProject — pseudo-random
+    spread, no global window, no count), collected as an (n, dim) float64
+    matrix. Shared by every sampled-training recipe (IVF k-means, PQ
+    codebooks). Raises on empty input — an arithmetic crash deep inside
+    training would be undiagnosable."""
     rows = (
         df.select(F.col(id_col).alias("__id"), _as_double_array(vec_col).alias("__v"))
         .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(sample_size)
         .collect()
     )
-    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    if not rows:
+        raise ValueError("cannot train on empty input (sample collected 0 rows)")
+    return np.array([r["__v"] for r in rows], dtype=np.float64)
+
+
+def lloyd_numpy(x: np.ndarray, k: int, iterations: int) -> np.ndarray:
+    """Driver-side Lloyd's on a sample matrix; seeds = first k rows (the
+    md5 sample is already shuffled). Squared-L2 argmin as argmax of
+    2·x·cᵀ − ‖c‖²; ties break toward the lowest centroid id; tiny inputs
+    pad seeds with repeats."""
     centroids = x[:k]
-    if len(centroids) < k:  # tiny inputs: pad with repeats
+    if len(centroids) < k:
         centroids = np.vstack([centroids] * ((k // len(centroids)) + 1))[:k]
     centroids = centroids.copy()
     for _ in range(iterations):
@@ -152,6 +152,25 @@ def kmeans_sample(
             break
         centroids = new_centroids
     return centroids
+
+
+def kmeans_sample(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Lloyd's k-means trained on a bounded deterministic sample,
+    driver-side — the standard coarse-quantizer recipe (FAISS trains IVF
+    lists on ~39·k..256·k sampled vectors, not the corpus). At 100 TB the
+    sample is still ~k·256 rows, so training cost is independent of
+    corpus size; only the ASSIGNMENT pass (ivf_topk's bucketing) scans the
+    data, and that is one distributed job."""
+    return lloyd_numpy(
+        collect_md5_sample(df, id_col, vec_col, sample_size), k, iterations
+    )
 
 
 def kmeans(

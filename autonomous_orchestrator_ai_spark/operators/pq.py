@@ -35,27 +35,6 @@ from autonomous_orchestrator_ai_spark.operators.similarity import (
 )
 
 
-def _lloyd(x: np.ndarray, k: int, iterations: int) -> np.ndarray:
-    """Driver-side Lloyd's on a sample; seeds = first k sample rows (the
-    sample is already md5-shuffled). Ties break toward the lowest id."""
-    centroids = x[:k]
-    if len(centroids) < k:
-        centroids = np.vstack([centroids] * ((k // len(centroids)) + 1))[:k]
-    centroids = centroids.copy()
-    for _ in range(iterations):
-        c_norm2 = (centroids * centroids).sum(axis=1)
-        assign = (2.0 * (x @ centroids.T) - c_norm2).argmax(axis=1)
-        new_c = centroids.copy()
-        for c in range(k):
-            members = x[assign == c]
-            if len(members):
-                new_c[c] = members.mean(axis=0)
-        if np.allclose(new_c, centroids, atol=1e-9):
-            break
-        centroids = new_c
-    return centroids
-
-
 def train_pq(
     df: DataFrame,
     m: int = 8,
@@ -67,22 +46,21 @@ def train_pq(
 ) -> np.ndarray:
     """Train PQ codebooks: split the vector into ``m`` contiguous
     subvectors, k-means each subspace independently on one deterministic
-    sample (ONE Spark job: smallest-md5 TakeOrdered collect). Returns
-    (m, n_codes, dim/m) codebooks."""
-    rows = (
-        df.select(F.col(id_col).alias("__id"), _as_double_array(vec_col).alias("__v"))
-        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
-        .limit(sample_size)
-        .collect()
+    sample (shared recipe: ``ivf.collect_md5_sample`` + ``ivf.
+    lloyd_numpy``). Returns (m, n_codes, dim/m) codebooks."""
+    from autonomous_orchestrator_ai_spark.operators.ivf import (
+        collect_md5_sample,
+        lloyd_numpy,
     )
-    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+
+    x = collect_md5_sample(df, id_col, vec_col, sample_size)
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     return np.stack(
         [
-            _lloyd(x[:, j * sub : (j + 1) * sub], n_codes, iterations)
+            lloyd_numpy(x[:, j * sub : (j + 1) * sub], n_codes, iterations)
             for j in range(m)
         ]
     )
@@ -170,25 +148,36 @@ def pq_adc_topk(
             # scores[q, n] = sum_j LUT[q, j, codes[n, j]]: the (m,) index
             # broadcasts against codes (n, m) -> gather shape (Q, n, m)
             scores = lut[:, np.arange(m), codes].sum(axis=2)
-            n_keep = min(k, len(ids))
             for qi in range(len(q_ids)):
                 s = scores[qi]
-                top = np.argsort(-s, kind="stable")[:n_keep]
+                if exclude_self:
+                    # mask BEFORE truncating the partial top-k: filtering
+                    # after would let the query's own row crowd out the
+                    # batch's true k-th neighbor, which is then lost
+                    keep_mask = ids != q_ids[qi]
+                    s, batch_ids = s[keep_mask], ids[keep_mask]
+                else:
+                    batch_ids = ids
+                top = np.argsort(-s, kind="stable")[: min(k, len(batch_ids))]
                 yield pd.DataFrame(
                     {
                         "query_id": q_ids[qi],
-                        "neighbor_id": ids[top],
+                        "neighbor_id": batch_ids[top],
                         "adc_score": s[top],
                     }
                 )
 
+    # derive id types from the actual inputs — ids are not always bigint
+    nid_type = corpus_codes.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     partials = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), code_col
     ).mapInPandas(
-        score, schema="query_id long, neighbor_id long, adc_score double"
+        score,
+        schema=(
+            f"query_id {qid_type}, neighbor_id {nid_type}, adc_score double"
+        ),
     )
-    if exclude_self:
-        partials = partials.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("adc_score"), F.asc("neighbor_id")
     )

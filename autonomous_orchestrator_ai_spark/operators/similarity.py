@@ -51,15 +51,15 @@ def l2_normalized(a: F.Column | str) -> F.Column:
     """Unit-norm copy of a vector column (zero vectors pass through).
     Inner product on normalized vectors == cosine — the prep step for
     IP-ranked indexes (PQ ADC, IVF-IP) to serve cosine queries."""
+    from autonomous_orchestrator_ai_spark.functions.text import _once
+
     a = _as_double_array(a)
-
-    # hoist the norm via the single-element-array trick (functions.text.
-    # _once): an expression captured in a HOF lambda is re-evaluated per
-    # element, which would make this O(dim^2) per row
-    def scale(n: F.Column) -> F.Column:
-        return F.when(n == 0, a).otherwise(F.transform(a, lambda x: x / n))
-
-    return F.transform(F.array(norm(a)), scale).getItem(0)
+    # hoist the norm (re-evaluated per element if captured raw in the
+    # transform lambda — that would be O(dim^2) per row)
+    return _once(
+        norm(a),
+        lambda n: F.when(n == 0, a).otherwise(F.transform(a, lambda x: x / n)),
+    )
 
 
 def cosine_topk(

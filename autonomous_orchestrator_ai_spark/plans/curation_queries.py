@@ -530,10 +530,11 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FUNNEL_FF = f"""CASE
-      WHEN NOT (n_chars >= 150) THEN 'min_chars'
-      WHEN NOT (lang = 'en') THEN 'lang_en'
-      WHEN NOT ({_TOKEN_COUNT} >= 30) THEN 'min_tokens'
-      WHEN NOT (n_chars * 1.0 / ({_TOKEN_COUNT}) BETWEEN 3 AND 15)
+      WHEN NOT COALESCE(n_chars >= 150, FALSE) THEN 'min_chars'
+      WHEN NOT COALESCE(lang = 'en', FALSE) THEN 'lang_en'
+      WHEN NOT COALESCE({_TOKEN_COUNT} >= 30, FALSE) THEN 'min_tokens'
+      WHEN NOT COALESCE(n_chars * 1.0 / ({_TOKEN_COUNT}) BETWEEN 3 AND 15,
+                        FALSE)
         THEN 'mean_word_len'
       END"""
 
@@ -587,7 +588,9 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, n_chars,
              ROW_NUMBER() OVER (
                PARTITION BY source
-               ORDER BY {_DRAW_SQL.format(salt="cap")}, doc_id) AS rn
+               -- FULL md5, matching cap_per_group's sample_hash order: the
+               -- 4-hex prefix would tie-break differently on collisions
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
       FROM documents)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_total,

@@ -291,11 +291,13 @@ def bucketed_upsert_sink(
     old/new buckets (each internally consistent). A transactional table
     format gives the cross-partition commit; the dataflow stays identical.
 
-    Table existence is decided by an explicit ``FileSystem.exists`` probe
-    (never by catching read/union errors): a drifted batch schema or a
-    transient storage failure fails the micro-batch loudly — Structured
-    Streaming retries it — instead of being mistaken for "first batch"
-    and dynamic-overwriting live buckets with batch-only rows.
+    Table existence is decided by an explicit committed-data probe
+    (directory exists AND holds a non-hidden entry — never by catching
+    read/union errors): a drifted batch schema or a transient storage
+    failure fails the micro-batch loudly — Structured Streaming retries
+    it — instead of being mistaken for "first batch" and
+    dynamic-overwriting live buckets with batch-only rows; a crashed
+    first write's ``_temporary`` husk still counts as "no table".
 
     Durability: the merged result must be materialized before the
     overwrite deletes the partitions it was read from. The default uses
@@ -321,7 +323,7 @@ def bucketed_upsert_sink(
         affected = [
             r[0] for r in incoming.select("__bucket").distinct().collect()
         ]
-        if _hadoop_path_exists(spark, table_path):
+        if _table_has_data(spark, table_path):
             current = (
                 spark.read.parquet(table_path)
                 .filter(F.col("__bucket").isin(affected))
@@ -342,6 +344,7 @@ def bucketed_upsert_sink(
         )
         # the upsert read-modify-writes the same path: materialize before
         # the overwrite drops the partitions being read
+        stage = None
         if staging_dir is not None:
             stage = f"{staging_dir.rstrip('/')}/epoch={epoch_id}"
             merged.write.mode("overwrite").parquet(stage)
@@ -360,17 +363,45 @@ def bucketed_upsert_sink(
             .partitionBy("__bucket")
             .parquet(table_path)
         )
+        if stage is not None:
+            # the table write committed; the staged copy is now redundant —
+            # delete it so staging retention stays O(1) epochs (a crash
+            # between the two leaves at most this one epoch dir, which the
+            # replay's mode=overwrite stage write reclaims)
+            _hadoop_delete(spark, stage)
 
     run_foreach_batch(stream, merge_batch, checkpoint, timeout_seconds)
 
 
-def _hadoop_path_exists(spark, path: str) -> bool:
-    """True iff ``path`` exists, via the table's own Hadoop FileSystem
-    (works for local paths, HDFS, and object stores alike)."""
+def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _table_has_data(spark, path: str) -> bool:
+    """True iff ``path`` holds committed table data: the directory exists
+    AND contains at least one non-hidden entry (partition dir or data
+    file). A bare ``exists`` probe would mistake the husk a crashed first
+    write leaves behind (only ``_temporary``/``_SUCCESS``) for a real
+    table and wedge every retry on an unreadable read."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        # same exemption as Spark's file index: an '='-bearing name is a
+        # partition directory even when the column starts with '_'
+        # (this table's partition dirs are literally `__bucket=N`)
+        if "=" in name or not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
+
+
+def _hadoop_delete(spark, path: str) -> None:
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
 
 
 def read_upsert_table(spark, table_path: str) -> DataFrame:

@@ -391,6 +391,16 @@ class TestBucketedUpsertSink:
         state = {r.id: (r.plan, r.seq) for r in read_upsert_table(spark, table).collect()}
         assert state[0] == ("q", 2)
         assert len(state) == 10
+        # committed epochs' staged copies are deleted — retention is O(1)
+        import os
+
+        stage_root = tmp_path / "stage"
+        leftovers = (
+            [d for d in os.listdir(stage_root) if d.startswith("epoch=")]
+            if stage_root.exists()
+            else []
+        )
+        assert leftovers == []
 
     def test_untouched_bucket_files_not_rewritten(self, spark, tmp_path):
         import os
