@@ -119,3 +119,13 @@ class TestIncrementalAppend:
             spark, full_path, queries, k=5, n_planes=4, n_tables=2, dim=64
         )
         assert _rows(incremental) == _rows(full)
+
+
+def test_query_with_empty_batch_returns_empty(spark, tmp_path):
+    emb = table(spark, SF, "embeddings")
+    path = str(tmp_path / "idx")
+    build_lsh_index(emb, path, n_planes=2, n_tables=2, dim=64)
+    none = emb.filter(F.col("vec_id") < 0)
+    out = query_lsh_index(spark, path, none, k=3, n_planes=2, n_tables=2, dim=64)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine_sim", "rank"}

@@ -123,3 +123,9 @@ def test_pq_reranked_recall_vs_bruteforce(spark):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.7, recall
+
+
+def test_train_rejects_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        train_pq(empty, m=2)
