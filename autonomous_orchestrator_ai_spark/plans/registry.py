@@ -78,7 +78,20 @@ def load_all() -> None:
     _LOADED = True
 
 
+#: (applicationId, sf_dir, name) -> DataFrame. DataFrames are immutable
+#: plans, so handing back the same object is safe; the cache saves the
+#: ~100 ms of conf round-trips + footer/schema read that EVERY query's
+#: table() calls would otherwise repeat (the bench runs 40+ queries x 2
+#: passes against the same static testdata). Keyed by applicationId so a
+#: new session never sees another session's plans.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     # Pin UTC on whatever session the driver hands us: window alignment and
     # date_format rendering must match the (TZ-naive) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -89,6 +102,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
