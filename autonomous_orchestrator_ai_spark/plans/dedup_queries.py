@@ -344,3 +344,36 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_survivors"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "ngram_jaccard_pairs_guarded",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    exploded0 AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM docs),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM exploded0 GROUP BY s),
+    exploded AS (SELECT e.doc_id, e.s FROM exploded0 e
+                 JOIN dfreq d ON e.s = d.s WHERE d.df <= 50),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_sh FROM exploded GROUP BY doc_id),
+    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, CAST(COUNT(*) AS BIGINT) shared
+               FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT s.id_a, s.id_b,
+           ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+    FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
+                  JOIN sizes sb ON s.id_b = sb.doc_id
+    WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of exact n-gram Jaccard: shingles appearing in more
+    than 50 docs are dropped before the self-join (max_shingle_df — the
+    standard guard against boilerplate shingles whose df^2 candidate
+    blowup dominates the join at corpus scale). Jaccard is then computed
+    over the FILTERED shingle sets on both sides, which the oracle
+    mirrors exactly. The df table is small (distinct shingles) and
+    broadcasts into the explode."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.2, max_shingle_df=50
+    )
