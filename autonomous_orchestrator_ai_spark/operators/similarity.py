@@ -130,12 +130,19 @@ def signbit_buckets(
     """
     n_tables = len(tables_planes)
     n_planes = len(tables_planes[0])
-    flat = F.array(
-        *[
-            F.lit([float(x) for x in plane])
+    # ONE parsed literal for the whole plane matrix: building it as
+    # n_tables*n_planes separate F.lit(list) columns costs ~0.6s of py4j
+    # round-trips; one F.expr parse of the same values costs ~7ms. The
+    # 'D' suffix forces double literals (shortest-repr floats round-trip
+    # exactly through Double.parseDouble).
+    flat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in plane) + ")"
             for planes in tables_planes
             for plane in planes
-        ]
+        )
+        + ")"
     )
 
     def table_bucket(t: F.Column) -> F.Column:
