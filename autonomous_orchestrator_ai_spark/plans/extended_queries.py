@@ -763,3 +763,46 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price"), 2).alias("lo"),
         F.round(F.max("price"), 2).alias("hi"),
     )
+
+
+@register(
+    "value_equidepth_histogram",
+    oracle="""
+    WITH tiled AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             NTILE(20) OVER (ORDER BY CAST(value AS DOUBLE), event_id) AS bucket
+      FROM events WHERE value IS NOT NULL)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(v), 6) AS lo,
+           ROUND(MAX(v), 6) AS hi
+    FROM tiled GROUP BY bucket
+    """,
+)
+def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH 20-bucket histogram of events.value (each bucket holds
+    ~n/20 rows; bucket bounds are the empirical quantiles) — the
+    complement of the equi-width `value_histogram`, and what an optimizer
+    wants for selectivity estimation on skewed columns. NTILE needs a
+    total order, so this is the one histogram that pays a global sort;
+    event_id tie-break makes bucket assignment engine-deterministic. The
+    bounded-state scale path is approx_percentile cut points + the
+    equi-width binning pass."""
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    tiled = events.filter(F.col("value").isNotNull()).select(
+        F.col("value").cast("double").alias("v"),
+        F.ntile(20)
+        .over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("value").cast("double"), F.col("event_id")
+            )
+        )
+        .alias("bucket"),
+    )
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    ).select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows", "lo", "hi")
