@@ -51,6 +51,9 @@ HEADLINE = [
     "domain_cap_sample",
     "training_shard_manifest",
     "mixture_epoch_plan",
+    "ngram_jaccard_pairs_guarded",
+    "value_equidepth_histogram",
+    "revenue_mom_growth",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",

@@ -454,3 +454,37 @@ class TestBucketedUpsertSink:
             if f"__bucket={bucket0}" not in p and p.endswith(".parquet"):
                 assert os.path.exists(p), f"untouched bucket file deleted: {p}"
                 assert os.path.getmtime(p) == old_m, f"untouched bucket rewritten: {p}"
+
+    def test_crashed_first_write_husk_treated_as_no_table(self, spark, tmp_path):
+        """A table dir containing only the output committer's _temporary
+        husk (crash before any commit) must count as 'no table' — the
+        batch proceeds as first batch instead of wedging every retry on
+        an unreadable read."""
+        import json as _json
+        import os
+
+        from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+            bucketed_upsert_sink,
+            read_upsert_table,
+        )
+
+        table = tmp_path / "t"
+        (table / "_temporary" / "0").mkdir(parents=True)
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        (in_dir / "b0.jsonl").write_text(
+            _json.dumps({"id": 1, "plan": "p", "seq": 1}) + "\n"
+        )
+        bucketed_upsert_sink(
+            spark.readStream.schema("id bigint, plan string, seq bigint")
+            .json(str(in_dir)),
+            str(table),
+            str(tmp_path / "c"),
+            ["id"],
+            "seq",
+            n_buckets=4,
+            timeout_seconds=120,
+        )
+        assert {r.id for r in read_upsert_table(spark, str(table)).collect()} == {1}
+        # and a real bucket dir now exists
+        assert any(d.startswith("__bucket=") for d in os.listdir(table))
