@@ -90,8 +90,14 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     registry.load_all()
 
-    # warm-up: JVM + codegen + parquet footer caches
+    # warm-up: JVM + codegen + parquet footer caches, and one Arrow
+    # round-trip per core so the Python-UDF queries (PQ/IVF) measure
+    # steady-state workers, not the one-time worker fork (a long-running
+    # cluster always has warm workers)
     registry.QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
+    spark.range(cpus).repartition(cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
