@@ -52,3 +52,55 @@ def test_stateful_sessionization(spark, tmp_path):
     rows = {r["user_key"]: r for r in spark.sql("SELECT * FROM session_stats").collect()}
     assert rows["u1"]["n_sessions"] == 2 and rows["u1"]["n_events"] == 3
     assert rows["u2"]["n_sessions"] == 1 and rows["u2"]["n_events"] == 1
+
+
+def test_windowed_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The bounded-state scale path (SURVEY.md §7.4): the same windowed
+    aggregation runs on the RocksDB state-store provider — state spills
+    to local disk instead of living on the JVM heap, which is what keeps
+    stateful streaming viable when key cardinality outgrows memory."""
+    import json as _json
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        d = tmp_path / "in"
+        d.mkdir()
+        rows = [
+            {"user": "a", "ts": "2024-01-15T10:05:00"},
+            {"user": "a", "ts": "2024-01-15T10:20:00"},
+            {"user": "b", "ts": "2024-01-15T11:40:00"},
+        ]
+        (d / "r.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+        stream = (
+            spark.readStream.schema("user string, ts string")
+            .json(str(d))
+            .select("user", F.to_timestamp("ts").alias("ts"))
+            .withWatermark("ts", "10 minutes")
+        )
+        counts = stream.groupBy(
+            F.window("ts", "1 hour").alias("win"), "user"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocksdb_counts")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.user, r.win.start.hour): r.n
+            for r in spark.sql("SELECT * FROM rocksdb_counts").collect()
+        }
+        assert got == {("a", 10): 2, ("b", 11): 1}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
