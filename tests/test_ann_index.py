@@ -129,3 +129,53 @@ def test_query_with_empty_batch_returns_empty(spark, tmp_path):
     out = query_lsh_index(spark, path, none, k=3, n_planes=2, n_tables=2, dim=64)
     assert out.count() == 0
     assert set(out.columns) == {"query_id", "neighbor_id", "cosine_sim", "rank"}
+
+
+def test_streaming_index_maintenance_via_foreach_batch(spark, tmp_path):
+    """append_to_lsh_index wired as a streaming foreachBatch sink: the
+    index stays queryable and complete as vector batches arrive."""
+    import json as _json
+
+    from autonomous_orchestrator_ai_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+    from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+        run_foreach_batch,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    rows = emb.limit(200).collect()
+    in_dir = tmp_path / "vec_in"
+    in_dir.mkdir()
+    for i, chunk in enumerate([rows[:100], rows[100:]]):
+        (in_dir / f"b{i}.jsonl").write_text(
+            "\n".join(
+                _json.dumps({"vec_id": r.vec_id, "embedding": list(r.embedding)})
+                for r in chunk
+            )
+        )
+    path = str(tmp_path / "idx")
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(in_dir))
+    )
+    run_foreach_batch(
+        stream,
+        lambda batch, _epoch: append_to_lsh_index(
+            batch, path, n_planes=4, n_tables=2, dim=64
+        ),
+        str(tmp_path / "ckpt"),
+        timeout_seconds=180,
+    )
+    # index holds every vector once per hash table
+    idx = spark.read.parquet(path)
+    assert idx.count() == 200 * 2
+    # and answers identically to a batch-built index over the same rows
+    base = emb.filter(F.col("vec_id").isin([r.vec_id for r in rows]))
+    queries = base.filter(F.col("vec_id") < 5)
+    streamed = query_lsh_index(spark, path, queries, k=3, n_planes=4, n_tables=2, dim=64)
+    batch_path = str(tmp_path / "idx_batch")
+    build_lsh_index(base, batch_path, n_planes=4, n_tables=2, dim=64)
+    batch = query_lsh_index(spark, batch_path, queries, k=3, n_planes=4, n_tables=2, dim=64)
+    assert _rows(streamed) == _rows(batch)
