@@ -39,6 +39,76 @@ def _planes(dim: int, n_planes: int, n_tables: int, seed: int):
     return [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
 
 
+#: Hash-family metadata lives beside the data (underscore dir — invisible
+#: to parquet discovery). Appends/queries with mismatched parameters would
+#: otherwise mix incompatible bucketings into one layout and silently
+#: tank recall.
+_META_DIR = "_lsh_index_meta"
+_META_KEYS = ("n_planes", "n_tables", "dim", "seed")
+
+
+def _write_meta(spark: SparkSession, path: str, params: dict) -> None:
+    spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").json(
+        f"{path}/{_META_DIR}"
+    )
+
+
+def _check_meta(spark: SparkSession, path: str, params: dict) -> None:
+    try:
+        stored = spark.read.json(f"{path}/{_META_DIR}").collect()[0].asDict()
+    except Exception:  # pre-metadata index or missing dir: nothing to check
+        return
+    mismatched = {
+        k: (stored.get(k), params[k])
+        for k in _META_KEYS
+        if stored.get(k) is not None and int(stored[k]) != params[k]
+    }
+    if mismatched:
+        raise ValueError(
+            f"LSH hash-family mismatch vs index at {path}: {mismatched} "
+            "(stored, requested) — mixing families corrupts recall"
+        )
+
+
+def _index_entries(
+    vectors: DataFrame,
+    batch_id: int,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared bucketing projection for build and append — ONE source of
+    truth for the layout, so batch-built and incrementally-appended
+    indexes can never drift."""
+    all_planes = _planes(dim, n_planes, n_tables, seed)
+    return ensure_min_parallelism(vectors).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_array(vec_col).alias("vec"),
+        F.posexplode(signbit_buckets(_as_double_array(vec_col), all_planes)).alias(
+            "table_id", "bucket"
+        ),
+        F.lit(batch_id).cast("bigint").alias("__batch"),
+    )
+
+
+def _write_entries(entries: DataFrame, path: str, dynamic: bool) -> None:
+    # one file set per (table_id, bucket) partition; buckets are
+    # uniform-ish under random hyperplanes, so files balance without
+    # salting. __batch is the innermost partition level: pruning on
+    # (table_id, bucket) is unaffected, and per-batch DYNAMIC overwrite
+    # (append path) replaces exactly this batch's partitions — replaying
+    # the same batch rewrites them to the same content (idempotent). The
+    # build path uses a STATIC overwrite so a rebuild fully replaces the
+    # index, leaving no stale batch partitions behind.
+    writer = entries.repartition("table_id", "bucket").write.mode("overwrite")
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("table_id", "bucket", "__batch").parquet(path)
+
+
 def build_lsh_index(
     corpus: DataFrame,
     path: str,
@@ -50,24 +120,22 @@ def build_lsh_index(
     vec_col: str = "embedding",
 ) -> None:
     """Materialize the LSH bucket index at ``path``, partitioned by
-    (table_id, bucket). One corpus scan: every table's bucket comes from a
-    single fused expression (signbit_buckets) + posexplode. The corpus is
-    replicated n_tables× — the standard LSH space/recall trade."""
-    all_planes = _planes(dim, n_planes, n_tables, seed)
-    entries = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double_array(vec_col).alias("vec"),
-        F.posexplode(signbit_buckets(_as_double_array(vec_col), all_planes)).alias(
-            "table_id", "bucket"
-        ),
+    (table_id, bucket, __batch). One corpus scan: every table's bucket
+    comes from a single fused expression (signbit_buckets) + posexplode.
+    The corpus is replicated n_tables× — the standard LSH space/recall
+    trade. The hash-family parameters are persisted beside the data and
+    validated by append/query."""
+    # build owns __batch=-1: streaming epoch ids start at 0, so an
+    # append can never dynamic-overwrite the base build's partitions
+    entries = _index_entries(
+        corpus, -1, n_planes, n_tables, dim, seed, id_col, vec_col
     )
-    # one file set per (table_id, bucket) partition; buckets are uniform-ish
-    # under random hyperplanes, so files are balanced without salting
-    (
-        entries.repartition("table_id", "bucket")
-        .write.mode("overwrite")
-        .partitionBy("table_id", "bucket")
-        .parquet(path)
+    spark = corpus.sparkSession
+    _write_entries(entries, path, dynamic=False)
+    _write_meta(
+        spark,
+        path,
+        {"n_planes": n_planes, "n_tables": n_tables, "dim": dim, "seed": seed},
     )
 
 
@@ -94,6 +162,11 @@ def query_lsh_index(
     (1+n_planes) tiny rows — for a serving path that is the point: the
     index read is driven by literals, so the scan prunes statically).
     """
+    _check_meta(
+        spark,
+        path,
+        {"n_planes": n_planes, "n_tables": n_tables, "dim": dim, "seed": seed},
+    )
     all_planes = _planes(dim, n_planes, n_tables, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -119,9 +192,13 @@ def query_lsh_index(
     }
     index = spark.read.parquet(path)
     if not probe_keys:  # empty query batch -> empty result, not a crash
+        # id types come from the actual inputs — ids are not always bigint
+        qid_type = queries.schema[id_col].dataType.simpleString()
+        nid_type = index.schema["neighbor_id"].dataType.simpleString()
         return spark.createDataFrame(
             [],
-            "query_id long, neighbor_id long, cosine_sim double, rank bigint",
+            f"query_id {qid_type}, neighbor_id {nid_type}, "
+            "cosine_sim double, rank bigint",
         )
     # partition-literal pruning: one disjunct per probed (table, bucket).
     # The query side is small by definition (a serving batch), so
@@ -157,6 +234,7 @@ def query_lsh_index(
 def append_to_lsh_index(
     new_vectors: DataFrame,
     path: str,
+    batch_id: int,
     n_planes: int = 4,
     n_tables: int = 4,
     dim: int = 64,
@@ -165,24 +243,24 @@ def append_to_lsh_index(
     vec_col: str = "embedding",
 ) -> None:
     """Incremental index maintenance: bucket a batch of NEW vectors with
-    the same (seeded) hash family and APPEND into the partitioned index —
-    no rebuild, no read of existing data. A vector's buckets are a pure
-    function of (vector, seed), so ingest only ever adds files to the
-    partitions the batch touches; existing partitions are untouched
-    (the property that makes this safe to run from a streaming
-    foreachBatch). Compaction of accumulated small files is
+    the same (seeded) hash family and write them into the partitioned
+    index under ``__batch=batch_id`` — no rebuild, no read of existing
+    data. The write is a dynamic partition overwrite of exactly this
+    batch's (table_id, bucket, batch) partitions, so REPLAYING a batch
+    (foreachBatch is at-least-once — pass the epoch id as ``batch_id``)
+    rewrites the same partitions to the same content instead of
+    duplicating entries; other batches' partitions are untouched.
+    Hash-family parameters are validated against the index metadata
+    written at build time — appending under a different family would
+    silently corrupt recall. Compaction of accumulated small files is
     ``sources.writers.compact_parquet``'s job, per partition."""
-    all_planes = _planes(dim, n_planes, n_tables, seed)
-    entries = new_vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double_array(vec_col).alias("vec"),
-        F.posexplode(signbit_buckets(_as_double_array(vec_col), all_planes)).alias(
-            "table_id", "bucket"
-        ),
+    spark = new_vectors.sparkSession
+    _check_meta(
+        spark,
+        path,
+        {"n_planes": n_planes, "n_tables": n_tables, "dim": dim, "seed": seed},
     )
-    (
-        entries.repartition("table_id", "bucket")
-        .write.mode("append")
-        .partitionBy("table_id", "bucket")
-        .parquet(path)
+    entries = _index_entries(
+        new_vectors, batch_id, n_planes, n_tables, dim, seed, id_col, vec_col
     )
+    _write_entries(entries, path, dynamic=True)

@@ -140,7 +140,7 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
     FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
                   JOIN sizes sb ON s.id_b = sb.doc_id
-    WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= 0.2
+    WHERE ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.2
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,7 +285,7 @@ _CC_CTES = f"""
     edges AS (SELECT s.id_a, s.id_b
               FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
                             JOIN sizes sb ON s.id_b = sb.doc_id
-              WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= 0.2),
+              WHERE ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.2),
     sym AS (SELECT id_a AS s, id_b AS d FROM edges
             UNION SELECT id_b, id_a FROM edges),
     reach(s, d) AS (
@@ -362,7 +362,7 @@ def near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
     FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
                   JOIN sizes sb ON s.id_b = sb.doc_id
-    WHERE s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared) >= 0.2
+    WHERE ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.2
     """,
 )
 def ngram_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,17 +88,20 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None:
-        return hit
     # Pin UTC on whatever session the driver hands us: window alignment and
     # date_format rendering must match the (TZ-naive) DuckDB oracle.
+    # Re-pinned on EVERY call (even cache hits — it's ~1ms): a caller may
+    # have drifted the conf, or handed us a newSession() clone that shares
+    # the applicationId but has its own SQLConf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
     # parquet reader rejects; read nanos as long and truncate to micros
     # (exactly what DuckDB's ns->us conversion does).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

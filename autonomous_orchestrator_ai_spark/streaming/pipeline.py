@@ -374,9 +374,8 @@ def bucketed_upsert_sink(
 
 
 def _hadoop_fs(spark, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
 def _table_has_data(spark, path: str) -> bool:
@@ -385,7 +384,7 @@ def _table_has_data(spark, path: str) -> bool:
     file). A bare ``exists`` probe would mistake the husk a crashed first
     write leaves behind (only ``_temporary``/``_SUCCESS``) for a real
     table and wedge every retry on an unreadable read."""
-    fs, hpath, _ = _hadoop_fs(spark, path)
+    fs, hpath = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         return False
     for status in fs.listStatus(hpath):
@@ -399,7 +398,7 @@ def _table_has_data(spark, path: str) -> bool:
 
 
 def _hadoop_delete(spark, path: str) -> None:
-    fs, hpath, _ = _hadoop_fs(spark, path)
+    fs, hpath = _hadoop_fs(spark, path)
     if fs.exists(hpath):
         fs.delete(hpath, True)
 

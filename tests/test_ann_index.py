@@ -102,7 +102,7 @@ class TestIncrementalAppend:
                     p = os.path.join(root, f)
                     mtimes[p] = os.path.getmtime(p)
 
-        append_to_lsh_index(extra, path, n_planes=4, n_tables=2, dim=64)
+        append_to_lsh_index(extra, path, batch_id=1, n_planes=4, n_tables=2, dim=64)
         # every original file still present and unmodified (append never
         # rewrites existing partitions)
         for p, m in mtimes.items():
@@ -162,8 +162,8 @@ def test_streaming_index_maintenance_via_foreach_batch(spark, tmp_path):
     )
     run_foreach_batch(
         stream,
-        lambda batch, _epoch: append_to_lsh_index(
-            batch, path, n_planes=4, n_tables=2, dim=64
+        lambda batch, epoch: append_to_lsh_index(
+            batch, path, batch_id=epoch, n_planes=4, n_tables=2, dim=64
         ),
         str(tmp_path / "ckpt"),
         timeout_seconds=180,
@@ -179,3 +179,26 @@ def test_streaming_index_maintenance_via_foreach_batch(spark, tmp_path):
     build_lsh_index(base, batch_path, n_planes=4, n_tables=2, dim=64)
     batch = query_lsh_index(spark, batch_path, queries, k=3, n_planes=4, n_tables=2, dim=64)
     assert _rows(streamed) == _rows(batch)
+
+
+def test_append_replay_is_idempotent_and_family_checked(spark, tmp_path):
+    from autonomous_orchestrator_ai_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") < 100)
+    extra = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    path = str(tmp_path / "idx")
+    build_lsh_index(base, path, n_planes=4, n_tables=2, dim=64)
+    append_to_lsh_index(extra, path, batch_id=0, n_planes=4, n_tables=2, dim=64)
+    n1 = spark.read.parquet(path).count()
+    # replaying the SAME batch (at-least-once foreachBatch) changes nothing
+    append_to_lsh_index(extra, path, batch_id=0, n_planes=4, n_tables=2, dim=64)
+    assert spark.read.parquet(path).count() == n1 == 150 * 2
+
+    # a mismatched hash family is rejected instead of corrupting the index
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash-family mismatch"):
+        append_to_lsh_index(extra, path, batch_id=1, n_planes=8, n_tables=2, dim=64)
