@@ -699,3 +699,36 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count("text")).alias("available_tokens")
     )
     return plan(avail, _MIX_WEIGHTS, _MIX_TARGET)
+
+
+@register(
+    "binary_payload_profile",
+    oracle="""
+    WITH b AS (SELECT source, encode(text) AS payload FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes,
+           CAST(COUNT(DISTINCT md5(hex(payload))) AS BIGINT)
+             AS n_distinct_digests,
+           MIN(md5(hex(payload))) AS min_digest
+    FROM b GROUP BY source
+    """,
+)
+def binary_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing, oracle-checked: documents.text
+    re-encoded as a BINARY payload column (the same shape image/audio
+    bytes arrive in — operators/multimodal.py), profiled per source with
+    byte lengths and content digests computed ON THE BYTES (md5 over the
+    hex rendering — engine-portable). At 100 TB this is the 'how big is
+    each modality slice and how much is exactly-duplicated' scan: one
+    pass, all map-side partials, no UDFs."""
+    docs = table(spark, sf_dir, "documents")
+    b = docs.select("source", F.encode("text", "UTF-8").alias("payload"))
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.count_distinct(F.md5(F.hex("payload"))).alias("n_distinct_digests"),
+        F.min(F.md5(F.hex("payload"))).alias("min_digest"),
+    )
