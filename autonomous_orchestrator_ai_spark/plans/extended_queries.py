@@ -806,3 +806,48 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("lo"),
         F.round(F.max("v"), 6).alias("hi"),
     ).select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows", "lo", "hi")
+
+
+@register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the salt path (operators.skew.
+    salted_aggregate): counts/sums partial-aggregate per (key, salt) so a
+    pathological key spreads over n_salts reducers before the tiny
+    combine — and the oracle proves the two-phase form is bit-identical
+    to the plain GROUP BY. Distinct-count is NOT salt-decomposable with
+    plain aggs (needs HLL-merge, operators.sketch), so it rides the
+    partial phase as a per-salt collect_set union — here sized fine, at
+    extreme scale swap in approx_count_distinct."""
+    from autonomous_orchestrator_ai_spark.operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        "event_type",
+        partial_aggs={
+            "cnt": F.count(F.lit(1)),
+            "sum_v": F.sum(F.col("value").cast("decimal(18,4)")),
+            "users": F.collect_set("user_id"),
+        },
+        final_aggs={
+            "n_events": F.sum("cnt"),
+            "total_value": F.round(F.sum("sum_v"), 2).cast("double"),
+            "n_users": F.size(F.array_distinct(F.flatten(F.collect_list("users")))),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "total_value",
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
