@@ -54,10 +54,34 @@ def _write_meta(spark: SparkSession, path: str, params: dict) -> None:
 
 
 def _check_meta(spark: SparkSession, path: str, params: dict) -> None:
+    # Only a MISSING meta dir (pre-metadata index) is a pass; any other
+    # failure mode (unreadable storage, unparseable JSON) must propagate —
+    # silently skipping the guard here is exactly the mismatched-append
+    # scenario the guard exists to prevent.
+    from pyspark.errors import AnalysisException
+
     try:
-        stored = spark.read.json(f"{path}/{_META_DIR}").collect()[0].asDict()
-    except Exception:  # pre-metadata index or missing dir: nothing to check
+        meta_df = spark.read.json(f"{path}/{_META_DIR}")
+        # all-corrupt JSON infers a schema of only _corrupt_record (which
+        # Spark refuses to even collect): treat as unparseable right here
+        if "_corrupt_record" in meta_df.columns or not meta_df.columns:
+            raise ValueError("meta is unparseable")
+        rows = meta_df.collect()
+    except AnalysisException:  # path-not-found: nothing to check
         return
+    except Exception as e:  # corrupt file / storage failure: fail LOUDLY
+        raise ValueError(
+            f"LSH index meta at {path}/{_META_DIR} exists but could not be "
+            "read or parsed — refusing to proceed without the hash-family "
+            "guard (a silent skip here is exactly the mismatched-append "
+            "corruption the guard prevents)"
+        ) from e
+    if not rows:
+        raise ValueError(
+            f"LSH index meta at {path}/{_META_DIR} exists but is empty — "
+            "refusing to proceed without the hash-family guard"
+        )
+    stored = rows[0].asDict()
     mismatched = {
         k: (stored.get(k), params[k])
         for k in _META_KEYS
@@ -200,13 +224,19 @@ def query_lsh_index(
             f"query_id {qid_type}, neighbor_id {nid_type}, "
             "cosine_sim double, rank bigint",
         )
-    # partition-literal pruning: one disjunct per probed (table, bucket).
-    # The query side is small by definition (a serving batch), so
-    # recomputing its bucket expression for the join is cheaper than any
-    # caching machinery.
-    cond = None
+    # partition-literal pruning, grouped per table: (table_id == t) &
+    # bucket.isin([...]) gives the same static pruning as one disjunct per
+    # (table, bucket) but with O(n_tables) predicate-tree nodes instead of
+    # O(n_queries x n_tables x (1+n_planes)) — analysis/codegen cost stays
+    # flat as the serving batch grows. The query side is small by
+    # definition, so recomputing its bucket expression for the join is
+    # cheaper than any caching machinery.
+    by_table: dict[int, list] = {}
     for t, b in sorted(probe_keys):
-        this = (F.col("table_id") == t) & (F.col("bucket") == b)
+        by_table.setdefault(t, []).append(b)
+    cond = None
+    for t, buckets in sorted(by_table.items()):
+        this = (F.col("table_id") == t) & F.col("bucket").isin(buckets)
         cond = this if cond is None else (cond | this)
     pairs = index.filter(cond).join(F.broadcast(q), ["table_id", "bucket"])
     if exclude_self:
@@ -254,6 +284,13 @@ def append_to_lsh_index(
     written at build time — appending under a different family would
     silently corrupt recall. Compaction of accumulated small files is
     ``sources.writers.compact_parquet``'s job, per partition."""
+    if batch_id < 0:
+        # the build reserves __batch=-1; an append at -1 would
+        # dynamic-overwrite (i.e. silently delete) base-build partitions
+        raise ValueError(
+            f"batch_id must be >= 0 (got {batch_id}); negative ids are "
+            "reserved for the base build"
+        )
     spark = new_vectors.sparkSession
     _check_meta(
         spark,

@@ -682,6 +682,11 @@ def mixture_epoch_plan(
     a giant CASE); unlisted sources get weight 0."""
     spark = per_source_tokens.sparkSession
     total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError(
+            "weights must be non-empty with positive total "
+            f"(got {weights!r})"
+        )
     wdf = spark.createDataFrame(
         [(s, float(w) / total_w) for s, w in weights.items()],
         f"{source_col} string, weight double",

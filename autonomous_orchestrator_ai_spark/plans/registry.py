@@ -78,13 +78,18 @@ def load_all() -> None:
     _LOADED = True
 
 
-#: (applicationId, sf_dir, name) -> DataFrame. DataFrames are immutable
+#: (id(session), sf_dir, name) -> DataFrame. DataFrames are immutable
 #: plans, so handing back the same object is safe; the cache saves the
 #: ~100 ms of conf round-trips + footer/schema read that EVERY query's
 #: table() calls would otherwise repeat (the bench runs 40+ queries x 2
-#: passes against the same static testdata). Keyed by applicationId so a
-#: new session never sees another session's plans.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+#: passes against the same static testdata). Keyed by the session OBJECT
+#: (not applicationId): a newSession() clone shares the applicationId but
+#: has its own SQLConf and temp-view catalog, so a plan cached under the
+#: parent must never be handed to the clone — its UTC/nanos re-pin and
+#: register_views would otherwise land on the wrong session. The hit is
+#: double-checked against df.sparkSession in case id() is ever reused
+#: after a session is garbage-collected.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -98,9 +103,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # parquet reader rejects; read nanos as long and truncate to micros
     # (exactly what DuckDB's ns->us conversion does).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    key = (id(spark), sf_dir, name)
     hit = _TABLE_CACHE.get(key)
-    if hit is not None:
+    if hit is not None and hit.sparkSession is spark:
         return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -202,3 +202,50 @@ def test_append_replay_is_idempotent_and_family_checked(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="hash-family mismatch"):
         append_to_lsh_index(extra, path, batch_id=1, n_planes=8, n_tables=2, dim=64)
+
+    # negative batch ids are reserved for the base build — an append at -1
+    # would dynamic-overwrite (delete) base partitions
+    with _pytest.raises(ValueError, match="batch_id must be >= 0"):
+        append_to_lsh_index(extra, path, batch_id=-1, n_planes=4, n_tables=2, dim=64)
+
+
+def test_corrupt_meta_fails_loudly(spark, tmp_path):
+    """An unparseable/empty meta dir must raise, not silently disable the
+    hash-family guard (the guard exists exactly for that failure mode)."""
+    import pytest as _pytest
+
+    from autonomous_orchestrator_ai_spark.operators.ann_index import (
+        append_to_lsh_index,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "idx")
+    build_lsh_index(base, path, n_planes=4, n_tables=2, dim=64)
+    # corrupt the meta: blank out every json part file
+    import pathlib
+
+    meta = pathlib.Path(path) / "_lsh_index_meta"
+    for p in meta.glob("*.json"):
+        p.write_text("not json at all {{{")
+    with _pytest.raises(ValueError, match="could not be read or parsed"):
+        append_to_lsh_index(
+            emb.filter(F.col("vec_id") >= 20),
+            path,
+            batch_id=0,
+            n_planes=4,
+            n_tables=2,
+            dim=64,
+        )
+    # a genuinely MISSING meta dir (pre-metadata index) still passes
+    for p in meta.glob("*"):
+        p.unlink()
+    meta.rmdir()
+    append_to_lsh_index(
+        emb.filter(F.col("vec_id") >= 20),
+        path,
+        batch_id=0,
+        n_planes=4,
+        n_tables=2,
+        dim=64,
+    )

@@ -545,3 +545,15 @@ class TestMixturePlan:
         avail = spark.createDataFrame([Row(source="x", available_tokens=10)])
         r = mixture_epoch_plan(avail, {"a": 1}, 100).collect()[0]
         assert r.weight == 0.0 and r.allocated_tokens == 0.0 and not r.oversampled
+
+    def test_degenerate_weights_rejected(self, spark):
+        import pytest as _pytest
+
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            mixture_epoch_plan,
+        )
+
+        avail = spark.createDataFrame([Row(source="x", available_tokens=10)])
+        for bad in ({}, {"a": 0.0}, {"a": 1.0, "b": -1.0}):
+            with _pytest.raises(ValueError, match="positive total"):
+                mixture_epoch_plan(avail, bad, 100)
