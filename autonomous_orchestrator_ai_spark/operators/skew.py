@@ -21,14 +21,35 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, key: str, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    key: str,
+    n_salts: int,
+    salt_col: str = "__salt",
+    salt_by: str | None = None,
+) -> DataFrame:
     """Deterministic per-row salt in [0, n_salts): hash-based (pmod of
     xxhash64 over the whole row's key + a disambiguator column when
-    present) — deterministic, unlike rand(), so plans stay replayable."""
-    return df.withColumn(
-        salt_col,
-        F.pmod(F.xxhash64(F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()), F.lit(n_salts)).cast("int"),
-    )
+    present) — deterministic, unlike rand(), so plans stay replayable.
+
+    ``salt_by``: derive the salt from a SUB-KEY column instead of the
+    per-row disambiguator. Every row sharing that sub-key value lands in
+    the SAME salt partition, which makes COUNT(DISTINCT salt_by) (exact or
+    approx_count_distinct) decompose across salts as a plain SUM of
+    per-salt partials — the property that lets distinct aggregates ride
+    the two-phase salt path without collecting value sets. Spread quality
+    then depends on the sub-key's cardinality within each hot key (fine
+    whenever the hot key is hot because MANY sub-keys hit it)."""
+    if salt_by is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_by)), F.lit(n_salts))
+    else:
+        salt = F.pmod(
+            F.xxhash64(
+                F.col(key), F.spark_partition_id(), F.monotonically_increasing_id()
+            ),
+            F.lit(n_salts),
+        )
+    return df.withColumn(salt_col, salt.cast("int"))
 
 
 def salted_aggregate(
@@ -37,6 +58,7 @@ def salted_aggregate(
     partial_aggs: dict[str, Column],
     final_aggs: dict[str, Column],
     n_salts: int = 8,
+    salt_by: str | None = None,
 ) -> DataFrame:
     """Two-phase agg: groupBy(key, salt) -> partials, then groupBy(key) ->
     combine. ``partial_aggs`` maps output-name -> agg Column over the raw
@@ -46,8 +68,12 @@ def salted_aggregate(
         salted_aggregate(ev, "user_id",
             {"cnt": F.count(F.lit(1)), "sum_v": F.sum("value")},
             {"n_events": F.sum("cnt"), "total": F.sum("sum_v")})
-    """
-    salted = with_salt(df, key, n_salts)
+
+    Pass ``salt_by=<col>`` to partition the salt BY that column's hash:
+    then ``count_distinct(<col>)`` / ``approx_count_distinct(<col>)``
+    partials combine exactly via SUM (each value owns one salt), so even
+    distinct aggregates stay bounded-state on the salt path."""
+    salted = with_salt(df, key, n_salts, salt_by=salt_by)
     partial = salted.groupBy(key, "__salt").agg(
         *[c.alias(name) for name, c in partial_aggs.items()]
     )

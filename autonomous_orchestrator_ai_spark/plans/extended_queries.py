@@ -784,10 +784,11 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n/20 rows; bucket bounds are the empirical quantiles) — the
     complement of the equi-width `value_histogram`, and what an optimizer
     wants for selectivity estimation on skewed columns. NTILE needs a
-    total order, so this is the one histogram that pays a global sort;
-    event_id tie-break makes bucket assignment engine-deterministic. The
-    bounded-state scale path is approx_percentile cut points + the
-    equi-width binning pass."""
+    total order, so this is the one histogram that pays a global sort —
+    it exists as the SMALL-DATA ORACLE BASELINE for
+    ``value_equidepth_histogram_approx`` below, which is the
+    bounded-state scale path (approx_percentile cut points + a binning
+    pass, no global sort) and the form to run at 100 TB."""
     from pyspark.sql import Window
 
     events = table(spark, sf_dir, "events")
@@ -808,6 +809,44 @@ def value_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("bucket").cast("bigint").alias("bucket"), "n_rows", "lo", "hi")
 
 
+@register("value_equidepth_histogram_approx")  # sketch-based: rows-only check;
+# tolerance vs the exact NTILE form is pinned in tests/test_scale_paths.py
+def value_equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state equi-depth histogram — the 100 TB form of
+    ``value_equidepth_histogram``. Two passes, NO global sort:
+
+    1. one aggregate computes 19 approx_percentile cut points (a
+       Greenwald-Khanna sketch: fixed memory regardless of row count,
+       partials merge map-side);
+    2. a binning pass assigns each row ``1 + #cuts_below(v)`` via a fused
+       array fold over the broadcast 19-element cut array, then a plain
+       groupBy(bucket) — fully parallel, whole-stage-codegen.
+
+    vs the exact form: bucket populations are approximate (sketch rank
+    error + ties binned by value rather than by (value, event_id)), which
+    is precisely the trade a selectivity-estimation consumer accepts.
+    Same output schema as the exact form so the two are diffable."""
+    events = table(spark, sf_dir, "events")
+    v = events.filter(F.col("value").isNotNull()).select(
+        F.col("value").cast("double").alias("v")
+    )
+    pcts = F.array(*[F.lit(i / 20.0) for i in range(1, 20)])
+    cuts = v.agg(F.percentile_approx("v", pcts, F.lit(10000)).alias("cuts"))
+    binned = v.crossJoin(F.broadcast(cuts)).select(
+        "v",
+        F.expr(
+            "1 + aggregate(cuts, 0, (acc, c) -> acc + IF(v > c, 1, 0))"
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+    )
+
+
 @register(
     "salted_event_type_stats",
     oracle="""
@@ -824,10 +863,13 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted_aggregate): counts/sums partial-aggregate per (key, salt) so a
     pathological key spreads over n_salts reducers before the tiny
     combine — and the oracle proves the two-phase form is bit-identical
-    to the plain GROUP BY. Distinct-count is NOT salt-decomposable with
-    plain aggs (needs HLL-merge, operators.sketch), so it rides the
-    partial phase as a per-salt collect_set union — here sized fine, at
-    extreme scale swap in approx_count_distinct."""
+    to the plain GROUP BY. The distinct-user count is salt-decomposable
+    here because the salt is derived from user_id (``salt_by``): each
+    user owns exactly one salt partition, so per-salt COUNT(DISTINCT
+    user_id) partials combine EXACTLY via SUM — no collect_set, no
+    per-row value materialization anywhere on the path. At extreme
+    per-salt cardinality the partial swaps to approx_count_distinct with
+    the same SUM combine (same one-salt-per-user argument)."""
     from autonomous_orchestrator_ai_spark.operators.skew import salted_aggregate
 
     ev = table(spark, sf_dir, "events")
@@ -837,13 +879,14 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial_aggs={
             "cnt": F.count(F.lit(1)),
             "sum_v": F.sum(F.col("value").cast("decimal(18,4)")),
-            "users": F.collect_set("user_id"),
+            "users": F.count_distinct(F.col("user_id")),
         },
         final_aggs={
             "n_events": F.sum("cnt"),
             "total_value": F.round(F.sum("sum_v"), 2).cast("double"),
-            "n_users": F.size(F.array_distinct(F.flatten(F.collect_list("users")))),
+            "n_users": F.sum("users"),
         },
+        salt_by="user_id",
     )
     return out.select(
         "event_type",
