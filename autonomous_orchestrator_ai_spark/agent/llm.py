@@ -183,6 +183,56 @@ def parse_llm_response(response: str) -> tuple[DecisionResult, list[dict]]:
         )
 
 
+def ollama_llm(
+    model: str = "llama3.1",
+    base_url: str = "http://localhost:11434",
+    temperature: float = 0.1,
+    transport=None,
+):
+    """Concrete D3 client adapter (reference _init_ollama,
+    decision_agent.py:389-400: local Ollama endpoint, temperature 0.1).
+    Returns an ``llm: str -> str`` callable for ``make_decision`` that
+    POSTs the public Ollama generate API (non-streaming) through an
+    injectable HTTP transport — tests pass a fake; production passes
+    nothing and gets the stdlib transport. A transport failure raises,
+    which ``make_decision`` converts to the reference's zero-confidence
+    escalation result."""
+    import json as _json
+
+    from autonomous_orchestrator_ai_spark.agent.transports import (
+        HttpRequest,
+        urllib_transport,
+    )
+
+    send = transport or urllib_transport
+    url = f"{base_url.rstrip('/')}/api/generate"
+
+    def call(prompt: str) -> str:
+        resp = send(
+            HttpRequest(
+                method="POST",
+                url=url,
+                headers={"Content-Type": "application/json"},
+                body=_json.dumps(
+                    {
+                        "model": model,
+                        "prompt": prompt,
+                        "stream": False,
+                        "options": {"temperature": temperature},
+                    }
+                ),
+                timeout=120.0,
+            )
+        )
+        if resp.status != 200:
+            raise RuntimeError(
+                f"LLM endpoint returned {resp.status}: {resp.body[:200]}"
+            )
+        return resp.json().get("response", "")
+
+    return call
+
+
 def make_decision(
     context: DecisionContext,
     llm=None,
@@ -190,12 +240,26 @@ def make_decision(
 ) -> tuple[DecisionResult, list[dict]]:
     """Reference make_decision (:386-430): LLM path when available, with
     actions executed only at confidence >= 0.7; deterministic rule-based
-    fallback otherwise. Returns (result, actions-to-execute)."""
+    fallback otherwise; any LLM-path exception degrades to the
+    zero-confidence escalation result (:422-430). Returns (result,
+    actions-to-execute)."""
     th = {**THRESHOLDS, **(thresholds or {})}
     if llm is None:
         result = rule_based_decision(context, thresholds)
         return result, result.actions
-    response = llm(build_decision_prompt(context))
-    result, planned = parse_llm_response(response)
+    try:
+        response = llm(build_decision_prompt(context))
+        result, planned = parse_llm_response(response)
+    except Exception as exc:
+        return (
+            DecisionResult(
+                decision="Error in autonomous decision making",
+                reasoning=f"Exception occurred: {exc}",
+                actions=[],
+                confidence=0.0,
+                escalation_required=True,
+            ),
+            [],
+        )
     to_execute = planned if result.confidence >= th["confidence_threshold"] else []
     return result, to_execute

@@ -2,8 +2,10 @@
 
 Side-effecting adapters behind a name->callable registry
 (tools.py:279-306). Network-touching tools (Airflow retrigger, Slack,
-SMTP) are console/no-op stubs here — the reference itself falls back to
-console logging when endpoints are absent (notifications.py:147-160)."""
+SMTP) accept OPTIONAL adapters from ``agent.transports`` — each with an
+injectable transport, defaulting to the console fallback the reference
+itself uses when endpoints are absent (notifications.py:147-160). The
+JSONL audit trail is always written, adapters or not."""
 
 from __future__ import annotations
 
@@ -12,22 +14,30 @@ import time
 from datetime import datetime
 from pathlib import Path
 
-#: Slack severity -> color map (reference ops/notifications.py:63-70).
-SEVERITY_COLORS = {
-    "info": "#36a64f",
-    "warning": "#ffaa00",
-    "error": "#ff6600",
-    "critical": "#ff0000",
-}
+from autonomous_orchestrator_ai_spark.agent.transports import (
+    SLACK_SEVERITY_COLORS as SEVERITY_COLORS,
+)
 
 
 class PipelineTools:
     """Tool registry (reference D5, tools.py:289-306)."""
 
-    def __init__(self, ops_dir: str, incident_store=None):
+    def __init__(
+        self,
+        ops_dir: str,
+        incident_store=None,
+        slack=None,  # transports.SlackNotifier
+        email=None,  # transports.EmailNotifier
+        airflow=None,  # transports.AirflowClient
+        dag_id: str = "data_pipeline",
+    ):
         self.ops_dir = Path(ops_dir)
         self.ops_dir.mkdir(parents=True, exist_ok=True)
         self.incident_store = incident_store
+        self.slack = slack
+        self.email = email
+        self.airflow = airflow
+        self.dag_id = dag_id
         self.notifications: list[dict] = []  # console-fallback audit trail
 
     # -- D7: versioned schema-remap config (tools.py:91-134) ---------------
@@ -76,16 +86,25 @@ class PipelineTools:
         (qdir / "metadata.json").write_text(json.dumps(meta, indent=2))
         return {"success": True, "quarantine_dir": str(qdir), "metadata": meta}
 
-    # -- D6: retrigger (stub of the Airflow REST call, tools.py:36-89) -----
+    # -- D6: retrigger (reference Airflow REST protocol, tools.py:36-89) ---
 
     def retrigger_task(self, task_id: str = "run_spark_job") -> dict:
+        """With an AirflowClient configured, run the reference's two-step
+        REST protocol (latest dagRun -> clearTaskInstances); the JSONL
+        request marker is appended either way as the audit record."""
         marker = self.ops_dir / "retrigger_requests.jsonl"
         req = {"task_id": task_id, "requested_at": datetime.now().isoformat()}
+        result = {"success": True, "request": req}
+        if self.airflow is not None:
+            api = self.airflow.retrigger_task(self.dag_id, task_id)
+            req["airflow"] = api
+            result = {"success": api.get("success", False), "request": req}
         with marker.open("a") as f:
             f.write(json.dumps(req) + "\n")
-        return {"success": True, "request": req}
+        return result
 
-    # -- D9: notify (console fallback, notifications.py:147-160) -----------
+    # -- D9: notify (Slack/SMTP adapters; console fallback,
+    #    notifications.py:147-160) ------------------------------------------
 
     def notify_ops(self, message: str, severity: str = "info") -> dict:
         note = {
@@ -94,6 +113,12 @@ class PipelineTools:
             "color": SEVERITY_COLORS.get(severity, SEVERITY_COLORS["info"]),
             "timestamp": datetime.now().isoformat(),
         }
+        if self.slack is not None:
+            note["slack"] = self.slack.send(message, severity=severity)
+        if self.email is not None:
+            note["email"] = self.email.send(
+                "Pipeline Alert", message, severity=severity
+            )
         self.notifications.append(note)
         with (self.ops_dir / "notifications.jsonl").open("a") as f:
             f.write(json.dumps(note) + "\n")

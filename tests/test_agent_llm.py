@@ -102,3 +102,61 @@ def test_prompt_contains_context():
     prompt = build_decision_prompt(ctx)
     assert '"total_records": 42' in prompt
     assert "DECISION FRAMEWORK" in prompt and "RESPONSE FORMAT" in prompt
+
+
+# -- concrete D3 client adapter (VERDICT r2 item 5) -------------------------
+
+
+class _FakeHttp:
+    def __init__(self, responses):
+        from autonomous_orchestrator_ai_spark.agent.transports import HttpResponse
+
+        self.requests = []
+        self.responses = [
+            r if isinstance(r, HttpResponse) else HttpResponse(*r)
+            for r in responses
+        ]
+
+    def __call__(self, req):
+        self.requests.append(req)
+        return self.responses.pop(0)
+
+
+def _ollama_body(text):
+    import json
+
+    return json.dumps({"model": "llama3.1", "response": text, "done": True})
+
+
+def test_ollama_client_request_shape_and_end_to_end_decision():
+    import json
+
+    from autonomous_orchestrator_ai_spark.agent.llm import ollama_llm
+
+    t = _FakeHttp([(200, _ollama_body(SAMPLE_RESPONSE))])
+    llm = ollama_llm(model="llama3.1", base_url="http://localhost:11434/",
+                     transport=t)
+    ctx = DecisionContext(run_report={"total_records": 100})
+    result, to_exec = make_decision(ctx, llm=llm)
+    # the fake LLM's high-confidence plan executes end to end
+    assert result.confidence == 0.85 and len(to_exec) == 2
+    assert to_exec[0]["tool"] == "apply_schema_remap"
+    # request is the public Ollama generate API, non-streaming, temp 0.1
+    (req,) = t.requests
+    assert req.url == "http://localhost:11434/api/generate"
+    body = json.loads(req.body)
+    assert body["model"] == "llama3.1" and body["stream"] is False
+    assert body["options"] == {"temperature": 0.1}
+    assert "DECISION FRAMEWORK" in body["prompt"]
+
+
+def test_ollama_client_failure_degrades_to_escalation():
+    from autonomous_orchestrator_ai_spark.agent.llm import ollama_llm
+
+    llm = ollama_llm(transport=_FakeHttp([(503, "overloaded")]))
+    ctx = DecisionContext(run_report={"total_records": 100})
+    result, to_exec = make_decision(ctx, llm=llm)
+    # reference :422-430: exceptions become a zero-confidence escalation
+    assert result.confidence == 0.0
+    assert result.escalation_required is True
+    assert to_exec == []
