@@ -85,6 +85,95 @@ def parse_avro_value(df: DataFrame, avro_schema_json: str) -> DataFrame:
     )
 
 
+def _avro_to_spark_type(schema) -> T.DataType:
+    """Avro type node -> Spark type (the subset the event schema uses).
+    timestamp-millis stays a LongType at the ingest boundary, matching
+    CUSTOMER_EVENTS_SCHEMA (conversion is functions.temporal's job)."""
+    if isinstance(schema, list):  # union: nullable branch type
+        non_null = [b for b in schema if b != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(f"multi-branch union {schema!r}")
+        return _avro_to_spark_type(non_null[0])
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "enum":
+            return T.StringType()
+        if t == "array":
+            return T.ArrayType(_avro_to_spark_type(schema["items"]))
+        if t == "map":
+            return T.MapType(T.StringType(), _avro_to_spark_type(schema["values"]))
+        if t == "record":
+            return T.StructType(
+                [
+                    T.StructField(f["name"], _avro_to_spark_type(f["type"]))
+                    for f in schema["fields"]
+                ]
+            )
+        schema = t  # logical-typed primitive, e.g. {"type": "long", ...}
+    return {
+        "string": T.StringType(),
+        "long": T.LongType(),
+        "int": T.IntegerType(),
+        "boolean": T.BooleanType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+    }[schema]
+
+
+def decode_avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
+    """No-jar Avro decode of the Kafka ``value`` column via the vendored
+    pure-Python codec (sources.avro_codec), Arrow-batched through
+    ``mapInPandas``. Same output contract as ``parse_avro_value`` (kafka
+    envelope columns + flattened record fields) so the two are drop-in
+    interchangeable; use the JVM spark-avro route whenever the jar is
+    available — this fallback pays per-record Python decode and exists so
+    S2's real wire format is exercisable in jar-less environments."""
+    import pandas as pd
+
+    from autonomous_orchestrator_ai_spark.sources.avro_codec import (
+        decode,
+        parse_schema,
+    )
+
+    record_schema = parse_schema(avro_schema_json)
+    data_type = _avro_to_spark_type(record_schema)
+    if not isinstance(data_type, T.StructType):
+        raise ValueError("top-level avro schema must be a record")
+    out_schema = T.StructType(
+        [
+            T.StructField("kafka_key", T.StringType()),
+            T.StructField("kafka_timestamp", T.TimestampType()),
+            T.StructField("kafka_offset", T.LongType()),
+            T.StructField("kafka_partition", T.IntegerType()),
+            *data_type.fields,
+        ]
+    )
+    field_names = [f.name for f in data_type.fields]
+
+    def batches(it):
+        for pdf in it:
+            decoded = [
+                decode(record_schema, bytes(v)) for v in pdf["value"]
+            ]
+            out = pd.DataFrame(
+                {
+                    "kafka_key": [
+                        None if k is None else bytes(k).decode("utf-8", "replace")
+                        for k in pdf["key"]
+                    ],
+                    "kafka_timestamp": pdf["timestamp"].values,
+                    "kafka_offset": pdf["offset"].values,
+                    "kafka_partition": pdf["partition"].values,
+                }
+            )
+            for name in field_names:
+                out[name] = [r[name] for r in decoded]
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 KAFKA_ENVELOPE_SCHEMA = T.StructType(
     [
         T.StructField("key", T.BinaryType()),
