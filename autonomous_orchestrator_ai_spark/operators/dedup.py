@@ -135,12 +135,23 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: concat each band's minhashes -> md5 band key -> self-join
     on (band_id, band_key) -> distinct (a, b) candidate pairs with a < b.
 
     The self-join shuffles on the band key; docs only meet if they collide in
-    at least one band — this is the scale path (no all-pairs compare)."""
+    at least one band — this is the scale path (no all-pairs compare).
+
+    ``max_bucket_size`` drops band buckets larger than the cap before the
+    self-join — the banding analog of ``ngram_jaccard_pairs``'s
+    ``max_shingle_df`` guard. A degenerate bucket of B docs emits B·(B-1)/2
+    candidates (one hot boilerplate signature can dominate the whole job);
+    capped buckets bound the per-bucket cost at cap². The trade is
+    documented and deliberate: docs meeting ONLY inside a dropped bucket
+    (e.g. thousands of byte-identical boilerplate docs) lose their pair —
+    run exact/fingerprint dedup BEFORE LSH so identical docs never reach
+    the near-dup stage, which is the standard pipeline order."""
     rows_per_band = num_hashes // bands
     # ONE pass: explode an array of (band_id, band_key) structs instead of
     # unioning per-band branches (a union would recompute the signature
@@ -157,6 +168,18 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("__band")
     ).select(F.col(id_col), F.col("__band.band_id"), F.col("__band.band_key"))
+    if max_bucket_size is not None:
+        # broadcast the HOT buckets (few by definition) and anti-join —
+        # broadcasting the surviving buckets would ship ~every bucket key
+        hot = (
+            banded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(hot), ["band_id", "band_key"], "left_anti"
+        )
 
     a = banded.alias("a")
     b_ = banded.alias("b")

@@ -117,6 +117,7 @@ def pq_adc_topk(
     code_col: str = "pq_code",
     query_id_col: str | None = None,
     exclude_self: bool = True,
+    max_query_batch: int = 4096,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per partition, build each
     query's (m × n_codes) inner-product lookup table once, score every
@@ -125,17 +126,33 @@ def pq_adc_topk(
     rows per query. The corpus never materializes pairs — the shuffle
     carries only the partial top-k survivors.
 
+    This is a SERVING-BATCH operator: the query vectors are collected to
+    the driver and the Q×m×n_codes LUT ships to every task through the
+    closure, so Q is a hard capacity parameter, enforced via
+    ``max_query_batch`` (default 4096 queries ≈ 8 MB of LUT at
+    m=8/n_codes=256 — well under broadcast comfort). Larger query sets
+    should be chunked by the caller (results are per-query independent, so
+    a union of chunked calls is exact) or joined corpus-to-corpus via the
+    LSH/IVF paths instead.
+
     Scores are approximate inner products (sub-centroid IPs); rank is by
     ADC score with neighbor-id tie-break. Output: (query_id, neighbor_id,
     adc_score, rank)."""
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, n_codes, sub = cb.shape
     query_id_col = query_id_col or id_col
-    qrows = queries.select(
+    qrows = queries.limit(max_query_batch + 1).select(
         F.col(query_id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
     ).collect()
     if not qrows:
         raise ValueError("queries is empty")
+    if len(qrows) > max_query_batch:
+        raise ValueError(
+            f"query batch exceeds max_query_batch={max_query_batch}: the "
+            "driver-side ADC LUT is sized per query — chunk the query set "
+            "and union the (per-query independent) results, or use the "
+            "LSH/IVF index paths for corpus-scale query sets"
+        )
     q_ids = np.array([r["query_id"] for r in qrows])
     q_mat = np.array([r["__qv"] for r in qrows], dtype=np.float64)
     # LUT[q, j, c] = <query_q subvector j, codebook j centroid c>

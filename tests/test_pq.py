@@ -129,3 +129,25 @@ def test_train_rejects_empty_input(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty input"):
         train_pq(empty, m=2)
+
+
+def test_query_batch_bound_enforced(spark):
+    """pq_adc_topk ships a per-query LUT through the closure, so the query
+    batch size is a hard capacity parameter (VERDICT r2 item 8): past
+    max_query_batch it must refuse with chunking guidance, not OOM."""
+    rng = np.random.default_rng(7)
+    n, dim = 12, 8
+    vecs = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    cb = train_pq(df, m=4, n_codes=4, sample_size=n)
+    codes_df = pq_encode(df, cb)
+    with pytest.raises(ValueError, match="max_query_batch"):
+        pq_adc_topk(codes_df, df, cb, k=2, max_query_batch=8)
+    # at exactly the bound it runs
+    out = pq_adc_topk(
+        codes_df, df.filter(F.col("vec_id") < 8), cb, k=2, max_query_batch=8
+    )
+    assert out.select("query_id").distinct().count() == 8
