@@ -31,7 +31,19 @@ class IncidentStore:
 
     ``base_path`` holds ``log.jsonl`` (append-only; the source of truth,
     mirroring the reference's JSONL fallback incident_store.py:156-162).
-    """
+
+    Concurrency contract: SINGLE WRITER (the decision agent / pipeline
+    driver), matching the reference's deployment shape. Appends use
+    O_APPEND one-line writes — safe against a concurrent READER on a
+    local filesystem — but two concurrent writers can (a) interleave
+    ``update_incident``'s read-modify-append so the later appender
+    silently discards the other's field updates (lost update), and
+    (b) produce identical ``updated_at`` timestamps, making
+    ``latest_state``'s last-version-wins ordering nondeterministic
+    between their rows. Multi-writer deployments must serialize through
+    one agent process or an external lock; this store intentionally does
+    not take file locks (the reference's SQLite path gets this from the
+    database instead)."""
 
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark

@@ -6,13 +6,15 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is timed end-to-end (plan construction + execution to a count/
-collect on the driver), twice; the recorded number is the min of the two
-passes. The first pass pays one-time Janino/JIT compilation of the
-generated classes and any VM scheduling hiccup; a long-running cluster
-amortizes those over hours, so min-of-2 is the honest steady-state figure
-(observed single-shot noise on this virtualized host: the same query
-swings 0.6s <-> 6s run-to-run). A warm-up query first amortizes JVM
-start-up the same way.
+collect on the driver) over ``$SPARK_GRAFT_BENCH_PASSES`` passes (default
+3); the recorded number is the min and the per-query sample standard
+deviation rides along in "stddev" so round-over-round deltas smaller than
+the observed noise aren't over-read. The first pass pays one-time
+Janino/JIT compilation of the generated classes and any VM scheduling
+hiccup; a long-running cluster amortizes those over hours, so min-of-N is
+the honest steady-state figure (observed single-shot noise on this
+virtualized host: the same query swings 0.6s <-> 6s run-to-run). A
+warm-up query first amortizes JVM start-up the same way.
 """
 
 from __future__ import annotations
@@ -53,6 +55,8 @@ HEADLINE = [
     "mixture_epoch_plan",
     "ngram_jaccard_pairs_guarded",
     "value_equidepth_histogram",
+    "value_equidepth_histogram_approx",
+    "salted_event_type_stats",
     "revenue_mom_growth",
     # reference pipeline surface
     "pipeline_run_report",
@@ -99,19 +103,26 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
+    stddevs: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        best = float("inf")
-        for _pass in range(2):
+        samples: list[float] = []
+        for _pass in range(n_passes):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             # isolate passes/queries: drop any index/materialization a
             # query persisted
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(samples), 3)
+        mean = sum(samples) / len(samples)
+        stddevs[name] = round(
+            (sum((s - mean) ** 2 for s in samples) / (len(samples) - 1)) ** 0.5,
+            3,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -121,6 +132,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "stddev": stddevs,
+                "passes": n_passes,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
