@@ -67,6 +67,71 @@ def foreach_batch_jdbc_sink(url: str, table: str, options: dict | None = None):
     return _write
 
 
+#: connector option keys the reference's writer builds
+#: (ingest_transform.py:282-289); config must provide every one + "table"
+_SNOWFLAKE_CONFIG_KEYS = (
+    "account",
+    "user",
+    "password",
+    "database",
+    "schema",
+    "warehouse",
+    "role",
+    "table",
+)
+
+
+def snowflake_sink_options(config: dict) -> dict:
+    """Option map for the PUBLIC Snowflake Spark connector
+    (spark-snowflake, format name "snowflake") exactly as the reference
+    constructs it (ingest_transform.py:282-289)."""
+    return {
+        "sfUrl": f"{config['account']}.snowflakecomputing.com",
+        "sfUser": config["user"],
+        "sfPassword": config["password"],
+        "sfDatabase": config["database"],
+        "sfSchema": config["schema"],
+        "sfWarehouse": config["warehouse"],
+        "sfRole": config["role"],
+    }
+
+
+def foreach_batch_snowflake_sink(config: dict, save=None):
+    """S5 proper: the reference's Snowflake foreachBatch writer
+    (ingest_transform.py:273-305) on the public connector. Validates the
+    config up front the way the reference gates sink selection
+    (`all(config values)`, :366) so a half-configured sink fails at
+    pipeline build, not mid-stream. Empty batches are skipped with
+    ``isEmpty()`` (cheaper than the reference's count()>0, §4 note).
+
+    ``save`` injects the terminal write for tests (the connector jar is
+    absent in this container); when None, the real
+    ``format("snowflake")`` write runs and raises Spark's clear
+    ClassNotFound error if the jar is missing — same failure contract as
+    the Kafka/Avro readers."""
+    missing = [k for k in _SNOWFLAKE_CONFIG_KEYS if not (config or {}).get(k)]
+    if missing:
+        raise ValueError(f"incomplete snowflake config, missing: {missing}")
+    opts = snowflake_sink_options(config)
+    table = config["table"]
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if save is not None:
+            save(batch_df, dict(opts), table)
+            return
+        (
+            batch_df.write.format("snowflake")
+            .options(**opts)
+            .option("dbtable", table)
+            .mode("append")
+            .save()
+        )
+
+    return _write
+
+
 def write_quarantine(
     quarantined: DataFrame, base_path: str, metadata: dict, timestamp: str | None = None
 ) -> str:

@@ -211,3 +211,65 @@ class TestStrictReaders:
         assert df.filter(F.col("_corrupt_record").isNull()).count() == 2
         assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
         df.unpersist()
+
+
+class TestSnowflakeSink:
+    """S5 proper (VERDICT r2): option construction + gating parity with
+    the reference's Snowflake foreachBatch writer, via an injected save."""
+
+    CONFIG = {
+        "account": "acct123",
+        "user": "loader",
+        "password": "pw",
+        "database": "ANALYTICS",
+        "schema": "PUBLIC",
+        "warehouse": "LOAD_WH",
+        "role": "LOADER",
+        "table": "CUSTOMER_EVENTS",
+    }
+
+    def test_option_map_matches_reference_shape(self, spark):
+        from autonomous_orchestrator_ai_spark.sources.writers import (
+            foreach_batch_snowflake_sink,
+        )
+
+        saved = []
+        sink = foreach_batch_snowflake_sink(
+            self.CONFIG, save=lambda df, opts, table: saved.append((df, opts, table))
+        )
+        batch = spark.range(3).withColumnRenamed("id", "event_id")
+        sink(batch, epoch_id=0)
+        (df, opts, table), = saved
+        assert table == "CUSTOMER_EVENTS"
+        assert opts == {
+            "sfUrl": "acct123.snowflakecomputing.com",
+            "sfUser": "loader",
+            "sfPassword": "pw",
+            "sfDatabase": "ANALYTICS",
+            "sfSchema": "PUBLIC",
+            "sfWarehouse": "LOAD_WH",
+            "sfRole": "LOADER",
+        }
+
+    def test_empty_batch_skipped(self, spark):
+        from autonomous_orchestrator_ai_spark.sources.writers import (
+            foreach_batch_snowflake_sink,
+        )
+
+        saved = []
+        sink = foreach_batch_snowflake_sink(
+            self.CONFIG, save=lambda *a: saved.append(a)
+        )
+        sink(spark.range(0), epoch_id=1)
+        assert saved == []
+
+    def test_incomplete_config_fails_at_build_time(self):
+        import pytest as _pytest
+
+        from autonomous_orchestrator_ai_spark.sources.writers import (
+            foreach_batch_snowflake_sink,
+        )
+
+        partial = {**self.CONFIG, "warehouse": ""}
+        with _pytest.raises(ValueError, match="warehouse"):
+            foreach_batch_snowflake_sink(partial)
