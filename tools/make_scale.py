@@ -16,12 +16,18 @@ pathological one):
 - events keep their timestamps (10x density in the same window — the
   realistic shape for a busier system) but shift user_id, so per-user
   event counts and session structure stay constant;
-- document TEXT in replica r>0 gets a per-word replica suffix: within a
-  replica the shingle-equality structure is preserved verbatim (near-dup
-  pairs scale exactly linearly), while across replicas no shingles are
-  shared — replicating text UNCHANGED would instead make every doc a
-  10-way exact duplicate and near-dup work quadratic, which benchmarks a
-  different (degenerate) corpus;
+- document TEXT in replica r>0 is Caesar-shifted (letters rotate by r,
+  case-preserving; digits/punct/whitespace untouched). The map is
+  injective per replica, so within a replica EVERY text-equality
+  structure — word shingles, char k-grams, winnowing sketches, simhash —
+  is preserved verbatim and near-dup pairs scale exactly linearly; across
+  replicas no letter-gram is shared, so cross-replica pairs don't exist.
+  (Replicating text UNCHANGED would make every doc a 10-way exact dup and
+  near-dup work quadratic; a per-word suffix — the first design — still
+  shares long character runs across replicas and blows up the
+  substring-sensitive winnowing join the same way. Both benchmark a
+  degenerate corpus, not a 10x one.) Word lengths and counts are
+  unchanged, so token/quality statistics are replica-invariant;
 - embeddings in replica r>0 get small deterministic Gaussian perturbation
   (seed = 1000+r), so ANN neighbor structure is realistic rather than
   10-way-tied, while replica 0 remains the original corpus verbatim.
@@ -100,19 +106,32 @@ def _copy_sql(src: Path, dst: Path, n: int) -> list[tuple[str, str]]:
                 event_type, value, props
                 FROM {s('events')} CROSS JOIN range({n}) t(r)""",
         ),
-        (
-            "documents",
-            f"""SELECT doc_id + r*{OFF['doc']} AS doc_id,
-                CASE WHEN r = 0 THEN text
-                     ELSE regexp_replace(text, '(\\S+)', '\\1zz' || r, 'g')
-                END AS text,
-                lang, source,
-                length(CASE WHEN r = 0 THEN text
-                       ELSE regexp_replace(text, '(\\S+)', '\\1zz' || r, 'g')
-                       END) AS n_chars
-                FROM {s('documents')} CROSS JOIN range({n}) t(r)""",
-        ),
+        ("documents", _documents_sql(src, n)),
     ]
+
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+def _documents_sql(src: Path, n: int) -> str:
+    """UNION ALL of per-replica SELECTs, each with its own Caesar map via
+    translate() — n_chars is length-invariant under the shift."""
+    parts = []
+    for r in range(n):
+        lo = _LOWER[r % 26 :] + _LOWER[: r % 26]
+        up = _UPPER[r % 26 :] + _UPPER[: r % 26]
+        text = (
+            "text"
+            if r == 0
+            else f"translate(text, '{_LOWER}{_UPPER}', '{lo}{up}')"
+        )
+        parts.append(
+            f"""SELECT doc_id + {r * OFF['doc']} AS doc_id, {text} AS text,
+                lang, source, n_chars
+                FROM '{src}/documents.parquet'"""
+        )
+    return " UNION ALL ".join(parts)
 
 
 def make_embeddings(src: Path, dst: Path, n: int) -> None:
