@@ -315,6 +315,7 @@ def winnowing_near_duplicates(
     k: int = 8,
     w: int = 4,
     containment: float = 0.6,
+    max_hash_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by winnowing-sketch containment:
     (id_a, id_b, shared, containment) where containment =
@@ -326,7 +327,18 @@ def winnowing_near_duplicates(
     this is substring-sensitive: any shared run of >= k+w-1 chars leaves
     a common sketch hash, so it catches copy-paste spans inside otherwise
     different documents; the min-size denominator makes it a containment
-    measure (a short doc fully embedded in a long one scores 1.0)."""
+    measure (a short doc fully embedded in a long one scores 1.0).
+
+    ``max_hash_df`` drops sketch hashes appearing in more than that many
+    docs before the self-join (the ``max_shingle_df`` family of guards).
+    Sketch SIZES (the containment denominator) are computed before the
+    drop, so surviving pairs score lower, never higher (guarded output ⊆
+    unguarded output). NOTE: only effective on high-entropy corpora where
+    near-dup evidence rides rare grams; on low-entropy text (shared
+    boilerplate vocabulary) the signal hashes ARE the common hashes and a
+    df cap destroys recall — there, use
+    ``winnowing_near_duplicates_lsh`` instead, which replaces the
+    inverted-index join entirely."""
     from autonomous_orchestrator_ai_spark.functions.text import winnowing_sketch
 
     df = ensure_min_parallelism(df)
@@ -336,6 +348,14 @@ def winnowing_near_duplicates(
         F.size("__sk").alias("__sz"),
         F.explode("__sk").alias("__h"),
     ).persist()
+    if max_hash_df is not None:
+        hot = (
+            exploded.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_hash_df)
+            .select("__h")
+        )
+        exploded = exploded.join(F.broadcast(hot), "__h", "left_anti")
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__h"
     )
@@ -352,6 +372,76 @@ def winnowing_near_duplicates(
         )
         .withColumn(
             "containment", F.round(F.col("shared") / F.col("__msz"), 6)
+        )
+        .filter(F.col("containment") >= containment)
+        .select("id_a", "id_b", "shared", "containment")
+    )
+
+
+def winnowing_near_duplicates_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    containment: float = 0.6,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Scale form of ``winnowing_near_duplicates``: MinHash-LSH over the
+    winnowing SKETCH SETS (each doc's sketch hashes, stringified, play the
+    role of shingles), banded candidate generation, then exact containment
+    verification of candidates only.
+
+    Why this and not a hash-df cap: the inverted-index self-join's cost
+    concentrates on high-df hashes, but on low-entropy corpora those same
+    hashes carry the near-dup signal, so df-capping zeroes recall (measured
+    on this corpus: cap 20 -> 0 surviving pairs). LSH sidesteps the df
+    distribution entirely — the join key is the banded signature of the
+    WHOLE sketch, so candidate volume tracks the number of genuinely
+    similar pairs, not any single hash's popularity. Surviving pairs carry
+    the identical (shared, containment) values the exact form computes.
+
+    Recall caveat (documented trade): MinHash estimates JACCARD; a
+    containment-0.6 pair with very unequal sketch sizes has low Jaccard
+    and can be missed. For containment-first use cases, band the smaller
+    doc's sketch only, or lower the band width."""
+    from autonomous_orchestrator_ai_spark.functions.text import winnowing_sketch
+
+    df = ensure_min_parallelism(df)
+    sk = df.select(
+        F.col(id_col),
+        F.transform(
+            winnowing_sketch(text_col, k, w), lambda x: x.cast("string")
+        ).alias("__sks"),
+    )
+    sk = sk.withColumn("__sz", F.size("__sks")).persist()
+    sigs = minhash_signatures(
+        sk, "__sks", id_col, num_hashes=num_hashes, precomputed_shingles=True
+    )
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+    )
+    a = sk.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sks").alias("__ska"),
+        F.col("__sz").alias("__sza"),
+    )
+    b = sk.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sks").alias("__skb"),
+        F.col("__sz").alias("__szb"),
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "shared", F.size(F.array_intersect("__ska", "__skb")).cast("bigint")
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("__sza", "__szb"), 6),
         )
         .filter(F.col("containment") >= containment)
         .select("id_a", "id_b", "shared", "containment")

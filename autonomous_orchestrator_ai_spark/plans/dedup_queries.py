@@ -258,7 +258,12 @@ def winnowing_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-sensitive near-dup pairs via winnowing-sketch containment
     >= 0.6 (operators.dedup.winnowing_near_duplicates). The inverted-index
     join runs on ~1/w of the gram count; the min-sketch-size denominator
-    makes embedded copies score 1.0."""
+    makes embedded copies score 1.0. EXACT baseline — the sf1 run showed
+    hot common-phrase hashes dominating its join (440s, the slowest query
+    in the whole sweep); `winnowing_near_dup_pairs_lsh` below is the
+    scale form (a hash-df cap was tried first and measured to zero out
+    recall on this low-entropy corpus — signal hashes ARE the common
+    hashes here)."""
     from autonomous_orchestrator_ai_spark.operators.dedup import (
         winnowing_near_duplicates,
     )
@@ -266,6 +271,67 @@ def winnowing_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return winnowing_near_duplicates(
         docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6
+    )
+
+
+#: minhash chunk j over the stringified sketch list `skm`
+def _sk_minhash_sql(j: int) -> str:
+    return f"list_min(list_transform(skm, s -> substr(md5(s), {1 + 4 * j}, 4)))"
+
+
+def _sk_bands_case_sql() -> str:
+    cases = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"m{j}" for j in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        cases.append(f"WHEN {b} THEN md5({cols})")
+    return "CASE band_id " + " ".join(cases) + " END"
+
+
+@register(
+    "winnowing_near_dup_pairs_lsh",
+    oracle=f"""
+    WITH d AS ({_NORM_CTE}),
+    g AS (SELECT doc_id, {_GRAM_HASHES} AS h FROM d),
+    s AS (SELECT doc_id, {_SKETCH} AS sk FROM g),
+    m AS (SELECT doc_id, list_transform(sk, x -> CAST(x AS VARCHAR)) AS skm
+          FROM s),
+    sigs AS (SELECT doc_id, skm,
+                    {", ".join(f"{_sk_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
+             FROM m),
+    banded AS (SELECT doc_id, band_id, {_sk_bands_case_sql()} AS band_key
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    v AS (SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(ma.skm, mb.skm)) AS BIGINT) AS shared,
+                 least(len(ma.skm), len(mb.skm)) AS msz
+          FROM cands c JOIN m ma ON c.id_a = ma.doc_id
+                       JOIN m mb ON c.id_b = mb.doc_id)
+    SELECT id_a, id_b, shared, ROUND(shared * 1.0 / msz, 6) AS containment
+    FROM v WHERE shared * 1.0 / msz >= 0.6
+    """,
+)
+def winnowing_near_dup_pairs_lsh_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale form of `winnowing_near_dup_pairs`
+    (operators.dedup.winnowing_near_duplicates_lsh): MinHash-LSH over the
+    winnowing sketch sets — banded signature join for candidates, exact
+    containment verify on candidates only. Candidate volume tracks the
+    number of similar pairs, not any hot hash's document frequency, which
+    is what the sf1 sweep showed killing the exact form."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates_lsh,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return winnowing_near_duplicates_lsh(
+        docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6,
+        num_hashes=NUM_HASHES, bands=BANDS,
     )
 
 

@@ -62,20 +62,33 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+#: all-pairs baseline slice bound: the exact baseline exists to anchor the
+#: LSH variant's recall on a VERIFIABLE subset, so its corpus slice is
+#: pinned regardless of scale factor — an O(n²) query whose n grows with
+#: the corpus is exactly what must never ship (at sf1 the unbounded form
+#: is 400M pairs and was the sweep's runaway)
+_ALLPAIRS_MAX_ID = 1000
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
     SELECT a.vec_id id_a, b.vec_id id_b,
            ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql("a.embedding", "b.embedding")} >= 0.4
+    WHERE a.vec_id < {_ALLPAIRS_MAX_ID} AND b.vec_id < {_ALLPAIRS_MAX_ID}
+      AND {_cos_sql("a.embedding", "b.embedding")} >= 0.4
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine >= 0.4 — the exact near-dup baseline the LSH variant
-    is measured against. O(n²) by design; the scale path is
-    operators.similarity.embedding_near_duplicates."""
-    emb = table(spark, sf_dir, "embeddings")
+    """All-pairs cosine >= 0.4 on the pinned vec_id < 1000 slice — the
+    exact near-dup baseline the LSH variant is measured against. O(n²) by
+    design, which is WHY the slice is bounded: the baseline anchors recall
+    on a verifiable subset; the corpus-wide scale path is
+    operators.similarity.embedding_near_duplicates (bucketed)."""
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _ALLPAIRS_MAX_ID
+    )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
     return (

@@ -33,7 +33,8 @@ GAPFILL_BUCKET_SECONDS = 3600
     WITH b AS (
       SELECT event_type,
              to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS bucket,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS value_avg
+             CAST((2 * SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                   + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS value_avg
       FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1, 2),
     bounds AS (SELECT MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b),
     grid AS (
@@ -61,10 +62,15 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "error")
     )
-    avg_exact = F.round(
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
-        / F.count(F.lit(1)),
-        4,
+    # 4dp average in SCALED-INTEGER space: value has <=4dp, so
+    # sum(value*10^4) is an exact bigint and (2s+n) div (2n) is
+    # round-half-up of s/n in pure integer arithmetic — engine-identical,
+    # unlike ROUND(double_sum/count, 4), whose half-boundary cases
+    # (x.xxxx5) flip between Spark and DuckDB (~2/1440 buckets at sf1).
+    # Valid for value >= 0 (integral div truncation == floor there).
+    avg_exact = F.expr(
+        "CAST((2 * SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))"
+        " + COUNT(*)) DIV (2 * COUNT(*)) AS DOUBLE) / 10000.0"
     )
     filled = time_bucket_gapfill(
         events,

@@ -54,6 +54,7 @@ HEADLINE = [
     "training_shard_manifest",
     "mixture_epoch_plan",
     "ngram_jaccard_pairs_guarded",
+    "winnowing_near_dup_pairs_lsh",
     "value_equidepth_histogram",
     "value_equidepth_histogram_approx",
     "salted_event_type_stats",

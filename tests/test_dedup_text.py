@@ -182,3 +182,29 @@ def test_winnowing_catches_copied_span(spark):
     assert pairs[(0, 3)] == 1.0      # doc 3 fully embedded in doc 0
     assert pairs[(1, 3)] == 1.0
     assert not any(2 in p for p in pairs)
+
+
+def test_winnowing_lsh_is_subset_with_identical_scores(spark):
+    """winnowing_near_duplicates_lsh finds a subset of the exact form's
+    pairs (LSH recall) and every found pair carries the IDENTICAL
+    (shared, containment) the exact inverted-index form computes."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates,
+        winnowing_near_duplicates_lsh,
+    )
+    from autonomous_orchestrator_ai_spark.plans.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents")
+    exact = {
+        (r.id_a, r.id_b): (r.shared, r.containment)
+        for r in winnowing_near_duplicates(docs, containment=0.6).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): (r.shared, r.containment)
+        for r in winnowing_near_duplicates_lsh(docs, containment=0.6).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, scores in lsh.items():
+        assert scores == exact[pair], pair
+    # on this corpus recall is full; pin a floor so regressions surface
+    assert len(lsh) >= 0.8 * len(exact)
