@@ -47,41 +47,56 @@ _META_DIR = "_lsh_index_meta"
 _META_KEYS = ("n_planes", "n_tables", "dim", "seed")
 
 
-def _write_meta(spark: SparkSession, path: str, params: dict) -> None:
+def write_index_meta(
+    spark: SparkSession, path: str, params: dict, meta_dir: str = _META_DIR
+) -> None:
+    """Persist index metadata beside the data (underscore dir — invisible
+    to parquet discovery). Shared by the LSH and IVF index layouts."""
     spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").json(
-        f"{path}/{_META_DIR}"
+        f"{path}/{meta_dir}"
     )
 
 
-def _check_meta(spark: SparkSession, path: str, params: dict) -> None:
-    # Only a MISSING meta dir (pre-metadata index) is a pass; any other
-    # failure mode (unreadable storage, unparseable JSON) must propagate —
-    # silently skipping the guard here is exactly the mismatched-append
-    # scenario the guard exists to prevent.
+def read_index_meta(
+    spark: SparkSession, path: str, meta_dir: str = _META_DIR
+) -> dict | None:
+    """Load index metadata; None if the meta dir is missing (pre-metadata
+    index), LOUD ValueError on unreadable/unparseable/empty meta — a
+    silent skip is exactly the mismatched-append corruption the metadata
+    exists to prevent."""
     from pyspark.errors import AnalysisException
 
     try:
-        meta_df = spark.read.json(f"{path}/{_META_DIR}")
+        meta_df = spark.read.json(f"{path}/{meta_dir}")
         # all-corrupt JSON infers a schema of only _corrupt_record (which
         # Spark refuses to even collect): treat as unparseable right here
         if "_corrupt_record" in meta_df.columns or not meta_df.columns:
             raise ValueError("meta is unparseable")
         rows = meta_df.collect()
     except AnalysisException:  # path-not-found: nothing to check
-        return
+        return None
     except Exception as e:  # corrupt file / storage failure: fail LOUDLY
         raise ValueError(
-            f"LSH index meta at {path}/{_META_DIR} exists but could not be "
-            "read or parsed — refusing to proceed without the hash-family "
-            "guard (a silent skip here is exactly the mismatched-append "
-            "corruption the guard prevents)"
+            f"index meta at {path}/{meta_dir} exists but could not be "
+            "read or parsed — refusing to proceed without the "
+            "index-parameter guard"
         ) from e
     if not rows:
         raise ValueError(
-            f"LSH index meta at {path}/{_META_DIR} exists but is empty — "
-            "refusing to proceed without the hash-family guard"
+            f"index meta at {path}/{meta_dir} exists but is empty — "
+            "refusing to proceed without the index-parameter guard"
         )
-    stored = rows[0].asDict()
+    return rows[0].asDict()
+
+
+def _write_meta(spark: SparkSession, path: str, params: dict) -> None:
+    write_index_meta(spark, path, params)
+
+
+def _check_meta(spark: SparkSession, path: str, params: dict) -> None:
+    stored = read_index_meta(spark, path)
+    if stored is None:  # pre-metadata index: nothing to check
+        return
     mismatched = {
         k: (stored.get(k), params[k])
         for k in _META_KEYS
