@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "dedup_survivors"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "dedup_survivors",
+    "pagerank",
+]
 
 
 def connected_components(
@@ -89,6 +94,74 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list -> (node, rank).
+
+    Power iteration expressed as DataFrame ops: per round, one shuffle
+    join (edge src -> current rank) + one shuffle agg (sum of neighbor
+    contributions by dst), exactly the propagation shape of
+    ``connected_components`` above. Dangling mass is handled the simple
+    way — every node in the graph appears as a source here or keeps the
+    teleport floor — which matches the standard per-node formulation
+    ``r = (1-d)/N + d * sum(r_in/deg_in)``.
+
+    Scale notes (100 TB story):
+    - State per round is (node, rank): two 8-byte values, hash-partitioned.
+      The edge list is joined against but never rewritten; ``deg`` is
+      computed once before the loop and stapled onto the edges so the loop
+      body never re-aggregates it.
+    - ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+      lineage (plan growth is linear per round; analysis cost is the real
+      enemy past ~10 uncheckpointed iterations).
+    - Fixed iteration count (no convergence collect) keeps the whole run
+      a deterministic, replayable plan — and makes the result exactly
+      SQL-expressible by unrolling, which is how the DuckDB oracle
+      verifies it.
+    - N (node count) is one driver scalar from a count() — the only
+      driver-side value in the operator.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(deg, "s").localCheckpoint()
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["s"] == ranks["node"])
+            .select("d", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["d"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
 
 
 def dedup_clusters(

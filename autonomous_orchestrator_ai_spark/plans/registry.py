@@ -63,6 +63,8 @@ def load_all() -> None:
         dedup_queries,
         dq_queries,
         extended_queries,
+        fuzzy_queries,
+        graph_queries,
         layout_queries,
         pipeline_queries,
         scoring_queries,

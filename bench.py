@@ -82,6 +82,9 @@ HEADLINE = [
     "value_percentiles_by_type",
     # declarative DQ engine
     "dq_suite_orders",
+    # entity resolution + iterative graph
+    "part_fuzzy_reconcile",
+    "part_copurchase_pagerank",
 ]
 
 

@@ -49,3 +49,51 @@ def test_dedup_survivors_keeps_min_and_singletons(spark):
     kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
     # cluster {1,4,5} -> keep 1; docs 0,2,3 edge-free singletons
     assert kept == [0, 1, 2, 3]
+
+
+# --- pagerank ------------------------------------------------------------
+
+
+def test_pagerank_mass_conserved_and_ordering(spark):
+    # star graph: hub 1 <- spokes 2,3,4 (spokes also get 1 -> spoke back
+    # edges so no node dangles); hub must outrank every spoke
+    from autonomous_orchestrator_ai_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 2), (1, 3), (1, 4)], ["src", "dst"]
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert set(ranks) == {1, 2, 3, 4}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # total mass conserved
+    assert all(ranks[1] > ranks[s] for s in (2, 3, 4))
+    assert abs(ranks[2] - ranks[3]) < 1e-12  # symmetric spokes tie
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from autonomous_orchestrator_ai_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (0, 2), (3, 1)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+
+    n = 4
+    out = np.zeros(n)
+    for s, _ in pairs:
+        out[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for s, d in pairs:
+            nxt[d] += 0.85 * r[s] / out[s]
+        r = nxt
+    for k in range(n):
+        assert abs(got[k] - r[k]) < 1e-12, (k, got[k], r[k])
+
+
+def test_pagerank_empty_edges(spark):
+    from autonomous_orchestrator_ai_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert pagerank(empty).count() == 0
