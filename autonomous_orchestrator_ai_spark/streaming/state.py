@@ -5,6 +5,13 @@
 aggregation nor dropDuplicates can express (here: running session counting
 with persistent per-user state across micro-batches).
 
+``streaming_value_stats`` covers the same surface on Spark 4's successor
+API, ``transformWithStateInPandas`` (StatefulProcessor + typed state
+handles): composable named state variables and native per-state TTL —
+the TTL is what keeps key-cardinality-unbounded state (e.g. per-user
+stats over an open-ended user population) from growing forever without
+hand-rolled timer bookkeeping.
+
 State stays bounded because keys are users and the state row is constant
 size; on a cluster the state store backend (RocksDB) holds it off-heap.
 """
@@ -78,4 +85,83 @@ def streaming_session_stats(
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 StatefulProcessor API)
+# ---------------------------------------------------------------------------
+
+VALUE_STATS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_value_stats_processor(ttl_ms: int | None):
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class ValueStatsProcessor(StatefulProcessor):
+        """Running per-key (count, sum, max) in one named ValueState."""
+
+        def init(self, handle) -> None:
+            self._stats = handle.getValueState(
+                "stats",
+                "n_events BIGINT, total_value DOUBLE, max_value DOUBLE",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._stats.exists():
+                n, total, mx = self._stats.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                v = pdf["value"]
+                n += int(len(v))
+                total += float(v.sum())
+                mx = max(mx, float(v.max()))
+            self._stats.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_key": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ValueStatsProcessor()
+
+
+def streaming_value_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running value stats via ``transformWithStateInPandas``.
+
+    ``ttl_ms`` bounds state lifetime natively (expired keys are evicted by
+    the state store, not by user timer code) — the knob that makes
+    unbounded key populations safe at stream scale.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("user_key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("user_key").transformWithStateInPandas(
+        _make_value_stats_processor(ttl_ms),
+        outputStructType=VALUE_STATS_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
     )
