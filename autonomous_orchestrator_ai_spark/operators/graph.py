@@ -129,7 +129,14 @@ def pagerank(
     - N (node count) is one driver scalar from a count() — the only
       driver-side value in the operator.
     """
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    # checkpoint the (possibly expensive) edge derivation ONCE; nodes, deg
+    # and the loop all build on the cached edge list instead of re-running
+    # the upstream plan per consumer
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
