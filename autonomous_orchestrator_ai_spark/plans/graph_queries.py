@@ -21,24 +21,28 @@ _ITERATIONS = 5
 def _unrolled_pagerank_sql(iterations: int) -> str:
     # One CTE per round; constants are CAST to DOUBLE because bare 0.85 is
     # DECIMAL in DuckDB and decimal division would diverge from Spark's
-    # double arithmetic.
+    # double arithmetic. Every CTE is AS MATERIALIZED: DuckDB inlines
+    # single-reference CTEs, and inlining p5 -> p4 -> ... -> p0 would
+    # re-derive the edge self-join once per unrolled level (measured: a
+    # spill past 80 GB of temp at sf1; materialized, the sweep is seconds).
     ctes = [
         """
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
       FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
       WHERE a.l_partkey <> b.l_partkey
     ),
-    nodes AS (SELECT s AS k FROM edges UNION SELECT d FROM edges),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-    deg AS (SELECT s, COUNT(*) AS out_deg FROM edges GROUP BY s),
-    p0 AS (SELECT k, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes)
+    nodes AS MATERIALIZED (SELECT s AS k FROM edges UNION SELECT d FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS out_deg FROM edges GROUP BY s),
+    p0 AS MATERIALIZED (
+      SELECT k, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes)
     """.strip()
     ]
     for i in range(1, iterations + 1):
         ctes.append(
             f"""
-    p{i} AS (
+    p{i} AS MATERIALIZED (
       SELECT nodes.k,
              CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
                + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0 AS DOUBLE)) AS r
