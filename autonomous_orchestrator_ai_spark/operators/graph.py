@@ -103,6 +103,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     checkpoint_every: int = 3,
+    broadcast_state_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list -> (node, rank).
 
@@ -128,6 +129,14 @@ def pagerank(
       verifies it.
     - N (node count) is one driver scalar from a count() — the only
       driver-side value in the operator.
+    - The rank state is bounded by the node count, which the setup
+      count() already measures. When ``n <= broadcast_state_max_nodes``
+      the per-round joins broadcast the (node, rank) / (node, in_mass)
+      sides instead of shuffling the (much larger) edge list every
+      round: the loop body then touches the edges map-side only and the
+      single shuffle per round is the map-combined groupBy(dst). Above
+      the threshold (billion-node graphs where 16B/node no longer fits
+      an executor) it falls back to the plain shuffle join.
     """
     # checkpoint the (possibly expensive) edge derivation ONCE; nodes, deg
     # and the loop all build on the cached edge list instead of re-running
@@ -149,16 +158,18 @@ def pagerank(
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = e.join(deg, "s").localCheckpoint()
     teleport = (1.0 - damping) / n
+    small_state = n <= broadcast_state_max_nodes
+    hint = F.broadcast if small_state else (lambda df: df)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contrib = (
-            e_deg.join(ranks, e_deg["s"] == ranks["node"])
+            e_deg.join(hint(ranks), e_deg["s"] == ranks["node"])
             .select("d", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("in_mass"))
         )
         ranks = nodes.join(
-            contrib, nodes["node"] == contrib["d"], "left"
+            hint(contrib), nodes["node"] == contrib["d"], "left"
         ).select(
             "node",
             (
