@@ -93,6 +93,57 @@ def quality_score(text: Column | str) -> Column:
     return 0.4 * length_term + 0.3 * sw_term + 0.3 * punct_term
 
 
+#: Gopher quality-rule thresholds (Rae et al. 2021, arXiv 2112.11446,
+#: Appendix A — public). MIN_WORDS is the paper's 50; the other bounds are
+#: the published ones except where noted.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_DISTINCT_RATIO = 0.2
+
+
+def gopher_rules(text: Column | str) -> dict[str, Column]:
+    """Gopher-style document quality rules -> {rule_name: boolean Column}.
+
+    Every rule is a pure per-row expression (one codegen stage, no
+    shuffle): each division happens exactly once on exact integer
+    operands, so the IEEE result — and therefore every boolean — is
+    bit-reproducible across engines, which is what lets the DuckDB
+    oracle compare rule COUNTS exactly with no float rounding at all.
+
+    Rules (pass = True):
+      word_count     GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+      mean_word_len  mean word length in [3, 10]
+      symbol_ratio   punctuation chars / chars <= 0.1
+      alpha_words    >= 80% of words contain an ASCII letter
+      stopwords      >= 2 distinct common stopwords present
+      repetition     distinct words / words >= 0.2
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    toks_l = tokens(F.lower(text))
+    n = F.size(toks_l)
+    alpha_hits = F.size(F.filter(toks_l, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(alpha_hits / n)
+    sw_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks_l), F.array(*[F.lit(w) for w in EN_STOPWORDS])
+        )
+    )
+    return {
+        "word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "mean_word_len": (mean_token_length(text) >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_token_length(text) <= GOPHER_MAX_MEAN_WORD_LEN),
+        "symbol_ratio": punct_ratio(text) <= GOPHER_MAX_SYMBOL_RATIO,
+        "alpha_words": alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        "stopwords": sw_hits >= GOPHER_MIN_STOPWORD_HITS,
+        "repetition": distinct_token_ratio(text) >= GOPHER_MIN_DISTINCT_RATIO,
+    }
+
+
 def distinct_token_ratio(text: Column | str) -> Column:
     """distinct tokens / tokens (1.0 for empty) — the within-document
     repetition signal: heavily templated/looping text scores low.

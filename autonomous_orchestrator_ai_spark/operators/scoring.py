@@ -210,3 +210,85 @@ def random_projection(
         .groupBy(id_col, "k")
         .agg(F.sum(F.col("v") * F.col("sign")).alias("component"))
     )
+
+
+def hashed_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable md5-based feature bucket in [0, n_buckets): identical in
+    Spark (``conv(substring(md5(x),1,8),16,10)``) and DuckDB
+    (``('0x'||substr(md5(x),1,8))::BIGINT``), so hashed-feature operators
+    stay oracle-checkable. 32 hex-bit prefix -> always positive."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv 2302.03169 —
+    public): fit hashed-unigram bag-of-words LMs over a *target* slice and
+    the *raw* rest, then score every document by the mean log-likelihood
+    ratio of its tokens. Sampling ``exp(weight)``-proportionally (or
+    thresholding) selects raw data that "looks like" the target domain —
+    the data-selection step before mixing.
+
+    Returns (id_col, is_target, n_tokens, weight); empty documents drop out
+    (they have no tokens to score).
+
+    Scale shape (100 TB):
+    - one explode -> partial-agg ``groupBy(id, bucket)`` pass builds per-doc
+      histograms (combine happens map-side; the shuffle carries at most
+      ``n_buckets`` rows per document, not tokens);
+    - the class LMs are a ``n_buckets``-row aggregate of those histograms —
+      tiny — and the smoothed log-ratio table is broadcast back;
+    - the final per-doc reduce reuses the (id, bucket) partitioning. No
+      driver-side state beyond the plan.
+    - Laplace smoothing (+1 per bucket) keeps every ratio finite even when
+      a bucket is empty on one side.
+    """
+    base = docs.select(
+        F.col(id_col), is_target.alias("is_target"), F.col(text_col)
+    )
+    toks = base.select(
+        id_col,
+        "is_target",
+        F.explode(_tokens(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    hist = (
+        toks.withColumn("bucket", hashed_bucket(F.col("token"), n_buckets))
+        .groupBy(id_col, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cls = hist.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias(
+            "t_cnt"
+        ),
+        F.sum(F.when(~F.col("is_target"), F.col("cnt")).otherwise(0)).alias(
+            "r_cnt"
+        ),
+    )
+    totals = cls.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    lam = cls.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.log(
+            ((F.col("t_cnt") + 1.0) / (F.col("t_tot") + float(n_buckets)))
+            / ((F.col("r_cnt") + 1.0) / (F.col("r_tot") + float(n_buckets)))
+        ).alias("lam"),
+    )
+    return (
+        hist.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col, "is_target")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            (F.sum(F.col("cnt") * F.col("lam")) / F.sum("cnt")).alias(
+                "weight"
+            ),
+        )
+    )

@@ -15,6 +15,7 @@ from autonomous_orchestrator_ai_spark.operators.partitioning import (
     ensure_min_parallelism,
 )
 from autonomous_orchestrator_ai_spark.operators.scoring import (
+    dsir_importance,
     random_projection,
     tfidf_terms,
     top_terms_per_doc,
@@ -177,4 +178,65 @@ def random_projection_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = random_projection(emb.filter(F.col("vec_id") < 20), 8, seed="rp")
     return out.select(
         "vec_id", "k", F.round("component", 4).alias("component")
+    )
+
+
+@register(
+    "dsir_importance_by_source",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS is_target,
+             ('0x'||substr(md5(t),1,8))::BIGINT % 64 AS bucket
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t <> ''
+    ),
+    hist AS (
+      SELECT doc_id, is_target, bucket, COUNT(*) AS cnt
+      FROM toks GROUP BY doc_id, is_target, bucket
+    ),
+    cls AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS t_cnt,
+             SUM(CASE WHEN NOT is_target THEN cnt ELSE 0 END) AS r_cnt
+      FROM hist GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM cls),
+    lam AS (
+      SELECT bucket,
+             ln(((t_cnt + 1.0) / (t_tot + 64.0))
+                / ((r_cnt + 1.0) / (r_tot + 64.0))) AS lam
+      FROM cls, tot
+    ),
+    w AS (
+      SELECT hist.doc_id,
+             SUM(hist.cnt * lam.lam) / SUM(hist.cnt) AS weight
+      FROM hist JOIN lam USING (bucket) GROUP BY hist.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(w.weight), 4) AS avg_weight,
+           ROUND(MIN(w.weight), 4) AS min_weight,
+           ROUND(MAX(w.weight), 4) AS max_weight
+    FROM w JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dsir_importance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (operators.scoring.dsir_importance)
+    with source 'src0' as the target domain, summarized per source — the
+    'which raw slices look most like my target domain' selection query.
+    The hashed-unigram LMs and log-ratio table are exact in both engines
+    (portable md5 bucket hash); only the per-doc mean is float-rounded."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    w = dsir_importance(docs, F.col("source") == "src0")
+    return (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("weight"), 4).alias("avg_weight"),
+            F.round(F.min("weight"), 4).alias("min_weight"),
+            F.round(F.max("weight"), 4).alias("max_weight"),
+        )
     )

@@ -7,11 +7,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import functools
+import operator
+
 from autonomous_orchestrator_ai_spark.functions.text import (
     EN_STOPWORDS,
     LANG_PROFILES,
     bpe_ish_token_count,
     fingerprint,
+    gopher_rules,
     lang_id,
     punct_ratio,
     quality_score,
@@ -129,6 +133,64 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(lang_id("text").alias("predicted_lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_MWL = (
+    f"CASE WHEN {_TOKEN_COUNT} = 0 THEN 0.0 "
+    f"ELSE list_sum(list_transform({_TOKS}, t -> len(t))) * 1.0 / len({_TOKS}) END"
+)
+_ALPHA_FRAC = (
+    f"CASE WHEN {_TOKEN_COUNT} = 0 THEN 0.0 "
+    f"ELSE len(list_filter({_TOKS_LOWER}, t -> regexp_matches(t, '[a-z]')))"
+    f" * 1.0 / len({_TOKS_LOWER}) END"
+)
+_SW_HITS = f"len(list_filter(list_distinct({_TOKS_LOWER}), t -> t IN {_SW_LIST}))"
+_DISTINCT_RATIO = (
+    f"CASE WHEN {_TOKEN_COUNT} = 0 THEN 1.0 "
+    f"ELSE len(list_distinct({_TOKS_LOWER})) * 1.0 / len({_TOKS_LOWER}) END"
+)
+
+
+@register(
+    "gopher_quality_by_source",
+    oracle=f"""
+    WITH flags AS (
+      SELECT source,
+             {_TOKEN_COUNT} BETWEEN 50 AND 100000 AS r_word_count,
+             {_MWL} >= 3.0 AND {_MWL} <= 10.0 AS r_mean_word_len,
+             {_PUNCT} <= 0.1 AS r_symbol_ratio,
+             {_ALPHA_FRAC} >= 0.8 AS r_alpha_words,
+             {_SW_HITS} >= 2 AS r_stopwords,
+             {_DISTINCT_RATIO} >= 0.2 AS r_repetition
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+                          AND r_alpha_words AND r_stopwords AND r_repetition
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN r_word_count THEN 0 ELSE 1 END) AS BIGINT) AS fail_word_count,
+           CAST(SUM(CASE WHEN r_mean_word_len THEN 0 ELSE 1 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END) AS BIGINT) AS fail_symbol_ratio,
+           CAST(SUM(CASE WHEN r_alpha_words THEN 0 ELSE 1 END) AS BIGINT) AS fail_alpha_words,
+           CAST(SUM(CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS fail_stopwords,
+           CAST(SUM(CASE WHEN r_repetition THEN 0 ELSE 1 END) AS BIGINT) AS fail_repetition
+    FROM flags GROUP BY source
+    """,
+)
+def gopher_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality gate summary per source (functions.text.
+    gopher_rules; Rae et al. 2021 App. A). Every rule is a per-row codegen
+    expression and every output column is an exact integer count, so the
+    oracle comparison has zero float tolerance. This is the corpus-health
+    dashboard a training-data pipeline runs before mixing."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    rules = gopher_rules("text")
+    all_pass = functools.reduce(operator.and_, rules.values())
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(all_pass.cast("long")).alias("n_pass"),
+    ] + [F.sum((~c).cast("long")).alias(f"fail_{k}") for k, c in rules.items()]
+    return docs.groupBy("source").agg(*aggs)
 
 
 @register(

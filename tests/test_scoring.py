@@ -150,3 +150,80 @@ class TestRegisteredQueries:
         registry.load_all()
         df = registry.QUERIES[name](spark, SF)
         assert df.count() > 0
+
+
+class TestDsirImportance:
+    def test_target_vocab_scores_higher(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.scoring import (
+            dsir_importance,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma alpha beta", True),
+                (2, "alpha gamma beta beta alpha", True),
+                (3, "zork quux blarg zork quux", False),
+                (4, "alpha beta gamma beta", False),
+                (5, "", False),
+            ],
+            "doc_id long, text string, tgt boolean",
+        )
+        w = {
+            r["doc_id"]: r["weight"]
+            for r in dsir_importance(df, F.col("tgt")).collect()
+        }
+        # doc 4 shares the target vocabulary, doc 3 is disjoint from it
+        assert w[4] > w[3]
+        # empty doc contributes no row
+        assert 5 not in w
+        # weights of target-domain docs are positive (their tokens are,
+        # by construction, likelier under the target LM)
+        assert w[1] > 0 and w[2] > 0
+
+    def test_token_counts_exact(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.scoring import (
+            dsir_importance,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c", True), (2, "d d", False)],
+            "doc_id long, text string, tgt boolean",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in dsir_importance(df, F.col("tgt")).collect()
+        }
+        assert rows[1]["n_tokens"] == 3
+        assert rows[2]["n_tokens"] == 2
+        assert rows[1]["is_target"] is True
+        assert rows[2]["is_target"] is False
+
+
+class TestGopherRules:
+    def test_rule_semantics(self, spark):
+        from autonomous_orchestrator_ai_spark.functions.text import (
+            gopher_rules,
+        )
+
+        good = "the " + " ".join(f"word{i}" for i in range(60)) + " of a"
+        df = spark.createDataFrame(
+            [
+                (1, good),  # passes everything
+                (2, "short text"),  # fails word_count (+stopwords)
+                (3, ""),  # empty: fails most, passes repetition/symbol
+                (4, "the " * 60),  # repetitive: fails repetition
+            ],
+            "doc_id long, text string",
+        )
+        flags = gopher_rules("text")
+        got = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id", *[c.alias(k) for k, c in flags.items()]
+            ).collect()
+        }
+        assert all(got[1][k] for k in flags)
+        assert not got[2]["word_count"]
+        assert not got[3]["word_count"] and not got[3]["alpha_words"]
+        assert got[3]["repetition"] and got[3]["symbol_ratio"]
+        assert not got[4]["repetition"]
