@@ -42,6 +42,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_survivors",
     "pagerank",
+    "triangle_stats",
 ]
 
 
@@ -216,4 +217,87 @@ def dedup_survivors(
             F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
         )
         .drop("node", "component")
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph -> ONE-row DataFrame (n_nodes, n_edges, n_wedges,
+    n_triangles, clustering).
+
+    Uses the degree-ordered edge orientation (the classic O(m^1.5)
+    triangle-listing bound, Schank & Wagner 2005 — public): every edge is
+    directed from its lower-(degree, id) endpoint to the higher one, so a
+    hub of degree D contributes out-edges only toward higher-ranked hubs
+    and the wedge self-join fans out by out-degree (bounded by ~sqrt(m))
+    instead of raw degree. Each triangle appears exactly once as
+    u->v, v->w, u->w along the total (degree, id) order.
+
+    All counting stays in DataFrame aggregates; the single row is formed
+    by cross-joining 1-row aggregates, never collected driver-side.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .union(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, node): a -> b iff (deg_a, a) < (deg_b, b)
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    wedge = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("u"),
+            F.col("e1.v").alias("v"),
+            F.col("e2.v").alias("w"),
+        )
+    )
+    closing = o.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = wedge.join(
+        closing,
+        (F.col("u") == F.col("cu")) & (F.col("w") == F.col("cv")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = e.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+    ).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    return counts.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+        )
+        .alias("clustering"),
     )

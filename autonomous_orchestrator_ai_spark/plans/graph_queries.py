@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from autonomous_orchestrator_ai_spark.operators.graph import pagerank
+from autonomous_orchestrator_ai_spark.operators.graph import pagerank, triangle_stats
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
 
 _ITERATIONS = 5
@@ -91,3 +91,63 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("p_partkey"),
         F.round("rank", 8).alias("pagerank"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "copurchase_triangle_stats",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT p1 AS n FROM e UNION ALL SELECT p2 FROM e) GROUP BY n
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e ab JOIN e bc ON ab.p2 = bc.p1
+                JOIN e ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2
+    ),
+    agg AS (
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             (SELECT SUM(deg * (deg - 1)) // 2 FROM deg) AS n_wedges,
+             (SELECT n_triangles FROM tri) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges = 0 THEN 0.0
+                ELSE ROUND(3.0 * n_triangles / n_wedges, 6) END AS clustering
+    FROM agg
+    """,
+)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the support-filtered co-purchase graph (parts
+    co-occurring in >= 2 orders — the min-support cut keeps the graph
+    sparse as the order count grows, so the triangle join's input scales
+    with genuinely-associated pairs, not with all pairs).
+
+    Uses operators.graph.triangle_stats: degree-ordered orientation bounds
+    the wedge fan-out by out-degree ~ sqrt(m) regardless of hub degrees.
+    The oracle counts the same triangles via the canonical p1<p2<p3
+    triple join.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_stats(edges)

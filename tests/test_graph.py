@@ -97,3 +97,35 @@ def test_pagerank_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src int, dst int")
     assert pagerank(empty).count() == 0
+
+
+class TestTriangleStats:
+    def test_known_small_graph(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        # triangle 1-2-3 plus pendant 3-4; reversed/dup edges collapse
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1)],
+            "src long, dst long",
+        )
+        row = triangle_stats(edges).collect()[0]
+        assert row["n_nodes"] == 4
+        assert row["n_edges"] == 4
+        assert row["n_wedges"] == 5  # deg 2,2,3,1 -> (2+2+6)/2
+        assert row["n_triangles"] == 1
+        assert abs(row["clustering"] - 0.6) < 1e-9
+
+    def test_star_has_no_triangles(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        edges = spark.createDataFrame(
+            [(0, i) for i in range(1, 8)], "src long, dst long"
+        )
+        row = triangle_stats(edges).collect()[0]
+        assert row["n_triangles"] == 0
+        assert row["n_wedges"] == 21
+        assert row["clustering"] == 0.0
