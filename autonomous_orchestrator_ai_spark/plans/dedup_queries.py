@@ -443,3 +443,61 @@ def ngram_jaccard_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", shingle_k=3, threshold=0.2, max_shingle_df=50
     )
+
+
+@register(
+    "cross_source_leakage",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh,
+                    {", ".join(f"{_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
+             FROM docs),
+    banded AS (SELECT doc_id, band_id, {_bands_case_sql()} AS band_key
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(len(list_intersect(da.sh, db.sh)) * 1.0 /
+                   (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6) AS jaccard
+      FROM cands c JOIN docs da ON c.id_a = da.doc_id
+                   JOIN docs db ON c.id_b = db.doc_id
+      WHERE jaccard >= 0.5)
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN sa.source <> sb.source THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross,
+           ROUND(AVG(v.jaccard), 4) AS avg_jaccard
+    FROM verified v
+    JOIN documents sa ON v.id_a = sa.doc_id
+    JOIN documents sb ON v.id_b = sb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage matrix between corpus slices: MinHash-LSH pairs
+    (jaccard >= 0.5) attributed to their (source_a, source_b) slice pair,
+    pair order normalized. Cross-slice mass (n_cross > 0) is the signal a
+    curation pipeline watches before claiming two sources are independent
+    — e.g. a web crawl duplicating a curated corpus it was supposed to
+    exclude. Cost = the already-bucketed LSH pair generation plus two
+    source lookups (shuffle keyed by doc_id, broadcast under AQE when the
+    doc dimension is small)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs)
+    src = docs.select("doc_id", "source")
+    attributed = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
+        .join(src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+    )
+    return attributed.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("src_a") != F.col("src_b")).cast("long")).alias("n_cross"),
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+    )

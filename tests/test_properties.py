@@ -261,3 +261,36 @@ def test_mixture_allocations_sum_to_target(spark, avail, target):
     assert abs(total_alloc - target) < 0.02 * target + 1
     for r in out:
         assert r.oversampled == (r.allocated_tokens > r.available_tokens)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from autonomous_orchestrator_ai_spark.operators.graph import triangle_stats
+
+    undirected = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    if not undirected:
+        return
+    nodes = sorted({n for e in undirected for n in e})
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in undirected and (b, c) in undirected and (a, c) in undirected
+    )
+    deg = {n: sum(1 for e in undirected if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    row = triangle_stats(
+        spark.createDataFrame(list(undirected), "src long, dst long")
+    ).collect()[0]
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(undirected)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tri
