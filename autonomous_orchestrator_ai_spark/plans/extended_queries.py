@@ -894,3 +894,73 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         F.col("n_users").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "lineitem_correlations",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+      FROM lineitem),
+    s AS (
+      SELECT COUNT(*) AS n,
+             SUM(q) sq, SUM(p) sp, SUM(d) sd,
+             SUM(q*q) sqq, SUM(p*p) spp, SUM(d*d) sdd,
+             SUM(q*p) sqp, SUM(q*d) sqd, SUM(p*d) spd
+      FROM v)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n*sqp - sq*sp AS DOUBLE)
+                 / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
+                        * CAST(n*spp - sp*sp AS DOUBLE)), 6) AS corr_qty_price,
+           ROUND(CAST(n*sqd - sq*sd AS DOUBLE)
+                 / sqrt(CAST(n*sqq - sq*sq AS DOUBLE)
+                        * CAST(n*sdd - sd*sd AS DOUBLE)), 6) AS corr_qty_discount,
+           ROUND(CAST(n*spd - sp*sd AS DOUBLE)
+                 / sqrt(CAST(n*spp - sp*sp AS DOUBLE)
+                        * CAST(n*sdd - sd*sd AS DOUBLE)), 6) AS corr_price_discount
+    FROM s
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of (quantity, price, discount) from ONE
+    map-side-combined aggregation of ten exact fixed-point moments —
+    the single-pass alternative to three ``corr()`` calls (each of which
+    would rescan). Pearson is scale-invariant, so the cent/centi-unit
+    fixed-point inputs give the mathematically identical correlation while
+    keeping every moment an exact integer (decimal(38)/HUGEINT: immune to
+    sf-promotion overflow); the only float ops are the final
+    divide/sqrt/round — bit-identical across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("q"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("p"),
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").alias("d"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("q")).alias("sq"),
+        F.sum(dec("p")).alias("sp"),
+        F.sum(dec("d")).alias("sd"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sqq"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)")).alias("spp"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,0)")).alias("sdd"),
+        F.sum((F.col("q") * F.col("p")).cast("decimal(38,0)")).alias("sqp"),
+        F.sum((F.col("q") * F.col("d")).cast("decimal(38,0)")).alias("sqd"),
+        F.sum((F.col("p") * F.col("d")).cast("decimal(38,0)")).alias("spd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str):
+        num = (F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        vx = (F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        vy = (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return F.round(num / F.sqrt(vx * vy), 6)
+
+    return s.select(
+        F.col("n").alias("n_rows"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
+    )

@@ -240,3 +240,76 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_users_7d",
         )
     )
+
+
+#: hour offset (2024-01-01 00:00 UTC = epoch hour 473352) — centering the
+#: regressor keeps every exact-integer moment small.
+_TREND_X0 = 473352
+
+
+@register(
+    "value_trend_by_type",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) - {_TREND_X0} AS x,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS y4
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y4) AS sy, SUM(x * y4) AS sxy, SUM(x * x) AS sxx
+      FROM pts GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                           * 24.0 / 10000.0, 6) END AS slope_per_day,
+           ROUND(CAST(sy AS DOUBLE) / n / 10000.0, 6) AS avg_value
+    FROM s
+    """,
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (value vs event time) in ONE aggregation pass:
+    the five moments (n, Σx, Σy, Σxy, Σx²) ride a single map-side-combined
+    groupBy, then the closed-form slope is one expression — no second scan,
+    no window, no collect. All moments are EXACT integers (hour-floored
+    regressor, centered at 2024-01-01; value in 1e-4 fixed point, summed
+    as decimal(38)/HUGEINT so sf-promotion can't overflow), so the only
+    float ops are the final division and rounding — bit-identical across
+    engines. The slope is reported per day."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    x = (
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600")
+        - F.lit(_TREND_X0)
+    ).alias("x")
+    y4 = F.expr(
+        "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+    ).alias("y4")
+    pts = ev.select("event_type", x, y4)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y4"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y4"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_exact = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.when(den_exact == 0, F.lit(0.0))
+        .otherwise(
+            F.round(num / den_exact.cast("double") * 24.0 / 10000.0, 6)
+        )
+        .alias("slope_per_day"),
+        F.round(F.col("sy").cast("double") / F.col("n") / 10000.0, 6).alias(
+            "avg_value"
+        ),
+    )

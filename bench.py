@@ -85,6 +85,11 @@ HEADLINE = [
     # entity resolution + iterative graph
     "part_fuzzy_reconcile",
     "part_copurchase_pagerank",
+    "copurchase_triangle_stats",
+    # quality gating + data selection + slice independence
+    "gopher_quality_by_source",
+    "dsir_importance_by_source",
+    "cross_source_leakage",
 ]
 
 
