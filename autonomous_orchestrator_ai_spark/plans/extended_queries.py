@@ -964,3 +964,66 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_discount"),
         corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_discount"),
     )
+
+
+#: Benford first-digit expected shares, log10(1 + 1/d) pre-rounded to 6dp
+#: in Python and injected as identical literals into BOTH engines — no
+#: engine-side log10, so no libm-vs-Java 1-ulp parity risk.
+_BENFORD = {
+    "1": 0.30103, "2": 0.176091, "3": 0.124939, "4": 0.09691,
+    "5": 0.079181, "6": 0.066947, "7": 0.057992, "8": 0.051153,
+    "9": 0.045757,
+}
+
+
+@register(
+    "benford_value_profile",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+      FROM events WHERE value IS NOT NULL),
+    d AS (
+      SELECT substr(CAST(v4 AS VARCHAR), 1, 1) AS digit, COUNT(*) AS n
+      FROM v WHERE v4 > 0 GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM d)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n_events,
+           ROUND(n / total, 6) AS share,
+           CAST(CASE digit {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _BENFORD.items())} END AS DOUBLE)
+             AS expected_share,
+           ROUND(abs(ROUND(n / total, 6)
+                     - CAST(CASE digit {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _BENFORD.items())} END AS DOUBLE)), 6)
+             AS abs_dev
+    FROM d, t
+    """,
+)
+def benford_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of event values — the classic
+    fabricated-data / unit-mixing DQ screen. The first significant digit
+    is read from the STRING form of the exact 1e-4 fixed-point value
+    (substr of a bigint cast), so digit extraction involves no float log
+    and no engine-specific formatting; the expected shares are Python
+    pre-rounded literals identical in both engines. One groupBy(digit)
+    (9 groups, map-combined) plus a broadcast 1-row total."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v4 = ev.select(
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias("v4")
+    ).where(F.col("v4") > 0)
+    d = v4.groupBy(
+        F.substring(F.col("v4").cast("string"), 1, 1).alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.sum("n").alias("total"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == k, F.lit(v))
+            for k, v in _BENFORD.items()
+        ]
+    )
+    share = F.round(F.col("n") / F.col("total"), 6)
+    return d.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").alias("n_events"),
+        share.alias("share"),
+        expected.alias("expected_share"),
+        F.round(F.abs(share - expected), 6).alias("abs_dev"),
+    )
