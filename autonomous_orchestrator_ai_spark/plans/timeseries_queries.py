@@ -313,3 +313,153 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+_Y4 = "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+
+
+@register(
+    "value_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM({_Y4}) AS sy
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day, sy,
+             SUM(sy) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS p,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS d_idx,
+             SUM(sy) OVER (PARTITION BY event_type) AS stot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    c AS (SELECT event_type, day, n, n * p - d_idx * stot AS num FROM w),
+    r AS (
+      SELECT event_type, day, n, num,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(num) DESC, day) AS rk
+      FROM c)
+    SELECT event_type, day AS changepoint_day,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(abs(num) AS DOUBLE) / n / 10000.0, 6) AS max_abs_cusum
+    FROM r WHERE rk = 1
+    """,
+)
+def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint estimate per event_type: the day where the
+    cumulative deviation of daily value totals from the series mean peaks
+    — the standard level-shift detector. The running statistic is kept
+    EXACT by clearing denominators (num_d = n*P_d - d*S on fixed-point
+    integer daily totals), so the argmax ordering has no float in it and
+    ties break deterministically on day; the only float op is the final
+    report division. Windows are partitioned per event_type (the per-key
+    series sort parallelizes across keys; days-per-key is bounded, the
+    100 TB growth axis is keys, not series length)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.expr(_Y4)).cast("decimal(38,0)").alias("sy"))
+    wcum = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(wall) * F.sum("sy").over(wcum)
+            - F.row_number().over(wcum) * F.sum("sy").over(wall)
+        ).alias("num"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    r = c.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.abs(F.col("num")).desc(), F.col("day")
+            )
+        ),
+    ).where(F.col("rk") == 1)
+    return r.select(
+        "event_type",
+        F.col("day").alias("changepoint_day"),
+        F.col("n").alias("n_days"),
+        F.round(
+            F.abs(F.col("num")).cast("double") / F.col("n") / F.lit(10000.0),
+            6,
+        ).alias("max_abs_cusum"),
+    )
+
+
+@register(
+    "daily_autocorr_by_type",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM({_Y4}) AS sy
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT event_type, sy AS y,
+             LAG(sy) OVER (PARTITION BY event_type ORDER BY day) AS x
+      FROM daily),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) sx, SUM(y) sygm, SUM(x*x) sxx, SUM(y*y) syy, SUM(x*y) sxy
+      FROM pairs WHERE x IS NOT NULL GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sygm * sygm = 0 THEN 0.0
+                ELSE ROUND(CAST(n * sxy - sx * sygm AS DOUBLE)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sygm * sygm AS DOUBLE)), 6)
+           END AS autocorr_lag1
+    FROM s
+    """,
+)
+def daily_autocorr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily value totals per event_type — the
+    'is today predictive of tomorrow' seasonality screen. (y_{d-1}, y_d)
+    pairs come from one LAG over the per-key day order; the correlation
+    then reuses the exact-moment recipe (fixed-point totals, decimal(38)
+    products so squares of 1e11-scale daily sums can't overflow, float
+    only in the final divide/sqrt/round)."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(F.expr(_Y4)).cast("decimal(38,0)").alias("sy"))
+    pairs = daily.select(
+        "event_type",
+        F.col("sy").alias("y"),
+        F.lag("sy").over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).alias("x"),
+    ).where(F.col("x").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sygm"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sygm") * F.col("sygm")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sygm")).cast(
+        "double"
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.when((vx == 0) | (vy == 0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                num / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+            )
+        )
+        .alias("autocorr_lag1"),
+    )
