@@ -501,3 +501,75 @@ def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("src_a") != F.col("src_b")).cast("long")).alias("n_cross"),
         F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
     )
+
+
+@register(
+    "lsh_recall_report",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    exploded AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_sh FROM exploded GROUP BY doc_id),
+    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, CAST(COUNT(*) AS BIGINT) shared
+               FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    exact AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
+                    JOIN sizes sb ON s.id_b = sb.doc_id
+      WHERE ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) >= 0.5),
+    sigs AS (SELECT doc_id, sh,
+                    {", ".join(f"{_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
+             FROM docs),
+    banded AS (SELECT doc_id, band_id, {_bands_case_sql()} AS band_key
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    lsh AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c JOIN docs da ON c.id_a = da.doc_id
+                   JOIN docs db ON c.id_b = db.doc_id
+      WHERE ROUND(len(list_intersect(da.sh, db.sh)) * 1.0 /
+                  (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6) >= 0.5)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh) AS n_lsh,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM lsh JOIN exact ON lsh.id_a = exact.id_a AND lsh.id_b = exact.id_b)
+             AS n_matched,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1.0
+                ELSE ROUND((SELECT COUNT(*) FROM lsh JOIN exact
+                            ON lsh.id_a = exact.id_a AND lsh.id_b = exact.id_b) * 1.0
+                           / (SELECT COUNT(*) FROM exact), 6) END AS recall
+    """,
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrology for the LSH shortcut: measured recall of MinHash-LSH
+    near-dup pairs against the exact inverted-index Jaccard baseline at
+    the same threshold (0.5) and shingle definition. Because LSH verifies
+    exact Jaccard on its candidates, its pairs are a subset of the exact
+    set and n_matched == n_lsh; the gap (n_exact - n_lsh) is pure banding
+    miss — the quantity the (bands, rows-per-band) knobs trade against
+    candidate volume. One row: n_exact, n_lsh, n_matched, recall."""
+    docs = table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    lsh = minhash_near_duplicates(docs).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_matched = lsh.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_matched)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_matched",
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(F.col("n_matched") / F.col("n_exact"), 6)
+            )
+            .alias("recall"),
+        )
+    )

@@ -221,3 +221,57 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = train_pq(emb, m=8, n_codes=32, sample_size=2048)
     codes = pq_encode(emb, cb)
     return pq_topk_reranked(emb, codes, queries, cb, k=5, shortlist=50)
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+    WITH comps AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    s AS (
+      SELECT dim, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx,
+             MIN(v) AS mn, MAX(v) AS mx
+      FROM comps GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(n AS BIGINT) AS n_vecs,
+           ROUND(sx / n, 6) AS mean_v,
+           ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS std_v,
+           ROUND(mn, 6) AS min_v,
+           ROUND(mx, 6) AS max_v
+    FROM s
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (mean/std/min/max) —
+    the ANN pre-flight: dead dimensions, scale imbalance, and outliers
+    all surface here before they silently degrade IVF/PQ training.
+    posexplode -> map-combined groupBy(dim): the shuffle carries at most
+    n_dims rows per partition. min/max are float-exact; mean/std use
+    double sums rounded well below the summation-order noise floor."""
+    emb = table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.posexplode("embedding").alias("dim", "v0")
+    ).select("dim", F.col("v0").cast("double").alias("v"))
+    s = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    return s.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").alias("n_vecs"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_v"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                / (F.col("n") * (F.col("n") - F.lit(1.0)))
+            ),
+            6,
+        ).alias("std_v"),
+        F.round(F.col("mn"), 6).alias("min_v"),
+        F.round(F.col("mx"), 6).alias("max_v"),
+    )
