@@ -90,6 +90,13 @@ HEADLINE = [
     "gopher_quality_by_source",
     "dsir_importance_by_source",
     "cross_source_leakage",
+    # exact-moment statistics + DQ screens
+    "value_trend_by_type",
+    "lineitem_correlations",
+    "value_cusum_changepoint",
+    "daily_autocorr_by_type",
+    "benford_value_profile",
+    "embedding_dim_profile",
 ]
 
 

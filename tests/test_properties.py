@@ -294,3 +294,69 @@ def test_triangle_stats_matches_bruteforce(spark, edges):
     assert row["n_edges"] == len(undirected)
     assert row["n_wedges"] == wedges
     assert row["n_triangles"] == tri
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(0, 9),  # day index
+            st.decimals(
+                min_value="0.01", max_value="99.99", places=2
+            ),
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cusum_changepoint_matches_numpy(spark, series):
+    """value_cusum_changepoint's exact-integer argmax == a float
+    recomputation with numpy on the same daily totals."""
+    import numpy as np
+
+    from autonomous_orchestrator_ai_spark.plans.timeseries_queries import (
+        value_cusum_changepoint,
+    )
+    import datetime
+
+    rows = [
+        (
+            1000 + i,
+            datetime.datetime(2024, 3, 1 + d, 12, 0, 0),
+            7,
+            "purchase",
+            float(v),
+            "{}",
+        )
+        for i, (d, v) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = value_cusum_changepoint(spark, tmp).collect()
+    assert len(got) == 1
+    r = got[0]
+    # numpy reference on exact cent-scaled daily totals
+    days = sorted({d for d, _ in series})
+    totals = np.array(
+        [
+            sum(int(v * 10000) for dd, v in series if dd == d)
+            for d in days
+        ],
+        dtype=np.int64,
+    )
+    n = len(totals)
+    prefix = np.cumsum(totals)
+    d_idx = np.arange(1, n + 1)
+    num = n * prefix - d_idx * totals.sum()
+    best = int(np.lexsort((d_idx, -np.abs(num)))[0])
+    assert r["n_days"] == n
+    assert r["changepoint_day"] == f"2024-03-{days[best] + 1:02d}"
+    expect = abs(int(num[best])) / n / 10000.0
+    assert abs(r["max_abs_cusum"] - round(expect, 6)) < 1e-9
