@@ -285,9 +285,10 @@ def triangle_stats(
     ).crossJoin(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
-            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
-            .cast("long")
-            .alias("n_wedges"),
+            F.coalesce(
+                (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long"),
+                F.lit(0),
+            ).alias("n_wedges"),
         )
     )
     return counts.crossJoin(tri).select(

@@ -8,7 +8,7 @@ not just statistically plausible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import (
@@ -731,4 +731,67 @@ def binary_payload_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.octet_length("payload")).alias("max_bytes"),
         F.count_distinct(F.md5(F.hex("payload"))).alias("n_distinct_digests"),
         F.min(F.md5(F.hex("payload"))).alias("min_digest"),
+    )
+
+
+@register(
+    "curriculum_order_manifest",
+    oracle=f"""
+    WITH q AS (
+      SELECT source, doc_id, ROUND({_QUALITY}, 6) AS quality FROM documents),
+    strat AS (
+      SELECT source, doc_id, quality,
+             NTILE(10) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id) AS decile
+      FROM q),
+    pos AS (
+      SELECT source, doc_id, quality, decile,
+             (ROW_NUMBER() OVER (PARTITION BY source, decile
+                                 ORDER BY quality DESC, doc_id) - 1) * 10
+               + decile AS position
+      FROM strat)
+    SELECT position, source, doc_id, CAST(decile AS BIGINT) AS decile, quality
+    FROM pos
+    ORDER BY position, source, doc_id
+    LIMIT 50
+    """,
+)
+def curriculum_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified curriculum ordering: docs are deciled by quality
+    WITHIN each source (partitioned NTILE — the sort parallelizes across
+    sources, never a global sort), then given an arithmetic interleave
+    position ((rank-1)*10 + decile) that round-robins the quality bands so
+    every training window sees the full quality spectrum. The manifest's
+    total order is materialized only for the returned top-k
+    (TakeOrderedAndProject); at scale the position column is written
+    per-shard and shards are read in position order. Decile assignment
+    orders by ROUNDED quality (6dp) with doc_id tie-break, so the
+    stratification is engine-exact."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    q = docs.select(
+        "source",
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    strat = q.withColumn("decile", F.ntile(10).over(w_src))
+    w_band = Window.partitionBy("source", "decile").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    pos = strat.withColumn(
+        "position",
+        (F.row_number().over(w_band) - 1) * 10 + F.col("decile"),
+    )
+    return (
+        pos.select(
+            "position",
+            "source",
+            "doc_id",
+            F.col("decile").cast("long").alias("decile"),
+            "quality",
+        )
+        .orderBy("position", "source", "doc_id")
+        .limit(50)
     )

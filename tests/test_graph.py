@@ -129,3 +129,19 @@ class TestTriangleStats:
         assert row["n_triangles"] == 0
         assert row["n_wedges"] == 21
         assert row["clustering"] == 0.0
+
+    def test_empty_and_self_loop_graph(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        # only self-loops -> no undirected edges at all
+        edges = spark.createDataFrame(
+            [(1, 1), (2, 2)], "src long, dst long"
+        )
+        row = triangle_stats(edges).collect()[0]
+        assert row["n_nodes"] == 0
+        assert row["n_edges"] == 0
+        assert row["n_wedges"] == 0
+        assert row["n_triangles"] == 0
+        assert row["clustering"] == 0.0
