@@ -713,3 +713,28 @@ def mixture_epoch_plan(
             ).alias("oversampled"),
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: 'split' column from the
+    portable md5 draw (``sample_hash``) against cumulative 4-hex
+    thresholds — train gets ``fractions[0]``, val ``fractions[1]``, test
+    the rest. A document's split depends only on (salt, key), so it is
+    stable under corpus growth and identical in any engine — the property
+    an eval split must have for results to be comparable across pipeline
+    runs. Quantization granularity is 1/65536 (same as
+    ``deterministic_sample``)."""
+    t1 = hex_threshold(fractions[0])
+    t2 = hex_threshold(fractions[0] + fractions[1])
+    h = F.substring(sample_hash(key_col, salt), 1, _HEX_CHARS)
+    return df.withColumn(
+        "split",
+        F.when(h < t1, F.lit("train"))
+        .when(h < t2, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

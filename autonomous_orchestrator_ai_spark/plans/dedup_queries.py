@@ -573,3 +573,96 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+#: DuckDB mirror of operators.curation.assign_split (salt='split',
+#: fractions (0.8, 0.1)) — thresholds from hex_threshold, inlined.
+_SPLIT_SQL = """
+  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+         THEN 'train'
+       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         THEN 'val'
+       ELSE 'test' END
+""".strip()
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh,
+                    {", ".join(f"{_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
+             FROM docs),
+    banded AS (SELECT doc_id, band_id, {_bands_case_sql()} AS band_key
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c JOIN docs da ON c.id_a = da.doc_id
+                   JOIN docs db ON c.id_b = db.doc_id
+      WHERE ROUND(len(list_intersect(da.sh, db.sh)) * 1.0 /
+                  (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))), 6) >= 0.5),
+    splits AS (SELECT doc_id, {_SPLIT_SQL} AS split,
+                      CASE {_SPLIT_SQL} WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS rk
+               FROM documents),
+    attributed AS (
+      SELECT CASE WHEN sa.rk <= sb.rk THEN sa.split ELSE sb.split END AS split_a,
+             CASE WHEN sa.rk <= sb.rk THEN sb.split ELSE sa.split END AS split_b,
+             CASE WHEN sa.rk <= sb.rk THEN v.id_b ELSE v.id_a END AS later_doc
+      FROM verified v JOIN splits sa ON v.id_a = sa.doc_id
+                      JOIN splits sb ON v.id_b = sb.doc_id)
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT later_doc) AS BIGINT) AS n_leaked_docs
+    FROM attributed GROUP BY 1, 2
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test contamination audit: near-dup pairs (MinHash-LSH,
+    verified jaccard >= 0.5) attributed to their split pair under the
+    deterministic md5 split (operators.curation.assign_split, 80/10/10).
+    Cross-split rows — especially (train, val)/(train, test) — are eval
+    contamination; n_leaked_docs counts the distinct LATER-split documents
+    whose eval integrity is compromised (the set you drop or re-split).
+    The split is a per-row expression, so the audit costs exactly one
+    bucketed LSH pass plus two doc_id-keyed lookups."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        assign_split,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs)
+    rk = F.when(F.col("split") == "train", 0).when(
+        F.col("split") == "val", 1
+    ).otherwise(2)
+    splits = assign_split(docs.select("doc_id")).select(
+        "doc_id", "split", rk.alias("rk")
+    )
+    a = splits.withColumnsRenamed(
+        {"doc_id": "id_a", "split": "split_x", "rk": "rk_a"}
+    )
+    b = splits.withColumnsRenamed(
+        {"doc_id": "id_b", "split": "split_y", "rk": "rk_b"}
+    )
+    attributed = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.when(F.col("rk_a") <= F.col("rk_b"), F.col("split_x"))
+            .otherwise(F.col("split_y"))
+            .alias("split_a"),
+            F.when(F.col("rk_a") <= F.col("rk_b"), F.col("split_y"))
+            .otherwise(F.col("split_x"))
+            .alias("split_b"),
+            F.when(F.col("rk_a") <= F.col("rk_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("later_doc"),
+        )
+    )
+    return attributed.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("later_doc").alias("n_leaked_docs"),
+    )

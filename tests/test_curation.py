@@ -557,3 +557,27 @@ class TestMixturePlan:
         for bad in ({}, {"a": 0.0}, {"a": 1.0, "b": -1.0}):
             with _pytest.raises(ValueError, match="positive total"):
                 mixture_epoch_plan(avail, bad, 100)
+
+
+class TestAssignSplit:
+    def test_partition_and_determinism(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            assign_split,
+        )
+
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        s1 = assign_split(df)
+        counts = {r["split"]: r["n"] for r in
+                  s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        # roughly 80/10/10 (binomial noise at n=2000)
+        assert 1500 < counts["train"] < 1750
+        assert 100 < counts["val"] < 320
+        assert 100 < counts["test"] < 320
+        # stable under corpus growth: the same doc keeps its split
+        sub = assign_split(df.where(F.col("doc_id") < 500))
+        joined = (
+            s1.withColumnRenamed("split", "s_full")
+            .join(sub.withColumnRenamed("split", "s_sub"), "doc_id")
+        )
+        assert joined.where(F.col("s_full") != F.col("s_sub")).count() == 0
