@@ -463,3 +463,66 @@ def daily_autocorr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("autocorr_lag1"),
     )
+
+
+@register(
+    "rolling_weekly_value_by_type",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_idx,
+             SUM({_Y4}) AS sy
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, day_idx,
+             SUM(sy) OVER (PARTITION BY event_type ORDER BY day_idx
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS ssum,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day_idx
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS ndays
+      FROM daily)
+    SELECT event_type,
+           strftime(to_timestamp(day_idx * 86400), '%Y-%m-%d') AS day,
+           CAST(ndays AS BIGINT) AS n_days_in_window,
+           ROUND(CAST(ssum AS DOUBLE) / ndays / 10000.0, 6) AS rolling_avg_daily_value
+    FROM w
+    """,
+)
+def rolling_weekly_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily value totals per event_type
+    — the RANGE-frame window shape (value-based frame over the integer day
+    index, so calendar gaps shrink the window rather than silently pulling
+    in older rows like a ROWS frame would). Daily totals are exact
+    fixed-point integers; the frame sum stays exact and only the final
+    report divides. Partitioned per key: series sorts parallelize across
+    keys."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias(
+            "day_idx"
+        ),
+    ).agg(F.sum(F.expr(_Y4)).cast("decimal(38,0)").alias("sy"))
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    w = daily.select(
+        "event_type",
+        "day_idx",
+        F.sum("sy").over(frame).alias("ssum"),
+        F.count(F.lit(1)).over(frame).alias("ndays"),
+    )
+    return w.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("day_idx") * 86400), "yyyy-MM-dd"
+        ).alias("day"),
+        F.col("ndays").alias("n_days_in_window"),
+        F.round(
+            F.col("ssum").cast("double") / F.col("ndays") / F.lit(10000.0), 6
+        ).alias("rolling_avg_daily_value"),
+    )
