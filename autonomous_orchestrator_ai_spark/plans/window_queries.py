@@ -362,3 +362,39 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
         """
     )
+
+
+@register(
+    "order_price_cume_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority,
+             CEIL(cume_dist() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) * 10)
+               AS decile
+      FROM orders)
+    SELECT o_orderpriority, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM r GROUP BY 1, 2
+    """,
+)
+def order_price_cume_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist-based decile bucketing of order value within each
+    priority class — the cumulative-distribution window function (rank/n
+    as an exact rational evaluated identically in both engines; the
+    o_orderkey tie-break makes the ordering total). Partitioned windows:
+    each priority's sort runs independently. Complements the NTILE
+    (equal-count) and percentile (order-statistic) shapes already in the
+    catalog — cume_dist buckets by VALUE POSITION, so ties land in the
+    same bucket."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    r = orders.select(
+        "o_orderpriority",
+        F.ceil(F.cume_dist().over(w) * 10).alias("decile"),
+    )
+    return r.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
