@@ -1027,3 +1027,65 @@ def benford_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_share"),
         F.round(F.abs(share - expected), 6).alias("abs_dev"),
     )
+
+
+@register(
+    "value_mad_outliers_by_type",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      WHERE e.value IS NOT NULL),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(d.med, 4) AS median_value,
+           ROUND(x.mad, 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad x ON d.event_type = x.event_type
+    GROUP BY d.event_type, d.med, x.mad
+    """,
+)
+def value_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event_type — the
+    robust alternative to z-scores (one wild value can't inflate its own
+    outlier threshold). Two exact-percentile aggregation passes (median,
+    then MAD of deviations) with the small per-group statistics joined
+    back (broadcast under AQE); the 3*MAD comparison evaluates the same
+    float expression in both engines, so the outlier COUNT is exact."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )
