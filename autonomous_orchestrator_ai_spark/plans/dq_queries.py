@@ -7,6 +7,7 @@ from __future__ import annotations
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.dq import Expectation, suite_violation_counts
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
@@ -85,3 +86,54 @@ def dq_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders table — every expectation's violation counter rides ONE
     aggregate job regardless of suite size."""
     return suite_violation_counts(table(spark, sf_dir, "orders"), ORDERS_SUITE)
+
+
+def _orphan_sql(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{child}.{fk}->{parent}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans
+    FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}
+    """.strip()
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "referential_integrity_report",
+    oracle="\nUNION ALL\n".join(_orphan_sql(*e) for e in _FK_EDGES),
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema foreign-key orphan audit in one result: for every FK
+    edge of the star schema, the child row count and how many children
+    point at a missing parent. Each edge is a left join + conditional
+    count; dimension parents broadcast (AQE), the two lineitem fact edges
+    shuffle on the key. This is the load-validation DQ report a warehouse
+    runs after ingest — the engine-level generalization of the
+    reference's single-table count checks (SURVEY.md §2.11 C5)."""
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child).select(F.col(fk))
+        p = table(spark, sf_dir, parent).select(F.col(pk))
+        joined = c.join(p, c[fk] == p[pk], "left")
+        parts.append(
+            joined.agg(
+                F.lit(f"{child}.{fk}->{parent}").alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.col(pk).isNull().cast("long")).alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out
