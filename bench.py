@@ -97,6 +97,13 @@ HEADLINE = [
     "daily_autocorr_by_type",
     "benford_value_profile",
     "embedding_dim_profile",
+    # curation manifests + integrity audits
+    "curriculum_order_manifest",
+    "split_leakage_report",
+    "rolling_weekly_value_by_type",
+    "order_price_cume_deciles",
+    "value_mad_outliers_by_type",
+    "referential_integrity_report",
 ]
 
 
