@@ -137,3 +137,37 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "column_completeness_report",
+    oracle="SELECT "
+    + ", ".join(
+        [
+            "CAST(COUNT(*) AS BIGINT) AS n_rows",
+            *(
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS nulls_{c}"
+                for c in _EVENT_COLS
+            ),
+        ]
+    )
+    + " FROM events",
+)
+def column_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null census of the events table in ONE aggregate — the
+    completeness half of a DQ dashboard (the expectation engine in
+    aos.operators.dq asserts thresholds; this reports the raw counts).
+    All columns ride a single scan with map-side partials; adding a
+    column adds an accumulator, not a pass."""
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+            for c in _EVENT_COLS
+        ],
+    )

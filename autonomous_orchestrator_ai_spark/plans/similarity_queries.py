@@ -275,3 +275,58 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mn"), 6).alias("min_v"),
         F.round(F.col("mx"), 6).alias("max_v"),
     )
+
+
+@register(
+    "label_centroid_distances",
+    oracle="""
+    WITH comps AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, i, AVG(v) AS m FROM comps GROUP BY label, i),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM((a.m - b.m) * (a.m - b.m)) AS d2
+      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+           ROUND(sqrt(d2), 4) AS centroid_dist
+    FROM pairs
+    """,
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Euclidean distances between per-label embedding centroids
+    — the class-separability overview an ANN/semantic-dedup pipeline
+    checks before trusting label-blocked strategies (semdedup blocks by
+    label; near-identical centroids mean the blocking leaks neighbors).
+    Two map-combined aggregations (per-(label, dim) mean, then per-pair
+    sum over dims); the pair join carries n_labels^2 * n_dims tiny rows,
+    never the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("i", "v0")
+    ).select("label", "i", F.col("v0").cast("double").alias("v"))
+    cent = comps.groupBy("label", "i").agg(F.avg("v").alias("m"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "i", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "i", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, "i")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+            ).alias("d2")
+        )
+    )
+    return pairs.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        F.round(F.sqrt("d2"), 4).alias("centroid_dist"),
+    )
