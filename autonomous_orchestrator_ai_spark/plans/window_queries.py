@@ -398,3 +398,52 @@ def order_price_cume_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("o_orderpriority", "decile").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@register(
+    "top_value_days_with_ties",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS sy4
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, sy4,
+             RANK() OVER (PARTITION BY event_type ORDER BY sy4 DESC) AS rnk
+      FROM daily)
+    SELECT event_type, day, CAST(rnk AS INT) AS rnk,
+           ROUND(CAST(sy4 AS DOUBLE) / 10000.0, 4) AS day_total
+    FROM r WHERE rnk <= 3
+    """,
+)
+def top_value_days_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue days per event_type using RANK (ties share a rank
+    and are all kept — the correct semantics for 'best days' leaderboards,
+    unlike row_number's arbitrary tie drop). Ranking is over EXACT
+    fixed-point daily totals, so tie structure is engine-identical by
+    construction. Partitioned window: per-key sorts parallelize."""
+    ev = table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+        ).alias("sy4")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("sy4").desc())
+    return (
+        daily.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            "day",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.round(F.col("sy4").cast("double") / 10000.0, 4).alias(
+                "day_total"
+            ),
+        )
+    )
