@@ -447,3 +447,95 @@ def top_value_days_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "first_last_nth_value_by_user",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             first_value(value) OVER win AS first_v,
+             last_value(value) OVER win AS last_v,
+             nth_value(value, 2) OVER win AS second_v,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+    SELECT DISTINCT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           ROUND(first_v, 2) AS first_value,
+           ROUND(COALESCE(second_v, first_v), 2) AS second_value,
+           ROUND(last_v, 2) AS last_value
+    FROM w WHERE user_id < 30
+    """,
+)
+def first_last_nth_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / nth_value / last_value over a full-partition frame
+    (UNBOUNDED..UNBOUNDED — without it last_value sees only the default
+    running frame, the classic window gotcha) per user journey, ordered
+    by (ts, event_id) so ties are total. nth_value(2) falls back to the
+    first event for single-event users. Restricted to a user slice so the
+    distinct projection stays small; the window itself partitions per
+    user and parallelizes."""
+    ev = table(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w = ev.select(
+        "user_id",
+        F.first("value").over(win).alias("first_v"),
+        F.last("value").over(win).alias("last_v"),
+        F.nth_value("value", 2).over(win).alias("second_v"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n_events"),
+    )
+    return (
+        w.where(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("first_v", 2).alias("first_value"),
+            F.round(F.coalesce("second_v", "first_v"), 2).alias(
+                "second_value"
+            ),
+            F.round("last_v", 2).alias("last_value"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "busiest_weekday_by_type",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type,
+           arg_max(dow, n * 8 + (7 - dow)) AS busiest_dow,
+           MAX(n) AS n_events_busiest
+    FROM c GROUP BY event_type
+    """,
+)
+def busiest_weekday_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE via argmax: the busiest day-of-week per
+    event_type, ties broken toward the SMALLER weekday by maximizing the
+    composite integer key n*8 + (7-dow) — the explicit-tie-break pattern that makes
+    'most frequent value' reproducible where a bare mode() aggregate is
+    tie-nondeterministic in either engine. Two map-combined aggregations,
+    no window, no sort. (DuckDB dayofweek: 0=Sunday; Spark mirrors via
+    dayofweek(ts)-1.)"""
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    c = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts").cast("long") - 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("event_type").agg(
+        F.max_by(
+            "dow", F.col("n") * 8 + (F.lit(7) - F.col("dow"))
+        ).alias("busiest_dow"),
+        F.max("n").alias("n_events_busiest"),
+    )
