@@ -526,3 +526,54 @@ def rolling_weekly_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ssum").cast("double") / F.col("ndays") / F.lit(10000.0), 6
         ).alias("rolling_avg_daily_value"),
     )
+
+
+@register(
+    "inter_event_gap_percentiles",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY FLOOR(epoch(ts)), event_id) AS prev_sec
+      FROM events WHERE ts IS NOT NULL),
+    gaps AS (
+      SELECT event_type, sec - prev_sec AS gap_s
+      FROM seq WHERE prev_sec IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 4) AS p90_gap_s,
+           ROUND(quantile_cont(gap_s, 0.99), 4) AS p99_gap_s,
+           MAX(gap_s) AS max_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+)
+def inter_event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user inter-event gaps by event_type — the
+    empirical input for choosing a streaming WATERMARK delay and a
+    session timeout (p99 gap ~ the out-of-orderness bound you must
+    tolerate). Gaps are exact integer seconds from a per-user LAG; the
+    sequence orders by (floor-second, event_id) so the ordering is
+    identical across engines even though the raw timestamps carry
+    sub-second components that Spark and DuckDB store at different
+    precisions. Exact percentiles over bounded per-group gap counts."""
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    sec = F.expr("CAST(unix_timestamp(ts) AS BIGINT)")
+    w = Window.partitionBy("user_id").orderBy(sec, F.col("event_id"))
+    seq = ev.select(
+        "event_type",
+        sec.alias("sec"),
+        F.lag(sec).over(w).alias("prev_sec"),
+    )
+    gaps = seq.where(F.col("prev_sec").isNotNull()).select(
+        "event_type", (F.col("sec") - F.col("prev_sec")).alias("gap_s")
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.99)), 4).alias("p99_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
