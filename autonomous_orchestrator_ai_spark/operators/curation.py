@@ -729,12 +729,27 @@ def assign_split(
     an eval split must have for results to be comparable across pipeline
     runs. Quantization granularity is 1/65536 (same as
     ``deterministic_sample``)."""
+    # hex_threshold returns None at fraction >= 1.0, and `h < None` is NULL
+    # in SQL — every row would silently land in "test". Reject bad fractions
+    # loudly instead of misassigning the whole corpus.
+    if not (
+        0.0 < fractions[0] < 1.0
+        and 0.0 <= fractions[1]
+        and fractions[0] + fractions[1] <= 1.0
+    ):
+        raise ValueError(
+            "fractions must satisfy 0 < train < 1, 0 <= val, "
+            f"train + val <= 1 (got {fractions!r})"
+        )
     t1 = hex_threshold(fractions[0])
     t2 = hex_threshold(fractions[0] + fractions[1])
     h = F.substring(sample_hash(key_col, salt), 1, _HEX_CHARS)
+    # t2 is None when train + val == 1.0 exactly ("keep everything"):
+    # the val branch must then be unconditionally true, not `h < NULL`.
+    in_val = F.lit(True) if t2 is None else (h < t2)
     return df.withColumn(
         "split",
         F.when(h < t1, F.lit("train"))
-        .when(h < t2, F.lit("val"))
+        .when(in_val, F.lit("val"))
         .otherwise(F.lit("test")),
     )

@@ -286,7 +286,14 @@ def triangle_stats(
         deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.coalesce(
-                (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long"),
+                # Sum deg*(deg-1) in decimal(38,0) (hub-heavy graphs overflow
+                # an int64 sum) and halve with exact integer arithmetic: the
+                # operand is always even, so `DIV 2` on the decimal is exact —
+                # no double division anywhere in the wedge count.
+                F.expr(
+                    "CAST(SUM(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) DIV 2"
+                    " AS DECIMAL(38,0))"
+                ).cast("long"),
                 F.lit(0),
             ).alias("n_wedges"),
         )

@@ -1032,24 +1032,27 @@ def benford_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "value_mad_outliers_by_type",
     oracle="""
-    WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT event_type, quantile_cont(v4, 0.5) AS med4
+      FROM v GROUP BY event_type),
     dev AS (
-      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
-      FROM events e JOIN med m ON e.event_type = m.event_type
-      WHERE e.value IS NOT NULL),
+      SELECT v.event_type, m.med4, abs(v.v4 - m.med4) AS adev4
+      FROM v JOIN med m ON v.event_type = m.event_type),
     mad AS (
-      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      SELECT event_type, quantile_cont(adev4, 0.5) AS mad4
       FROM dev GROUP BY event_type)
     SELECT d.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(d.med, 4) AS median_value,
-           ROUND(x.mad, 4) AS mad,
-           CAST(SUM(CASE WHEN d.adev > 3 * x.mad THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_outliers
+           ROUND(d.med4 / 10000.0, 4) AS median_value,
+           ROUND(x.mad4 / 10000.0, 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev4 > 3 * x.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM dev d JOIN mad x ON d.event_type = x.event_type
-    GROUP BY d.event_type, d.med, x.mad
+    GROUP BY d.event_type, d.med4, x.mad4
     """,
 )
 def value_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,35 +1060,46 @@ def value_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     robust alternative to z-scores (one wild value can't inflate its own
     outlier threshold). Two exact-percentile aggregation passes (median,
     then MAD of deviations) with the small per-group statistics joined
-    back (broadcast under AQE); the 3*MAD comparison evaluates the same
-    float expression in both engines, so the outlier COUNT is exact."""
+    back (broadcast under AQE). Every quantity on the comparison path is
+    exact BY CONSTRUCTION, not by float luck: values ride as 1e-4
+    fixed-point integers, so the interpolated median is a half-integer,
+    deviations are half-integers, the MAD is a quarter-integer, and
+    3*mad4 stays far below 2^53 — all exactly representable doubles, so
+    `adev4 > 3*mad4` decides identically in any engine (no 1-ulp
+    interpolation drift can flip the boundary, unlike a float-valued
+    median)."""
     ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
-    )
-    dev = ev.join(med, "event_type").select(
+    v = ev.select(
         "event_type",
-        "value",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("adev"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)").alias(
+            "v4"
+        ),
+    )
+    med = v.groupBy("event_type").agg(
+        F.percentile("v4", F.lit(0.5)).alias("med4")
+    )
+    dev = v.join(med, "event_type").select(
+        "event_type",
+        "med4",
+        F.abs(F.col("v4") - F.col("med4")).alias("adev4"),
     )
     mad = dev.groupBy("event_type").agg(
-        F.percentile("adev", F.lit(0.5)).alias("mad")
+        F.percentile("adev4", F.lit(0.5)).alias("mad4")
     )
     return (
         dev.join(mad, "event_type")
-        .groupBy("event_type", "med", "mad")
+        .groupBy("event_type", "med4", "mad4")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(
-                (F.col("adev") > 3 * F.col("mad")).cast("long")
+                (F.col("adev4") > 3 * F.col("mad4")).cast("long")
             ).alias("n_outliers"),
         )
         .select(
             "event_type",
             "n_events",
-            F.round("med", 4).alias("median_value"),
-            F.round("mad", 4).alias("mad"),
+            F.round(F.col("med4") / 10000.0, 4).alias("median_value"),
+            F.round(F.col("mad4") / 10000.0, 4).alias("mad"),
             "n_outliers",
         )
     )

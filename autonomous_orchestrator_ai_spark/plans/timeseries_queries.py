@@ -362,7 +362,7 @@ def value_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(F.sum(F.expr(_Y4)).cast("decimal(38,0)").alias("sy"))
+    ).agg(F.sum(F.expr(_Y4).cast("decimal(38,0)")).alias("sy"))
     wcum = Window.partitionBy("event_type").orderBy("day")
     wall = Window.partitionBy("event_type")
     c = daily.select(
@@ -431,7 +431,7 @@ def daily_autocorr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
-    ).agg(F.sum(F.expr(_Y4)).cast("decimal(38,0)").alias("sy"))
+    ).agg(F.sum(F.expr(_Y4).cast("decimal(38,0)")).alias("sy"))
     pairs = daily.select(
         "event_type",
         F.col("sy").alias("y"),
@@ -504,7 +504,7 @@ def rolling_weekly_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 86400").alias(
             "day_idx"
         ),
-    ).agg(F.sum(F.expr(_Y4)).cast("decimal(38,0)").alias("sy"))
+    ).agg(F.sum(F.expr(_Y4).cast("decimal(38,0)")).alias("sy"))
     frame = (
         Window.partitionBy("event_type")
         .orderBy("day_idx")

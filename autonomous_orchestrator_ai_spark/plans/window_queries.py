@@ -431,7 +431,9 @@ def top_value_days_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
     ).agg(
         F.sum(
-            F.expr("CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+            ).cast("decimal(38,0)")
         ).alias("sy4")
     )
     w = Window.partitionBy("event_type").orderBy(F.col("sy4").desc())

@@ -581,3 +581,35 @@ class TestAssignSplit:
             .join(sub.withColumnRenamed("split", "s_sub"), "doc_id")
         )
         assert joined.where(F.col("s_full") != F.col("s_sub")).count() == 0
+
+    def test_bad_fractions_raise(self, spark):
+        import pytest as _pytest
+
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            assign_split,
+        )
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        for bad in ((1.0, 0.0), (1.2, 0.1), (0.8, -0.1), (0.7, 0.4),
+                    (0.0, 0.5), (-0.1, 0.5)):
+            with _pytest.raises(ValueError, match="fractions"):
+                assign_split(df, fractions=bad)
+
+    def test_fractions_sum_to_one_has_no_test_rows(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.curation import (
+            assign_split,
+        )
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        counts = {
+            r["split"]: r["n"]
+            for r in assign_split(df, fractions=(0.8, 0.2))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # train + val == 1.0: every row must land in train or val — the
+        # t2=None ("keep everything") threshold may not leak rows to test.
+        assert counts.get("test", 0) == 0
+        assert sum(counts.values()) == 1000
+        assert counts["val"] > 0
