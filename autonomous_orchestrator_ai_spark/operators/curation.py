@@ -677,9 +677,16 @@ def mixture_epoch_plan(
     """Training-mix plan: given per-source available token counts, target
     mixture weights, and a total token budget, compute each source's
     allocated tokens and epoch count (allocation / available — >1 means
-    the source repeats, the data-constrained-scaling question). The
-    weights ride in as a broadcast literal table (data, not plan — never
-    a giant CASE); unlisted sources get weight 0."""
+    the source repeats, the data-constrained-scaling question). Unlisted
+    sources get weight 0.
+
+    Weight delivery is sized to the map: small maps (<= 64 sources — the
+    realistic training-mix case) ride as a ``create_map`` literal lookup,
+    which adds ~nothing to the plan and avoids the driver-side
+    createDataFrame job + broadcast exchange that cost a constant ~0.6 s
+    per run (the r3 driver bench measured the always-broadcast form at
+    0.47 -> 1.13 s); larger maps switch to a broadcast literal table so
+    the plan never carries a giant expression."""
     spark = per_source_tokens.sparkSession
     total_w = sum(weights.values())
     if total_w <= 0:
@@ -687,12 +694,23 @@ def mixture_epoch_plan(
             "weights must be non-empty with positive total "
             f"(got {weights!r})"
         )
-    wdf = spark.createDataFrame(
-        [(s, float(w) / total_w) for s, w in weights.items()],
-        f"{source_col} string, weight double",
-    )
+    norm = {s: float(w) / total_w for s, w in weights.items()}
+    if len(norm) <= 64:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in norm.items() for x in kv]
+        )
+        weighted = per_source_tokens.withColumn(
+            "weight", F.element_at(wmap, F.col(source_col))
+        )
+    else:
+        wdf = spark.createDataFrame(
+            list(norm.items()), f"{source_col} string, weight double"
+        )
+        weighted = per_source_tokens.join(
+            F.broadcast(wdf), source_col, "left"
+        )
     return (
-        per_source_tokens.join(F.broadcast(wdf), source_col, "left")
+        weighted
         .withColumn("weight", F.coalesce(F.col("weight"), F.lit(0.0)))
         .select(
             source_col,

@@ -238,10 +238,20 @@ def doc_winnowing_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact-anchor slice bound for the winnowing all-candidates baseline: the
+#: inverted-index join's cost tracks hot-hash document frequency, which the
+#: sf1 sweep measured at 440 s (hours at sf10). The anchor's job is to pin
+#: the LSH scale form's containment scores on a VERIFIABLE subset, so its
+#: input is capped at the full sf<=0.1 corpus size — identical results at
+#: test scales, bounded forever above them (same pinning as
+#: similarity_queries._ALLPAIRS_MAX_ID).
+_WINNOW_ANCHOR_MAX_ID = 5000
+
+
 @register(
     "winnowing_near_dup_pairs",
     oracle=f"""
-    WITH d AS ({_NORM_CTE}),
+    WITH d AS ({_NORM_CTE} WHERE doc_id < {_WINNOW_ANCHOR_MAX_ID}),
     g AS (SELECT doc_id, {_GRAM_HASHES} AS h FROM d),
     s AS (SELECT doc_id, {_SKETCH} AS sk FROM g),
     e AS (SELECT doc_id, len(sk) AS sz, unnest(sk) AS hh FROM s),
@@ -263,12 +273,16 @@ def winnowing_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the whole sweep); `winnowing_near_dup_pairs_lsh` below is the
     scale form (a hash-df cap was tried first and measured to zero out
     recall on this low-entropy corpus — signal hashes ARE the common
-    hashes here)."""
+    hashes here). The input slice is pinned at doc_id <
+    ``_WINNOW_ANCHOR_MAX_ID`` so the anchor stays O(1) as sf grows —
+    it must never ride a headline bench set at sf >= 1."""
     from autonomous_orchestrator_ai_spark.operators.dedup import (
         winnowing_near_duplicates,
     )
 
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _WINNOW_ANCHOR_MAX_ID
+    )
     return winnowing_near_duplicates(
         docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6
     )

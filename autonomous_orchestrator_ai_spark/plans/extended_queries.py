@@ -848,6 +848,62 @@ def value_equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "equidepth_approx_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(19 AS INT) AS n_cuts,
+           CAST(0 AS BIGINT) AS n_cut_violations
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def equidepth_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cross-check for ``value_equidepth_histogram_approx``:
+    the sketch's cut VALUES jitter with partition merge order, but its
+    rank-error CONTRACT does not — a Greenwald-Khanna sketch at accuracy
+    1/10000 must return, for the i/20 quantile, a value whose exact rank
+    interval [count(v<c), count(v<=c)] intersects
+    [i*n/20 - n/10000, i*n/20 + n/10000]. This query recomputes each
+    cut's exact rank interval with one posexplode + map-combined groupBy
+    (19 tiny rows out) and reports the violation count, which the GK
+    guarantee pins at 0 for ANY valid sketch output — so the oracle can
+    assert it as a literal while DuckDB independently supplies the exact
+    n_values. A broken sketch, a wrong accuracy plumb-through, or a
+    binning off-by-one all flip this row."""
+    events = table(spark, sf_dir, "events")
+    v = events.filter(F.col("value").isNotNull()).select(
+        F.col("value").cast("double").alias("v")
+    )
+    pcts = F.array(*[F.lit(i / 20.0) for i in range(1, 20)])
+    cuts = v.agg(F.percentile_approx("v", pcts, F.lit(10000)).alias("cuts"))
+    flags = v.crossJoin(F.broadcast(cuts)).select(
+        F.posexplode(
+            F.expr(
+                "transform(cuts, c -> struct("
+                "IF(v < c, 1L, 0L) AS lt, IF(v <= c, 1L, 0L) AS le))"
+            )
+        ).alias("i", "f")
+    )
+    per_cut = flags.groupBy("i").agg(
+        F.sum("f.lt").alias("cnt_lt"),
+        F.sum("f.le").alias("cnt_le"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # target rank for cut i (0-based) is (i+1)*n/20; tolerance is the GK
+    # bound n/10000 plus 1 row of floor slack. Violation iff the exact
+    # rank interval misses the allowed band entirely.
+    tol = F.col("n") / 10000.0 + 1.0
+    target = (F.col("i") + 1) * F.col("n") / 20.0
+    viol = (
+        (F.col("cnt_le") < target - tol) | (F.col("cnt_lt") > target + tol)
+    ).cast("long")
+    return per_cut.agg(
+        F.max("n").alias("n_values"),
+        F.count(F.lit(1)).cast("int").alias("n_cuts"),
+        F.sum(viol).alias("n_cut_violations"),
+    )
+
+
+@register(
     "salted_event_type_stats",
     oracle="""
     SELECT event_type,

@@ -153,11 +153,79 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5, n_probe=3)
 
 
-@register("lsh_ann_topk")  # no oracle: approximate operator; pytest checks recall
+def _lsh_oracle_sql(
+    k: int, n_planes: int, n_tables: int, dim: int, seed: int
+) -> str:
+    """Derandomized-LSH oracle: the hyperplanes are seeded literals (the
+    SAME driver-side ``hyperplanes`` call the Spark operator embeds), so
+    sign-bit bucketing, 1-bit multiprobe, the bucket equi-join, and the
+    exact-cosine re-rank are all plain SQL — the 'approximate' operator is
+    a deterministic function of (corpus, seed) and therefore
+    hash-checkable, the same unrolling trick that gave PageRank an exact
+    oracle (plans/graph_queries.py). Sign decisions agree across engines
+    because both sides fold the dot product in index order over doubles
+    (operators/similarity.py:34 vs list_sum/list_transform)."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            rows.append(f"({t}, {p}, {lit})")
+    flips = ", ".join(f"({f})" for f in [-1, *range(n_planes)])
+    return f"""
+    WITH planes(table_id, plane_id, plane) AS (VALUES {",".join(rows)}),
+    cb AS (
+      SELECT e.vec_id, p.table_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, {dim}+1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+                 THEN CAST(1 << p.plane_id AS BIGINT)
+                 ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.table_id),
+    qp AS (
+      SELECT DISTINCT b.vec_id AS query_id, b.table_id,
+             CASE WHEN f.flip < 0 THEN b.bucket
+                  ELSE xor(b.bucket, CAST(1 << f.flip AS BIGINT))
+             END AS bucket
+      FROM cb b CROSS JOIN (VALUES {flips}) AS f(flip)
+      WHERE b.vec_id < 10),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM qp q JOIN cb c
+        ON q.table_id = c.table_id AND q.bucket = c.bucket
+      WHERE c.vec_id <> q.query_id),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             {_cos_sql("qe.embedding", "ne.embedding")} AS sim
+      FROM cand cd
+      JOIN embeddings qe ON qe.vec_id = cd.query_id
+      JOIN embeddings ne ON ne.vec_id = cd.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) rn
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "lsh_ann_topk",
+    oracle=_lsh_oracle_sql(k=5, n_planes=4, n_tables=4, dim=64, seed=42),
+)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH with 1-bit multi-probe
-    (operators.similarity.lsh_bucketed_topk). Driver records a rows-only
-    check; tests/test_similarity.py asserts recall >= 0.6 vs brute force."""
+    (operators.similarity.lsh_bucketed_topk). The operator is approximate
+    with respect to BRUTE FORCE (recall >= 0.6 pinned in
+    tests/test_similarity_asof.py) but fully deterministic given the
+    seeded hyperplane literals — so it carries a REAL DuckDB oracle that
+    re-derives bucketing + multiprobe + candidate join + exact re-rank in
+    SQL (see ``_lsh_oracle_sql``) and hash-matches end to end."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)
