@@ -66,8 +66,131 @@ def test_resize_updates_meta_only(media):
     assert row["meta"]["mime"] == "image/fake"
 
 
-def test_real_codecs_clearly_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        extract_features(media, use_real_codecs=True)
+def test_real_codecs_loud_on_unsupported_formats(media):
+    # fake (non-BMP) blobs through the REAL codec path must fail loudly at
+    # execution time, never silently hash bytes instead of decoding pixels
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        extract_features(media, use_real_codecs=True).collect()
     with pytest.raises(NotImplementedError):
         sample_frames(media, use_real_codecs=True)
+
+
+# --- real BMP codec path ---------------------------------------------------
+
+
+class TestBmpCodec:
+    def test_roundtrip_all_padding_widths(self):
+        from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        # widths 1..4 hit every 4-byte row-padding remainder
+        for w in (1, 2, 3, 4, 7):
+            h = 3
+            rgb = bytes(range(3 * w * h % 256)) + b"\x00" * (
+                3 * w * h - (3 * w * h % 256)
+            )
+            rgb = rgb[: 3 * w * h]
+            blob = encode_bmp(w, h, rgb)
+            assert blob[:2] == b"BM"
+            assert decode_bmp(blob) == (w, h, rgb)
+
+    def test_decode_topdown_variant(self):
+        import struct
+
+        from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        w, h = 2, 2
+        rgb = bytes(
+            [255, 0, 0, 0, 255, 0,      # top row: red, green
+             0, 0, 255, 255, 255, 0]    # bottom row: blue, yellow
+        )
+        blob = bytearray(encode_bmp(w, h, rgb))
+        # flip to top-down: negate height, reverse row order in pixel data
+        offset = struct.unpack_from("<I", blob, 10)[0]
+        struct.pack_into("<i", blob, 22, -h)
+        stride = (3 * w + 3) & ~3
+        rows = [
+            bytes(blob[offset + stride * y : offset + stride * (y + 1)])
+            for y in range(h)
+        ]
+        blob[offset:] = b"".join(reversed(rows))
+        assert decode_bmp(bytes(blob)) == (w, h, rgb)
+
+    def test_decode_rejects_garbage_and_unsupported(self):
+        from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+            decode_bmp,
+            encode_bmp,
+        )
+
+        with pytest.raises(ValueError, match="magic|truncated"):
+            decode_bmp(b"PNG....")
+        with pytest.raises(ValueError, match="truncated"):
+            decode_bmp(encode_bmp(4, 4, bytes(48))[:-10])
+
+    def test_resize_nearest_identity_and_downscale(self):
+        from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+            resize_nearest,
+        )
+
+        rgb = bytes(range(3 * 4 * 2))
+        assert resize_nearest(4, 2, rgb, 4, 2) == rgb
+        half = resize_nearest(4, 2, rgb, 2, 1)
+        # centers map to source pixels (1,1) and (3,1)
+        assert half == rgb[3 * 4 + 3 : 3 * 4 + 6] + rgb[3 * 4 + 9 : 3 * 4 + 12]
+
+
+class TestRealBmpPath:
+    def test_extract_features_real_pixels(self, spark):
+        import numpy as np
+
+        from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+            decode_bmp,
+        )
+        from autonomous_orchestrator_ai_spark.operators.multimodal import (
+            synthetic_bmp_media,
+        )
+
+        media = synthetic_bmp_media(spark, n=12)
+        out = {
+            r["media_id"]: r
+            for r in extract_features(media, dim=8, use_real_codecs=True)
+            .collect()
+        }
+        assert len(out) == 12
+        # cross-check one row against an independent NumPy computation on
+        # the decoded pixels (not on the blob bytes — proves real decode)
+        blob = bytes(media.filter("media_id = 3").collect()[0]["content"])
+        w, h, rgb = decode_bmp(blob)
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(h * w, 3)
+        feats = out[3]["features"]
+        assert feats[0] == pytest.approx(px[:, 0].mean() / 255.0, abs=1e-6)
+        assert feats[1] == pytest.approx(px[:, 1].mean() / 255.0, abs=1e-6)
+        assert feats[2] == pytest.approx(px[:, 2].mean() / 255.0, abs=1e-6)
+        gray = px.astype("float64").mean(axis=1)
+        assert feats[3] == pytest.approx(gray.std() / 255.0, abs=1e-6)
+        hist, _ = np.histogram(gray, bins=4, range=(0.0, 255.0))
+        assert feats[4:] == pytest.approx(hist / len(gray), abs=1e-6)
+
+    def test_resize_images_end_to_end(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+            decode_bmp,
+        )
+        from autonomous_orchestrator_ai_spark.operators.multimodal import (
+            resize_images,
+            synthetic_bmp_media,
+        )
+
+        media = synthetic_bmp_media(spark, n=6)
+        out = resize_images(media, 4, 4)
+        assert out.schema == media.schema
+        rows = out.collect()
+        assert len(rows) == 6
+        for r in rows:
+            assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+            w, h, rgb = decode_bmp(bytes(r["content"]))
+            assert (w, h) == (4, 4) and len(rgb) == 48
