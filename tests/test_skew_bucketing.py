@@ -87,3 +87,113 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         for t in ["bkt_left", "bkt_right", "plain_left", "plain_right"]:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_revenue_plan(spark):
+    """The registered bucketed_join_revenue demo: after write_bucketed on
+    real sf0.001 lineitem/orders, the production join core must be a
+    SortMergeJoin with ZERO Exchange nodes — the shuffle-elimination the
+    100 TB story depends on."""
+    import hashlib
+
+    from autonomous_orchestrator_ai_spark.plans.layout_queries import (
+        bucketed_join_on,
+        bucketed_join_revenue,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # run the registered query once (writes the bucketed tables + verifies
+    # it produces the aggregate); then inspect the bare join core's plan
+    assert bucketed_join_revenue(spark, sf_dir).count() == 5
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    try:
+        joined = bucketed_join_on(
+            spark, f"bktdemo_lineitem_{tag}", f"bktdemo_orders_{tag}"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and it's not an empty demo: the join carries real rows
+        assert joined.count() > 1000
+    finally:
+        for t in (f"bktdemo_lineitem_{tag}", f"bktdemo_orders_{tag}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """When AQE suffices vs when salting is required — the guidance a
+    100x-scale user needs, asserted on a live plan:
+
+    - SHUFFLE JOINS with a skewed key: AQE's skew-join splits the
+      oversized partition at runtime (SortMergeJoin prints skew=true) —
+      no manual salting needed, provided the join is a plain SMJ and the
+      thresholds catch the partition.
+    - AGGREGATIONS with a skewed key: AQE has no skew rewrite for
+      groupBy — a hot group still lands on one reducer. That is what
+      operators.skew.salted_aggregate is for (two-phase partial/final).
+    - Joins where the skewed side must stay co-partitioned for a later
+      stage: splitting breaks the partitioning contract, so AQE skips it
+      — operators.skew.salted_join is the manual fallback.
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # test-scale thresholds: flag a partition as skewed at >64KB and
+        # 2x the median, split toward 32KB targets
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # one hot key carrying wide payloads (~6MB post-shuffle) + a tail
+        hot = spark.range(30000).select(
+            F.lit("HOT").alias("k"),
+            F.concat(F.lit("p"), F.col("id")).alias("payload"),
+            F.repeat(F.lit("x"), 200).alias("pad"),
+        )
+        tail = spark.range(200).select(
+            F.concat(F.lit("key_"), F.col("id")).alias("k"),
+            F.lit("t").alias("payload"),
+            F.lit("x").alias("pad"),
+        )
+        left = hot.unionByName(tail)
+        right = spark.createDataFrame(
+            [("HOT", "hot-dim")]
+            + [(f"key_{i}", f"dim_{i}") for i in range(200)],
+            ["k", "label"],
+        )
+
+        joined = left.join(right, "k")
+        # execute THIS dataframe (not a derived count query) so its own
+        # adaptive plan is finalized with runtime stats
+        n = len(joined.collect())
+        assert n == 30000 + 200
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE did not split the hot partition:\n{plan[:2000]}"
+
+        # the manual salted path gives the same rows — it's the fallback
+        # for the cases AQE won't touch (see docstring)
+        salted = salted_join(left, right, "k")
+        assert salted.count() == n
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
