@@ -76,14 +76,23 @@ def portable_minhash(shingle: F.Column, seed: int) -> F.Column:
 
 
 def chunked_minhash(hash_col: F.Column, j: int) -> F.Column:
-    """Hash family j as hex chars [4j, 4j+4) of ONE md5 per shingle — eight
-    independent 16-bit min-hashes from a single digest. 8x fewer md5 calls
-    than seed-prefixed hashing, and the expression tree is ~8x smaller,
-    which cuts whole-stage-codegen JIT time from ~10s to ~1s per fresh
-    session. 16-bit min ties only make LSH bands collide MORE (recall up,
-    a few extra candidates), and candidates are exact-Jaccard-verified, so
-    the final output is unchanged in distribution and exact in value."""
-    return F.substring(hash_col, 1 + 4 * j, 4)
+    """Hash family j as hex chars [8j, 8j+8) of the doc's combined 64-hex
+    digest (md5(s) || md5('#'||s)) — eight independent 32-BIT min-hashes
+    from two md5 calls per shingle.
+
+    Why 32 bits and not the original 16 (one digest, 4-hex chunks): with
+    b-bit chunks, two UNRELATED docs whose sketch sets have ~m elements
+    agree on a chunk's min with probability ~m/2^b — a constant per pair,
+    so random band collisions (and therefore LSH candidates) grow as
+    O(n^2 * m^2 / 2^2b). At 16 bits that term dominated real pairs 300:1
+    by 500k docs (sf10 measured 7.9M candidates for 25k true pairs —
+    quadratic, a 100 TB killer); at 32 bits the same term is ~1e-15 per
+    band and the candidate count tracks true pairs at any corpus size.
+    Fixed-width lowercase hex compares lexicographically == numerically,
+    so array_min stays correct; candidates remain exact-verified, so
+    widening only removes noise pairs (and the tie-inflated recall the
+    16-bit form accidentally enjoyed — recall contracts re-pinned)."""
+    return F.substring(hash_col, 1 + 8 * j, 8)
 
 
 # ---------------------------------------------------------------------------
@@ -101,21 +110,26 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash_0..minhash_{n-1}) — per-doc MinHash signature.
 
-    Computed without exploding and with ONE md5 per shingle: hash family j
-    is hex chunk [4j, 4j+4) of that digest (``chunked_minhash``), so each
-    minhash_j is ``array_min(transform(digests, h -> substr(h, 4j+1, 4)))``
-    — a per-row expression, zero shuffles, linear scan, and an expression
-    tree small enough that whole-stage codegen JITs in ~1s. num_hashes <= 8
-    with 4-char chunks (32 hex chars / 4). ``precomputed_shingles=True``
+    Computed without exploding and with TWO md5 calls per shingle: the
+    64-hex combined digest md5(s) || md5('#'||s) yields eight independent
+    32-bit chunks (``chunked_minhash`` — see its docstring for why 16-bit
+    chunks collide quadratically at scale), so each minhash_j is
+    ``array_min(transform(digests, h -> substr(h, 8j+1, 8)))`` — a
+    per-row expression, zero shuffles, linear scan, and an expression
+    tree small enough that whole-stage codegen JITs in ~1s. num_hashes <=
+    8 with 8-char chunks (64 hex chars / 8). ``precomputed_shingles=True``
     treats ``text_col`` as an already-built array<string> shingle column."""
-    assert num_hashes <= 8, "one md5 digest yields at most 8 4-hex-char chunks"
+    assert num_hashes <= 8, "two md5 digests yield at most 8 8-hex-char chunks"
     shingle_col = (
         F.col(text_col) if precomputed_shingles else word_shingles(text_col, shingle_k)
     )
     sh = df.select(F.col(id_col), shingle_col.alias("__shingles"))
     prepared = sh.select(
         F.col(id_col),
-        F.transform(F.col("__shingles"), lambda s: F.md5(s)).alias("__digests"),
+        F.transform(
+            F.col("__shingles"),
+            lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("#"), s))),
+        ).alias("__digests"),
     )
 
     def _chunk_fn(j: int):

@@ -109,7 +109,22 @@ def write_bucketed(
     sort_by: str | None = None,
 ) -> None:
     """Persist with bucketing so subsequent equi-joins/aggs on
-    ``bucket_key`` read co-located buckets and skip the exchange."""
+    ``bucket_key`` read co-located buckets and skip the exchange.
+
+    Idempotent across SESSIONS, not just runs: a fresh session's
+    in-memory catalog has no entry for the table, so ``overwrite`` alone
+    trips LOCATION_ALREADY_EXISTS on the orphaned warehouse directory a
+    previous session left behind — drop the catalog entry AND clear the
+    leftover location first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
     if sort_by:
         writer = writer.sortBy(sort_by)

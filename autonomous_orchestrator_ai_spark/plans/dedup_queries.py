@@ -39,9 +39,13 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 
 
 def _minhash_sql(j: int) -> str:
-    # hash family j = hex chars [4j, 4j+4) of one md5 per shingle — mirrors
-    # operators.dedup.chunked_minhash exactly (substr is 1-based in both)
-    return f"list_min(list_transform(sh, s -> substr(md5(s), {1 + 4 * j}, 4)))"
+    # hash family j = hex chars [8j, 8j+8) of the combined 64-hex digest
+    # md5(s) || md5('#'||s) — mirrors operators.dedup.chunked_minhash
+    # exactly (substr is 1-based in both; 32-bit chunks, see its docstring)
+    return (
+        "list_min(list_transform(sh, s -> "
+        f"substr(md5(s) || md5('#' || s), {1 + 8 * j}, 8)))"
+    )
 
 
 @register(
@@ -288,9 +292,13 @@ def winnowing_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: minhash chunk j over the stringified sketch list `skm`
+#: minhash chunk j over the stringified sketch list `skm` (32-bit chunks of
+#: the combined digest — same scale rationale as chunked_minhash)
 def _sk_minhash_sql(j: int) -> str:
-    return f"list_min(list_transform(skm, s -> substr(md5(s), {1 + 4 * j}, 4)))"
+    return (
+        "list_min(list_transform(skm, s -> "
+        f"substr(md5(s) || md5('#' || s), {1 + 8 * j}, 8)))"
+    )
 
 
 def _sk_bands_case_sql() -> str:

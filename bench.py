@@ -57,6 +57,7 @@ HEADLINE = [
     "winnowing_near_dup_pairs_lsh",
     "value_equidepth_histogram",
     "value_equidepth_histogram_approx",
+    "equidepth_approx_contract",
     "salted_event_type_stats",
     "revenue_mom_growth",
     # reference pipeline surface
@@ -104,6 +105,8 @@ HEADLINE = [
     "order_price_cume_deciles",
     "value_mad_outliers_by_type",
     "referential_integrity_report",
+    # physical-design demos (bucketed shuffle-free join incl. table write)
+    "bucketed_join_revenue",
 ]
 
 

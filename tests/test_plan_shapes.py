@@ -245,7 +245,12 @@ def test_domain_cap_window_is_partitioned(spark):
 
 
 def test_mixture_plan_weights_broadcast(spark):
-    """The weights table joins in as a broadcast, not a shuffle."""
+    """Weight delivery never shuffles: small maps ride as a create_map
+    literal (no join node at all — the r4 fix for the constant
+    createDataFrame+broadcast cost); large maps broadcast. Either way a
+    SortMergeJoin on the weights is a regression."""
     plan = formatted_plan(spark, "mixture_epoch_plan")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the 20-source registered query takes the literal-map path: no
+    # weights join should appear in the plan at all
+    assert "Join" not in plan or "BroadcastHashJoin" in plan

@@ -114,13 +114,28 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 
 
+def _replica_letter_map(r: int) -> str:
+    """Per-replica injective letter map. Replica 0 is identity; replica
+    r>0 uses a seeded random permutation of the alphabet (NOT a Caesar
+    rotation: there are only 26 rotations, so any n > 26 replication
+    would repeat maps and create cross-replica exact-duplicate texts —
+    degenerating every near-dup benchmark into quadratic duplicate
+    groups). Random permutations stay pairwise gram-disjoint in practice
+    at any n, while within a replica every text-equality structure is
+    preserved verbatim (the map is a bijection, lengths unchanged)."""
+    rng = np.random.default_rng(7000 + r)
+    perm = rng.permutation(26)
+    lo = "".join(_LOWER[i] for i in perm)
+    return lo
+
+
 def _documents_sql(src: Path, n: int) -> str:
-    """UNION ALL of per-replica SELECTs, each with its own Caesar map via
-    translate() — n_chars is length-invariant under the shift."""
+    """UNION ALL of per-replica SELECTs, each with its own injective
+    letter map via translate() — n_chars is length-invariant."""
     parts = []
     for r in range(n):
-        lo = _LOWER[r % 26 :] + _LOWER[: r % 26]
-        up = _UPPER[r % 26 :] + _UPPER[: r % 26]
+        lo = _replica_letter_map(r)
+        up = lo.upper()
         text = (
             "text"
             if r == 0
