@@ -221,6 +221,21 @@ def kmeans(
         data.unpersist()
 
 
+def fixed_centroids(dim: int, k: int, seed: int = 42) -> np.ndarray:
+    """Frozen coarse quantizer: seeded Gaussian directions, row-normalized
+    to unit norm so squared-L2 assignment partitions by ANGLE rather than
+    by centroid magnitude (un-normalized random centroids skew every
+    assignment toward the smallest-norm centroid). This is the
+    production 'train once, serve forever' IVF shape — the quantizer is a
+    constant, so bucket assignment, probing, and re-ranking are all
+    deterministic functions of the corpus and therefore SQL-expressible
+    (the derandomization that gives ``ivf_fixed_quantizer_topk`` a real
+    DuckDB oracle, mirroring the lsh_ann_topk treatment)."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((k, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

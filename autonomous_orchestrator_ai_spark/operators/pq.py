@@ -66,6 +66,24 @@ def train_pq(
     )
 
 
+def fixed_pq_codebooks(
+    dim: int, m: int = 8, n_codes: int = 16, seed: int = 42
+) -> np.ndarray:
+    """Frozen PQ codebooks: seeded Gaussian sub-centroids, unit-normalized
+    per entry so assignment (argmax of 2x·c − ‖c‖²) reduces to pure
+    max-inner-product over directions. Same role as
+    ``ivf.fixed_centroids``: a constant quantizer makes encoding, ADC,
+    and re-ranking deterministic functions of the corpus — SQL-
+    expressible, hence the real DuckDB oracle on
+    ``pq_fixed_codebook_topk`` (trained codebooks can't have one: driver
+    NumPy pairwise summation isn't reproducible in SQL)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    cb = rng.standard_normal((m, n_codes, dim // m))
+    return cb / np.linalg.norm(cb, axis=2, keepdims=True)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,

@@ -231,6 +231,92 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)
 
 
+def _ivf_oracle_sql(k: int, n_probe: int, n_cents: int, dim: int, seed: int) -> str:
+    """Frozen-quantizer IVF oracle: centroids are seeded literals (the
+    SAME ``fixed_centroids`` array the Spark operator embeds), so bucket
+    assignment (squared-L2 argmin == argmax of 2x·c − ‖c‖², ties to the
+    lowest centroid id), n_probe probing, and the exact-cosine re-rank
+    are plain SQL. Engine-identical by the same argument as the LSH
+    oracle: argmin decisions only differ if two centroid distances tie
+    within float noise — measure-zero for Gaussian centroids."""
+    from autonomous_orchestrator_ai_spark.operators.ivf import (
+        fixed_centroids,
+    )
+
+    cents = fixed_centroids(dim, n_cents, seed)
+    rows = ", ".join(
+        f"({cid}, [" + ",".join(repr(float(x)) for x in c) + "])"
+        for cid, c in enumerate(cents)
+    )
+    score = (
+        f"2.0 * list_sum(list_transform(range(1, {dim}+1), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * p.c[i])) "
+        f"- list_sum(list_transform(range(1, {dim}+1), i -> p.c[i] * p.c[i]))"
+    )
+    return f"""
+    WITH cents(cid, c) AS (VALUES {rows}),
+    d AS (
+      SELECT e.vec_id, p.cid, {score} AS score
+      FROM embeddings e CROSS JOIN cents p),
+    vb AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) rn
+        FROM d) WHERE rn = 1),
+    qp AS (
+      SELECT vec_id AS query_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) rn
+        FROM d WHERE vec_id < 10) WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT q.query_id, v.vec_id AS neighbor_id
+      FROM qp q JOIN vb v ON q.bucket = v.bucket
+      WHERE v.vec_id <> q.query_id),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             {_cos_sql("qe.embedding", "ne.embedding")} AS sim
+      FROM cand cd
+      JOIN embeddings qe ON qe.vec_id = cd.query_id
+      JOIN embeddings ne ON ne.vec_id = cd.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) rn
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "ivf_fixed_quantizer_topk",
+    oracle=_ivf_oracle_sql(k=5, n_probe=3, n_cents=8, dim=64, seed=42),
+)
+def ivf_fixed_quantizer_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving under a FROZEN coarse quantizer
+    (operators.ivf.fixed_centroids): the production pattern where the
+    quantizer is trained once and the corpus grows under it — assignment
+    is one bounded-closure pandas-UDF pass, probes read n_probe/k of the
+    corpus, exact cosine re-ranks. Because the quantizer is a constant,
+    this twin of ``ivf_ann_topk`` carries a REAL DuckDB oracle
+    (hash-matched end to end), closing the determinism gap the trained
+    form can't (its k-means runs driver-side NumPy whose pairwise
+    summation no SQL engine reproduces bit-for-bit)."""
+    from autonomous_orchestrator_ai_spark.operators.ivf import (
+        fixed_centroids,
+        ivf_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        emb, queries, fixed_centroids(64, 8, 42), k=5, n_probe=3
+    )
+
+
 @register(
     "semantic_dedup_survivors",
     oracle=f"""
@@ -287,6 +373,100 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     cb = train_pq(emb, m=8, n_codes=32, sample_size=2048)
+    codes = pq_encode(emb, cb)
+    return pq_topk_reranked(emb, codes, queries, cb, k=5, shortlist=50)
+
+
+def _pq_oracle_sql(
+    k: int, shortlist: int, m: int, n_codes: int, dim: int, seed: int
+) -> str:
+    """Frozen-codebook PQ oracle: encoding (per-subspace argmax of
+    2x·c − ‖c‖², ties to the lowest code), the ADC inner-product sum,
+    the shortlist cut (score desc, neighbor asc), and the exact-cosine
+    re-rank — all plain SQL over codebook literals. Boundary decisions
+    (sub-code argmax, shortlist rank) only flip on float near-ties —
+    measure-zero for Gaussian codebooks, same argument as the LSH and
+    IVF oracles."""
+    from autonomous_orchestrator_ai_spark.operators.pq import (
+        fixed_pq_codebooks,
+    )
+
+    sub = dim // m
+    cb = fixed_pq_codebooks(dim, m, n_codes, seed)
+    rows = ", ".join(
+        f"({j}, {code}, [" + ",".join(repr(float(x)) for x in cb[j][code]) + "])"
+        for j in range(m)
+        for code in range(n_codes)
+    )
+    ip = (
+        f"list_sum(list_transform(range(1, {sub}+1), "
+        f"i -> CAST(e.embedding[cb.j * {sub} + i] AS DOUBLE) * cb.c[i]))"
+    )
+    cnorm = f"list_sum(list_transform(range(1, {sub}+1), i -> cb.c[i] * cb.c[i]))"
+    return f"""
+    WITH cb(j, code, c) AS (VALUES {rows}),
+    scores AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             {ip} AS ip, 2.0 * {ip} - {cnorm} AS s
+      FROM embeddings e CROSS JOIN cb),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY s DESC, code) rn
+        FROM scores) WHERE rn = 1),
+    qip AS (
+      SELECT vec_id AS query_id, j, code, ip
+      FROM scores WHERE vec_id < 10),
+    adc AS (
+      SELECT q.query_id, en.vec_id AS neighbor_id, SUM(q.ip) AS score
+      FROM enc en JOIN qip q ON q.j = en.j AND q.code = en.code
+      WHERE en.vec_id <> q.query_id
+      GROUP BY q.query_id, en.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) rn
+        FROM adc) WHERE rn <= {shortlist}),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_sql("qe.embedding", "ne.embedding")} AS sim
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ne ON ne.vec_id = s.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) rn
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "pq_fixed_codebook_topk",
+    oracle=_pq_oracle_sql(k=5, shortlist=50, m=8, n_codes=16, dim=64, seed=42),
+)
+def pq_fixed_codebook_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving under FROZEN codebooks
+    (operators.pq.fixed_pq_codebooks): distributed encode to m one-byte
+    codes, ADC shortlist of 50 per query, exact-cosine re-rank to top-5 —
+    the ``pq_ann_topk`` pipeline with the trained quantizer swapped for a
+    constant one, which makes the whole thing a deterministic function of
+    the corpus and gives the PQ family its first REAL DuckDB oracle
+    (encoding + ADC + shortlist + re-rank all hash-matched)."""
+    from autonomous_orchestrator_ai_spark.operators.pq import (
+        fixed_pq_codebooks,
+        pq_encode,
+        pq_topk_reranked,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = fixed_pq_codebooks(64, 8, 16, 42)
     codes = pq_encode(emb, cb)
     return pq_topk_reranked(emb, codes, queries, cb, k=5, shortlist=50)
 

@@ -33,7 +33,9 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "ivf_fixed_quantizer_topk",
     "pq_ann_topk",
+    "pq_fixed_codebook_topk",
     "minhash_lsh_near_dups",
     "ngram_jaccard_pairs",
     "simhash_collision_groups",
