@@ -189,6 +189,84 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction for PCM WAV blobs via the
+    vendored codec (operators/wav_codec.py): duration, RMS level, peak,
+    zero-crossing rate per clip — the corpus-filter features an audio
+    training pipeline gates on. Arrow-batched mapInPandas, same slot an
+    ffmpeg/soundfile kernel occupies for compressed formats (those raise
+    loudly here)."""
+    from autonomous_orchestrator_ai_spark.operators.wav_codec import (
+        audio_stats,
+        decode_wav,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                rate, channels, bits, samples = decode_wav(bytes(blob or b""))
+                s = audio_stats(rate, channels, samples, bits)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "channels": channels,
+                        "duration_ms": s["duration_ms"],
+                        "rms": s["rms"],
+                        "peak": s["peak"],
+                        "zcr": s["zcr"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+def synthetic_wav_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-format audio table: each blob is a valid PCM
+    WAV (16-bit sine-ish tones whose parameters derive from the seed) —
+    decodable by any WAV reader, not just ours."""
+    import math
+
+    from autonomous_orchestrator_ai_spark.operators.wav_codec import (
+        encode_wav,
+    )
+
+    rows = []
+    for i in range(n):
+        rate = 8000
+        freq = 200 + 100 * (i % 5)
+        n_frames = 400 + 80 * (i % 3)
+        amp = 8000 + 1000 * (i % 4)
+        samples = [
+            int(amp * math.sin(2 * math.pi * freq * t / rate))
+            for t in range(n_frames)
+        ]
+        blob = encode_wav(rate, 1, samples, bits=16)
+        rows.append(
+            (
+                i,
+                bytearray(blob),
+                ("audio/wav", None, None, n_frames * 1000 // rate, "pcm_s16le"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize for BMP media: decode -> nearest-neighbor resample ->
     re-encode, metadata updated to the new dimensions — the executable

@@ -194,3 +194,89 @@ class TestRealBmpPath:
             assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
             w, h, rgb = decode_bmp(bytes(r["content"]))
             assert (w, h) == (4, 4) and len(rgb) == 48
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit(self):
+        from autonomous_orchestrator_ai_spark.operators.wav_codec import (
+            decode_wav,
+            encode_wav,
+        )
+
+        samples = [0, 1000, -1000, 32767, -32768, 5]
+        blob = encode_wav(8000, 1, samples, bits=16)
+        assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        assert decode_wav(blob) == (8000, 1, 16, samples)
+        # stereo interleave survives
+        st = encode_wav(44100, 2, samples, bits=16)
+        assert decode_wav(st) == (44100, 2, 16, samples)
+
+    def test_roundtrip_8bit_and_extra_chunks(self):
+        import struct
+
+        from autonomous_orchestrator_ai_spark.operators.wav_codec import (
+            decode_wav,
+            encode_wav,
+        )
+
+        samples = [0, 5, -5, 127, -128]
+        blob = bytearray(encode_wav(8000, 1, samples, bits=8))
+        # splice a LIST chunk between WAVE and fmt — decoders must skip it
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        blob[12:12] = extra
+        struct.pack_into("<I", blob, 4, len(blob) - 8)
+        assert decode_wav(bytes(blob)) == (8000, 1, 8, samples)
+
+    def test_rejects_unsupported(self):
+        import struct
+
+        from autonomous_orchestrator_ai_spark.operators.wav_codec import (
+            decode_wav,
+            encode_wav,
+        )
+
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"OggS....")
+        # float PCM (format tag 3) must raise, not mis-decode
+        blob = bytearray(encode_wav(8000, 1, [0, 1], bits=16))
+        fmt_at = bytes(blob).find(b"fmt ") + 8
+        struct.pack_into("<H", blob, fmt_at, 3)
+        with pytest.raises(ValueError, match="format tag"):
+            decode_wav(bytes(blob))
+
+    def test_audio_stats_sine(self):
+        import math
+
+        from autonomous_orchestrator_ai_spark.operators.wav_codec import (
+            audio_stats,
+        )
+
+        rate, freq, n = 8000, 400, 8000
+        samples = [
+            int(16384 * math.sin(2 * math.pi * freq * t / rate))
+            for t in range(n)
+        ]
+        s = audio_stats(rate, 1, samples, 16)
+        assert s["duration_ms"] == 1000
+        # sine RMS = amp/sqrt(2); amplitude 16384/32768 = 0.5 full scale
+        assert s["rms"] == pytest.approx(0.5 / math.sqrt(2), rel=0.01)
+        assert s["peak"] == pytest.approx(0.5, rel=0.01)
+        # a 400 Hz tone crosses zero ~800 times per second
+        assert s["zcr"] == pytest.approx(2 * freq / rate, rel=0.02)
+
+
+class TestRealWavPath:
+    def test_extract_audio_features_end_to_end(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.multimodal import (
+            extract_audio_features,
+            synthetic_wav_media,
+        )
+
+        media = synthetic_wav_media(spark, n=12)
+        out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+        assert len(out) == 12
+        r = out[0]  # freq=200, n_frames=400, amp=8000 at 8 kHz
+        assert r["sample_rate"] == 8000 and r["channels"] == 1
+        assert r["duration_ms"] == 50
+        assert r["rms"] == pytest.approx(8000 / 32768 / 2**0.5, rel=0.02)
+        assert r["zcr"] == pytest.approx(2 * 200 / 8000, rel=0.05)
