@@ -64,3 +64,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_session_storage(spark) -> int:
+    """Free ALL session storage between benchmark/serving units of work:
+    `catalog.clearCache()` drops cached DataFrames but NOT checkpointed
+    RDD lineage — a `localCheckpoint()` (e.g. the PageRank edge list)
+    survives it and silently starves every later query's execution
+    memory (measured 2-4x slowdowns at sf10, PERF.md round 4). This
+    walks the JVM's persistent-RDD registry and unpersists everything.
+    Returns the number of RDDs released."""
+    spark.catalog.clearCache()
+    jsc_sc = spark.sparkContext._jsc.sc()
+    it = jsc_sc.getPersistentRDDs().toList().iterator()
+    n = 0
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+        n += 1
+    return n

@@ -116,7 +116,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    from autonomous_orchestrator_ai_spark.session import get_spark
+    from autonomous_orchestrator_ai_spark.session import (
+        get_spark,
+        release_session_storage,
+    )
     from autonomous_orchestrator_ai_spark.plans import registry
 
     spark = get_spark("bench", cpus=cpus)
@@ -143,8 +146,10 @@ def main() -> None:
             df.count()
             samples.append(time.perf_counter() - t0)
             # isolate passes/queries: drop any index/materialization a
-            # query persisted
-            spark.catalog.clearCache()
+            # query persisted INCLUDING checkpointed RDD lineage, which
+            # clearCache alone leaves behind (PERF.md round 4: pagerank's
+            # localCheckpoint starved every later query 2-4x)
+            release_session_storage(spark)
         timings[name] = round(min(samples), 3)
         mean = sum(samples) / len(samples)
         stddevs[name] = round(

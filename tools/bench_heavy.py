@@ -36,7 +36,10 @@ def main() -> None:
     import os
 
     from autonomous_orchestrator_ai_spark.plans import registry
-    from autonomous_orchestrator_ai_spark.session import get_spark
+    from autonomous_orchestrator_ai_spark.session import (
+        get_spark,
+        release_session_storage,
+    )
 
     # scale-appropriate sizing (the point of this harness): at sf10 the
     # default cpus-many shuffle partitions put ~8M-edge aggregation maps in
@@ -58,7 +61,7 @@ def main() -> None:
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-            spark.catalog.clearCache()
+            release_session_storage(spark)
         timings[name] = round(min(samples), 3)
         rows[name] = n
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
