@@ -360,3 +360,72 @@ def test_cusum_changepoint_matches_numpy(spark, series):
     assert r["changepoint_day"] == f"2024-03-{days[best] + 1:02d}"
     expect = abs(int(num[best])) / n / 10000.0
     assert abs(r["max_abs_cusum"] - round(expect, 6)) < 1e-9
+
+
+# --- vendored codec round-trip properties (pure Python, no Spark session) --
+
+pixel_bytes = st.binary(min_size=0, max_size=3 * 9 * 7)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_bmp_roundtrip_property(w, h, data):
+    """encode->decode is the identity for ANY pixel content at ANY
+    dimensions (covers every row-padding remainder by construction)."""
+    from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rgb = data.draw(st.binary(min_size=3 * w * h, max_size=3 * w * h))
+    assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+@given(
+    channels=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    bits=st.sampled_from([8, 16]),
+    frames=st.lists(
+        st.integers(min_value=-128, max_value=127), min_size=0, max_size=64
+    ),
+)
+@settings(**SETTINGS)
+def test_wav_roundtrip_property(channels, rate, bits, frames):
+    """encode->decode is the identity for any PCM content (both bit
+    depths, any channel layout, including the empty clip)."""
+    from autonomous_orchestrator_ai_spark.operators.wav_codec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = frames * channels  # divisible by channels by construction
+    got = decode_wav(encode_wav(rate, channels, samples, bits=bits))
+    assert got == (rate, channels, bits, samples)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=6),
+    h=st.integers(min_value=1, max_value=6),
+    nw=st.integers(min_value=1, max_value=6),
+    nh=st.integers(min_value=1, max_value=6),
+    data=st.data(),
+)
+@settings(**SETTINGS)
+def test_resize_nearest_properties(w, h, nw, nh, data):
+    """Nearest-neighbor resize: output size is exact, every output pixel
+    is some input pixel, and same-size resize is the identity."""
+    from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+        resize_nearest,
+    )
+
+    rgb = data.draw(st.binary(min_size=3 * w * h, max_size=3 * w * h))
+    out = resize_nearest(w, h, rgb, nw, nh)
+    assert len(out) == 3 * nw * nh
+    in_pixels = {rgb[3 * i : 3 * i + 3] for i in range(w * h)}
+    assert all(out[3 * i : 3 * i + 3] in in_pixels for i in range(nw * nh))
+    if (nw, nh) == (w, h):
+        assert out == rgb
