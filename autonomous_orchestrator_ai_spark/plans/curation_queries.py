@@ -795,3 +795,76 @@ def curriculum_order_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("position", "source", "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "shard_balance_report",
+    oracle=f"""
+    WITH sh AS (
+      SELECT CAST(CAST(('0x' || {{draw}}) AS BIGINT) % 64 AS BIGINT)
+               AS shard_id
+      FROM documents),
+    per AS (
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    tot AS (SELECT SUM(n) AS nd, COUNT(*) AS ns FROM per)
+    SELECT CAST(tot.ns AS BIGINT) AS n_shards,
+           CAST(tot.nd AS BIGINT) AS n_docs,
+           MIN(per.n) AS min_shard,
+           MAX(per.n) AS max_shard,
+           ROUND(MAX(per.n) * 1.0 / (tot.nd * 1.0 / tot.ns), 4)
+             AS max_over_mean,
+           ROUND(SUM((per.n - tot.nd * 1.0 / 64)
+                     * (per.n - tot.nd * 1.0 / 64))
+                 / (tot.nd * 1.0 / 64), 4) AS chi2_vs_uniform
+    FROM per CROSS JOIN tot GROUP BY tot.ns, tot.nd
+    """.replace("{draw}", "substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4)"),
+)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-skew audit for the deterministic md5 sharding
+    (operators.curation.shard_assignment at 64 shards): min/max shard
+    population, max/mean imbalance ratio, and the chi-square statistic
+    against uniform — the pre-flight a training run does before trusting
+    'hash sharding is balanced' at the next 100x (a skewed shard is a
+    straggler executor for every epoch). Exact integer counts; the two
+    reported ratios are single final divisions. One tiny 64-row
+    aggregate after the count shuffle."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        shard_assignment,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    per = (
+        docs.withColumn(
+            "shard_id", shard_assignment("doc_id", 64, salt="shard")
+        )
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(
+        F.sum("n").alias("nd"), F.count(F.lit(1)).alias("ns")
+    )
+    mean64 = F.col("nd") / 64.0
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("ns", "nd")
+        .agg(
+            F.min("n").alias("min_shard"),
+            F.max("n").alias("max_shard"),
+            F.round(
+                F.max("n") / (F.col("nd") / F.col("ns")), 4
+            ).alias("max_over_mean"),
+            F.round(
+                F.sum((F.col("n") - mean64) * (F.col("n") - mean64))
+                / mean64,
+                4,
+            ).alias("chi2_vs_uniform"),
+        )
+        .select(
+            F.col("ns").cast("bigint").alias("n_shards"),
+            F.col("nd").cast("bigint").alias("n_docs"),
+            "min_shard",
+            "max_shard",
+            "max_over_mean",
+            "chi2_vs_uniform",
+        )
+    )

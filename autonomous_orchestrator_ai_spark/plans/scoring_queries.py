@@ -8,7 +8,7 @@ signals a training-data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.partitioning import (
@@ -238,5 +238,100 @@ def dsir_importance_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("weight"), 4).alias("avg_weight"),
             F.round(F.min("weight"), 4).alias("min_weight"),
             F.round(F.max("weight"), 4).alias("max_weight"),
+        )
+    )
+
+
+@register(
+    "token_kl_drift_by_source",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    st AS (
+      SELECT d.source, t.token FROM tokens t JOIN documents d USING (doc_id)),
+    corpus AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM st GROUP BY token),
+    vocab AS (
+      SELECT token, cnt FROM corpus
+      ORDER BY cnt DESC, token ASC LIMIT 200),
+    vtot AS (SELECT SUM(cnt) AS vt FROM vocab),
+    src_tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM st GROUP BY source),
+    sv AS (
+      SELECT s.source, v.token, CAST(COUNT(*) AS BIGINT) AS scnt,
+             v.cnt AS ccnt
+      FROM st s JOIN vocab v USING (token)
+      GROUP BY s.source, v.token, v.cnt),
+    svt AS (
+      SELECT source, SUM(scnt) AS stot FROM sv GROUP BY source),
+    terms AS (
+      SELECT sv.source,
+             (sv.scnt * 1.0 / svt.stot)
+               * ln((sv.scnt * 1.0 / svt.stot)
+                    / (sv.ccnt * 1.0 / vtot.vt)) AS term,
+             sv.scnt
+      FROM sv JOIN svt USING (source) CROSS JOIN vtot)
+    SELECT t.source,
+           st2.n_tokens,
+           ROUND(SUM(t.scnt) * 1.0 / st2.n_tokens, 4) AS vocab_coverage,
+           ROUND(SUM(t.term), 6) AS kl_divergence
+    FROM terms t JOIN src_tot st2 USING (source)
+    GROUP BY t.source, st2.n_tokens
+    """,
+)
+def token_kl_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(source || corpus) over the
+    corpus's top-200-token vocabulary, with each source's distribution
+    renormalized within the vocabulary (so a source missing a vocab token
+    contributes 0·ln0 = 0 and KL stays finite by construction). THE
+    data-mixing observability metric: a source whose unigram distribution
+    drifts from the corpus shifts the trained model's token statistics —
+    this is what you alert on before retraining on a refreshed crawl.
+
+    Scale shape: one token-keyed shuffle for corpus counts, a bounded
+    TakeOrdered for the vocabulary (top-k, never a global sort), the
+    vocab broadcast into the per-(source, token) aggregate, and the final
+    per-source combine carries <= n_sources * 200 rows. vocab_coverage
+    (share of source tokens inside the vocab) rides along so a low-KL
+    source with tiny coverage can't masquerade as 'on-distribution'."""
+    from autonomous_orchestrator_ai_spark.operators.scoring import (
+        explode_tokens,
+    )
+
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    tok = explode_tokens(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("ccnt"))
+    vocab = corpus.orderBy(F.desc("ccnt"), F.asc("token")).limit(200)
+    vtot = vocab.agg(F.sum("ccnt").alias("vt"))
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    sv = (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("source", "token", "ccnt")
+        .agg(F.count(F.lit(1)).alias("scnt"))
+    )
+    w = Window.partitionBy("source")
+    terms = sv.withColumn("stot", F.sum("scnt").over(w)).crossJoin(
+        F.broadcast(vtot)
+    )
+    p = F.col("scnt") / F.col("stot")
+    q = F.col("ccnt") / F.col("vt")
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum((p * F.log(p / q))).alias("kl"),
+            F.sum("scnt").alias("v_scnt"),
+        )
+        .join(src_tot, "source")
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("v_scnt") / F.col("n_tokens"), 4).alias(
+                "vocab_coverage"
+            ),
+            F.round("kl", 6).alias("kl_divergence"),
         )
     )

@@ -54,6 +54,8 @@ HEADLINE = [
     "filter_funnel_report",
     "domain_cap_sample",
     "training_shard_manifest",
+    "shard_balance_report",
+    "token_kl_drift_by_source",
     "mixture_epoch_plan",
     "ngram_jaccard_pairs_guarded",
     "winnowing_near_dup_pairs_lsh",
