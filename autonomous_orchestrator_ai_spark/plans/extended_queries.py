@@ -1159,3 +1159,93 @@ def value_mad_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "sketch_accuracy_contract",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+    SELECT CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_users_exact,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchasers_exact,
+           true AS hll_within_tol,
+           CAST(0 AS BIGINT) AS bloom_missed,
+           true AS bloom_fp_rate_ok
+    """,
+)
+def sketch_accuracy_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic accuracy contract for the sketch family
+    (operators/sketch.py), the same pattern as
+    ``equidepth_approx_contract``: sketch OUTPUT VALUES vary with
+    parameters but their guarantees do not, and with fixed seeds/data the
+    whole row is deterministic — so the oracle pins the contract while
+    DuckDB independently supplies the exact cardinalities.
+
+    - HLL: |approx_count_distinct(user_id, rsd=0.02) − exact| / exact
+      must sit within 2.5x the requested rsd (HLL++'s error is
+      concentrated; 2.5x is ~5 sigma).
+    - Bloom: a distributed-built filter over purchasers probed with all
+      users must pass EVERY true member (zero false negatives — the
+      structural guarantee the semi-join optimization relies on), and its
+      measured false-positive rate on non-members must stay within 5x
+      the requested fpp.
+
+    A wrong hash, a dropped partition bitmap in the OR, or a bad
+    parameter derivation all flip this row."""
+    from autonomous_orchestrator_ai_spark.operators.sketch import (
+        bloom_filter_semi_join,
+    )
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    users = ev.select("user_id").distinct()
+    purchasers = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    kept = bloom_filter_semi_join(
+        users, purchasers, "user_id", expected_items=100_000, fpp=0.01
+    )
+    # one tiny cross of scalar aggregates: exact counts, HLL estimate,
+    # bloom pass-through counts on members and non-members
+    exact = ev.agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchasers_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("hll_users"),
+    )
+    kept_stats = kept.join(
+        purchasers.withColumn("__is_member", F.lit(True)),
+        "user_id",
+        "left",
+    ).agg(
+        F.sum(F.col("__is_member").isNotNull().cast("long")).alias(
+            "kept_members"
+        ),
+        F.sum(F.col("__is_member").isNull().cast("long")).alias("kept_fps"),
+    )
+    return (
+        exact.crossJoin(kept_stats)
+        .select(
+            "n_users_exact",
+            "n_purchasers_exact",
+            (
+                F.abs(F.col("hll_users") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.05
+            ).alias("hll_within_tol"),
+            (F.col("n_purchasers_exact") - F.col("kept_members")).alias(
+                "bloom_missed"
+            ),
+            (
+                F.col("kept_fps")
+                / F.greatest(
+                    F.col("n_users_exact") - F.col("n_purchasers_exact"),
+                    F.lit(1),
+                )
+                <= 0.05
+            ).alias("bloom_fp_rate_ok"),
+        )
+    )
