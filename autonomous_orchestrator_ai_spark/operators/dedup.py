@@ -289,10 +289,19 @@ def ngram_jaccard_pairs(
         .persist()
     )
     if max_shingle_df is not None:
-        dfreq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        exploded = exploded.join(
-            F.broadcast(dfreq.filter(F.col("df") <= max_shingle_df).select("sh")), "sh"
+        # Broadcast the OVER-cap shingles (few by definition — that's what
+        # makes them hot) and anti-join, mirroring lsh_candidate_pairs's
+        # hot-bucket guard. The old form broadcast the SURVIVORS, i.e.
+        # nearly the whole vocabulary: 2.7M shingles (~100MB broadcast) at
+        # sf10 to remove ONE hot shingle — a guard that itself grew with
+        # the corpus.
+        hot = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
         )
+        exploded = exploded.join(F.broadcast(hot), "sh", "left_anti")
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = exploded.select(F.col(id_col).alias("id_a"), "sh")
