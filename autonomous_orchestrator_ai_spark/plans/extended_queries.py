@@ -92,7 +92,8 @@ def returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with the corpus — AQE-decided, not forced
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(
             exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -311,7 +312,8 @@ def doc_embedding_quality_by_label(spark: SparkSession, sf_dir: str) -> DataFram
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return (
-        docs.join(F.broadcast(emb), docs.doc_id == emb.vec_id)
+        # embeddings scale 1:1 with documents — AQE-decided, not forced
+        docs.join(emb, docs.doc_id == emb.vec_id)
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

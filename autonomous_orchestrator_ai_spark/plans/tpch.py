@@ -84,9 +84,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3: filtered customer dim is broadcast into orders, the joined
-    order set is broadcast into lineitem when small enough (AQE decides from
-    runtime stats); top-10 via TakeOrderedAndProject (no global sort)."""
+    """TPC-H Q3: customer and the date-filtered orders both scale with the
+    fact tables, so neither is hint-forced — AQE converts the join to
+    broadcast at runtime when the built side is actually small; top-10 via
+    TakeOrderedAndProject (no global sort)."""
     cust = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -97,7 +98,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        # customer and the date-filtered orders both SCALE with the fact
+        # tables — no forced broadcast; AQE converts to broadcast at
+        # runtime when (and only when) the joined side is actually small
+        orders.join(cust, orders.o_custkey == cust.c_custkey),
         on=F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -135,10 +139,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5: five-way join. All dimension sides (region, nation,
-    supplier, customer) are broadcast; only lineitem⋈orders is a real
-    shuffle join at scale — on a cluster both would be bucketed on orderkey
-    to eliminate it."""
+    """TPC-H Q5: five-way join. The bounded dimension sides (region,
+    nation, supplier) are hint-broadcast; customer scales with the corpus
+    so its join is AQE-decided; only lineitem⋈orders is a real shuffle
+    join at scale — on a cluster both would be bucketed on orderkey to
+    eliminate it (see bucketed_join_revenue)."""
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = table(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -154,7 +159,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     li = table(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # customer scales with the corpus — AQE-decided, not forced
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -251,7 +257,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(big_orders.withColumnRenamed("l_orderkey", "bo_key")),
                 F.col("l_orderkey") == F.col("bo_key"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(exact_money_sum(F.col("l_quantity")).alias("total_qty"))
         .select(
