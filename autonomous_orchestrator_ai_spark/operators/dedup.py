@@ -25,7 +25,7 @@ Embedding-cosine near-dup lives in ``operators.similarity``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import (
@@ -518,16 +518,36 @@ def simhash_signature(
 
 
 def simhash_duplicate_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_members: int | None = None,
 ) -> DataFrame:
     """Docs sharing an identical SimHash signature (Hamming distance 0):
-    (simhash, n_docs, doc_ids sorted) for groups of size >= 2."""
+    (simhash, n_docs, doc_ids sorted) for groups of size >= 2.
+
+    ``max_members`` caps the LISTED ids per group (n_docs stays exact) —
+    set it at corpus scale, where one boilerplate signature shared by
+    millions of docs would otherwise put a multi-GB array in a single
+    row. The cap bounds the AGGREGATION STATE, not just the output: ids
+    are ranked per group first and only the first ``max_members`` enter
+    collect_list (nulls are skipped), so no task ever buffers the full
+    membership. None (default) lists every member."""
     sigs = simhash_signature(df, text_col, id_col, bits)
+    if max_members is None:
+        members = F.collect_list(id_col)
+    else:
+        w = Window.partitionBy("simhash").orderBy(id_col)
+        sigs = sigs.withColumn("__rn", F.row_number().over(w))
+        members = F.collect_list(
+            F.when(F.col("__rn") <= max_members, F.col(id_col))
+        )
     return (
         sigs.groupBy("simhash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.sort_array(members).alias("doc_ids"),
         )
         .filter(F.col("n_docs") >= 2)
     )

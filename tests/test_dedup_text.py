@@ -208,3 +208,20 @@ def test_winnowing_lsh_is_subset_with_identical_scores(spark):
         assert scores == exact[pair], pair
     # on this corpus recall is full; pin a floor so regressions surface
     assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_groups_member_cap(spark):
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        simhash_duplicate_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical text body") for i in range(6)]
+        + [(100, "another text entirely different")],
+        ["doc_id", "text"],
+    )
+    capped = simhash_duplicate_groups(docs, max_members=2).collect()
+    assert len(capped) == 1
+    assert capped[0]["n_docs"] == 6 and capped[0]["doc_ids"] == [0, 1]
+    full = simhash_duplicate_groups(docs).collect()
+    assert full[0]["doc_ids"] == [0, 1, 2, 3, 4, 5]
