@@ -407,3 +407,34 @@ def read_upsert_table(spark, table_path: str) -> DataFrame:
     """Current state of a ``bucketed_upsert_sink`` table (drops the
     bucketing column)."""
     return spark.read.parquet(table_path).drop("__bucket")
+
+
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_state_conf(
+    changelog_checkpointing: bool = True,
+) -> dict[str, str]:
+    """Session conf for RocksDB-backed streaming state — the 100 TB
+    requirement for stateful streaming (SURVEY.md §7.4 'Streaming state
+    at 100 TB'): the default HDFS-backed store keeps every key in
+    executor HEAP memory, so watermark/window/dedup state is bounded by
+    the JVM; RocksDB holds it off-heap on local disk with incremental
+    (changelog) checkpointing, bounding memory regardless of key
+    cardinality. Apply via ``get_spark(extra_conf=rocksdb_state_conf())``
+    (the provider must be set before the streaming query starts).
+
+    ``changelog_checkpointing`` uploads per-batch changelogs instead of
+    full RocksDB snapshots — the steady-state checkpoint cost becomes
+    proportional to the batch's CHANGED keys, not total state size."""
+    conf = {"spark.sql.streaming.stateStore.providerClass":
+            ROCKSDB_STATE_PROVIDER}
+    if changelog_checkpointing:
+        conf[
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ] = "true"
+    return conf

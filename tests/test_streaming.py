@@ -488,3 +488,58 @@ class TestBucketedUpsertSink:
         assert {r.id for r in read_upsert_table(spark, str(table)).collect()} == {1}
         # and a real bucket dir now exists
         assert any(d.startswith("__bucket=") for d in os.listdir(table))
+
+
+def test_rocksdb_state_store_backed_aggregation(tmp_path):
+    """Stateful streaming under the RocksDB state store (the bounded-
+    memory 100 TB configuration, streaming/pipeline.rocksdb_state_conf):
+    results identical to the default store, and the checkpoint's state
+    directory carries RocksDB artifacts — proof the provider engaged
+    rather than silently falling back to the in-heap default."""
+    import os
+
+    from autonomous_orchestrator_ai_spark.session import get_spark
+    from autonomous_orchestrator_ai_spark.streaming.pipeline import (
+        rocksdb_state_conf,
+    )
+
+    spark = get_spark(
+        "rocksdb-state-test", cpus=2, extra_conf=rocksdb_state_conf()
+    ).newSession()
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    src, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.range(1000).selectExpr("id % 13 AS k", "id AS v").write.parquet(src)
+    agg = (
+        spark.readStream.schema("k bigint, v bigint")
+        .parquet(src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rocksdb_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: (r["n"], r["s"]) for r in spark.table("rocksdb_agg").collect()}
+    expect = {
+        r["k"]: (r["n"], r["s"])
+        for r in spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == expect and len(got) == 13
+    # the state checkpoint must contain RocksDB artifacts (sst/changelog/
+    # zip), not the default provider's plain .delta files only
+    state_files = []
+    for root, _dirs, files in os.walk(os.path.join(ck, "state")):
+        state_files += files
+    assert state_files, "no state files written"
+    assert any(
+        f.endswith((".zip", ".sst", ".changelog")) for f in state_files
+    ), f"no RocksDB artifacts in state dir: {state_files[:10]}"
