@@ -189,6 +189,51 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+FEATURES_ERR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_features_with_errors(
+    df: DataFrame, dim: int = 8, use_real_codecs: bool = True
+) -> DataFrame:
+    """Dead-letter variant of ``extract_features``: decode failures land
+    in an ``error`` column (features NULL) instead of failing the whole
+    Arrow batch — the production shape for a mixed-format corpus where
+    one corrupt blob must not kill a 10k-record task. Split downstream
+    with ``quarantine_split(out, "error IS NOT NULL")`` — the same
+    dead-letter contract the tabular pipeline uses (operators/transform
+    P10)."""
+    decode = _real_decode_features if use_real_codecs else _fake_decode_features
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob or b"")
+                row = {
+                    "media_id": mid,
+                    "n_bytes": len(b),
+                    "content_sha256": hashlib.sha256(b).hexdigest(),
+                    "features": None,
+                    "error": None,
+                }
+                try:
+                    row["features"] = decode(b, dim)
+                except Exception as exc:  # noqa: BLE001 — dead-letter channel
+                    row["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, FEATURES_ERR_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -280,3 +280,28 @@ class TestRealWavPath:
         assert r["duration_ms"] == 50
         assert r["rms"] == pytest.approx(8000 / 32768 / 2**0.5, rel=0.02)
         assert r["zcr"] == pytest.approx(2 * 200 / 8000, rel=0.05)
+
+
+class TestDeadLetterDecode:
+    def test_mixed_corpus_splits_good_and_bad(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.multimodal import (
+            extract_features_with_errors,
+            synthetic_bmp_media,
+            synthetic_media,
+        )
+
+        good = synthetic_bmp_media(spark, n=5)
+        bad = synthetic_media(spark, n=4)  # fake blobs: not BMP
+        # shift fake ids so the union is keyed uniquely
+        bad = bad.withColumn("media_id", bad["media_id"] + 100)
+        out = extract_features_with_errors(good.unionByName(bad)).collect()
+        assert len(out) == 9
+        by_id = {r["media_id"]: r for r in out}
+        for i in range(5):
+            assert by_id[i]["error"] is None
+            assert len(by_id[i]["features"]) == 8
+        for i in range(100, 104):
+            assert by_id[i]["features"] is None
+            assert "NotImplementedError" in by_id[i]["error"]
+        # hashes are still computed for failed rows (dead-letter forensics)
+        assert all(len(r["content_sha256"]) == 64 for r in out)
