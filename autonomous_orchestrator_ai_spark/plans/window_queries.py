@@ -269,20 +269,29 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def purchases_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join (custom operator, operators/rangejoin.py):
     purchases landing inside any [signup, signup+1h) window, per user. The
-    Spark side buckets ranges to make the join equi; the oracle is DuckDB's
-    plain inequality join."""
+    Spark side buckets ranges to make the join equi AND co-keys it on
+    user_id (``extra_keys`` — joining on the time bucket alone would
+    cross every user's purchases with every user's signups inside each
+    bucket, a per-bucket quadratic that grows with user density); the
+    oracle is DuckDB's plain inequality join."""
     ev = table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
     signups = ev.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("s_user"),
+        "user_id",
         F.col("ts").alias("start"),
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
     )
     joined = range_join(
-        purchases, signups, "ts", "start", "end", bucket_seconds=3600
-    ).filter(F.col("user_id") == F.col("s_user"))
+        purchases,
+        signups,
+        "ts",
+        "start",
+        "end",
+        bucket_seconds=3600,
+        extra_keys=["user_id"],
+    )
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_purchases_in_window"),
         exact_money_sum(F.col("value")).alias("window_revenue"),
@@ -540,4 +549,62 @@ def busiest_weekday_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow", F.col("n") * 8 + (F.lit(7) - F.col("dow"))
         ).alias("busiest_dow"),
         F.max("n").alias("n_events_busiest"),
+    )
+
+
+@register(
+    "error_purchase_correlation",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, ts AS e_ts FROM events WHERE event_type = 'error'),
+    pur AS (
+      SELECT user_id, ts AS p_ts, value FROM events
+      WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT e.user_id, e.e_ts, p.p_ts, p.value
+      FROM pur p JOIN err e
+        ON p.user_id = e.user_id
+       AND p.p_ts >= e.e_ts AND p.p_ts < e.e_ts + INTERVAL 10 MINUTE)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS correlated_revenue,
+           CAST(ROUND(AVG(date_diff('second', e_ts, p_ts)), 2) AS DOUBLE)
+             AS avg_lag_seconds
+    FROM pairs
+    """,
+)
+def error_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-correlation join: purchases landing within 10 minutes AFTER
+    an error by the same user — the 'does this failure mode suppress (or
+    precede) conversion?' question every event pipeline eventually asks.
+    Expressed with the bucketized range join co-keyed on user
+    (operators/rangejoin.py): the inequality condition becomes an equi
+    join on (time_bucket, user_id) plus a residual filter, so no naive
+    inequality join and no per-bucket cross product across users. The lag
+    average is computed on exact integer seconds."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    joined = range_join(
+        purchases,
+        errors,
+        "ts",
+        "start",
+        "end",
+        bucket_seconds=600,
+        extra_keys=["user_id"],
+    )
+    lag_s = F.unix_timestamp("ts") - F.unix_timestamp("start")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("user_id").alias("n_users"),
+        exact_money_sum(F.col("value")).alias("correlated_revenue"),
+        F.round(F.avg(lag_s), 2).alias("avg_lag_seconds"),
     )
