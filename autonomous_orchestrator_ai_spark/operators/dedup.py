@@ -282,10 +282,17 @@ def ngram_jaccard_pairs(
     boilerplate shingles at scale."""
     # Materialized once: both sides of the self-join + the size agg reuse it
     # (without this the shingle expression tree evaluates three times).
+    # The cached layout is hash-partitioned ON THE JOIN KEY: both sides of
+    # the inverted-index self-join (and the df-guard agg) then consume the
+    # cache with their partitioning requirement already satisfied — no
+    # re-shuffle of the exploded rows, the largest frame in the operator.
+    # Measured at sf1: 20.6 -> 10.7 s end-to-end including the extra
+    # build exchange (one repartition bought two join-side shuffles).
     df = ensure_min_parallelism(df)
     exploded = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh"))
         .distinct()
+        .repartition("sh")
         .persist()
     )
     if max_shingle_df is not None:
