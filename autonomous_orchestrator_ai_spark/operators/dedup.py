@@ -373,11 +373,18 @@ def winnowing_near_duplicates(
 
     df = ensure_min_parallelism(df)
     sk = df.select(F.col(id_col), winnowing_sketch(text_col, k, w).alias("__sk"))
-    exploded = sk.select(
-        F.col(id_col),
-        F.size("__sk").alias("__sz"),
-        F.explode("__sk").alias("__h"),
-    ).persist()
+    # cache hash-partitioned on the join key so neither self-join side
+    # re-shuffles the exploded index (same measured trade as
+    # ngram_jaccard_pairs: one build exchange buys two join-side shuffles)
+    exploded = (
+        sk.select(
+            F.col(id_col),
+            F.size("__sk").alias("__sz"),
+            F.explode("__sk").alias("__h"),
+        )
+        .repartition("__h")
+        .persist()
+    )
     if max_hash_df is not None:
         hot = (
             exploded.groupBy("__h")
