@@ -195,6 +195,14 @@ def lsh_candidate_pairs(
             F.broadcast(hot), ["band_id", "band_key"], "left_anti"
         )
 
+    # cache hash-partitioned on the join key: without this, BOTH self-join
+    # sides recompute the full signature expression tree (8 array_min
+    # folds over per-shingle double-md5 digests — the expensive part) AND
+    # re-shuffle it; with it, signatures compute once and the join reads
+    # the cache with its distribution requirement satisfied (same measured
+    # pattern as the ngram/winnowing inverted-index caches).
+    banded = banded.repartition("band_id", "band_key").persist()
+
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
