@@ -84,6 +84,7 @@ HEADLINE = [
     "session_window_stats",
     "daily_event_counts",
     "purchase_asof_signup",
+    "error_purchase_correlation",
     "value_percentiles_by_type",
     # declarative DQ engine
     "dq_suite_orders",
