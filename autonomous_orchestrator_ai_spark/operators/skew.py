@@ -107,27 +107,39 @@ def write_bucketed(
     bucket_key: str,
     n_buckets: int = 8,
     sort_by: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist with bucketing so subsequent equi-joins/aggs on
     ``bucket_key`` read co-located buckets and skip the exchange.
 
+    ``path`` pins the table files to an explicit location (external
+    table) instead of the session's warehouse dir — use it when the
+    caller must control where data lands regardless of the session's cwd
+    or warehouse config.
+
     Idempotent across SESSIONS, not just runs: a fresh session's
     in-memory catalog has no entry for the table, so ``overwrite`` alone
-    trips LOCATION_ALREADY_EXISTS on the orphaned warehouse directory a
-    previous session left behind — drop the catalog entry AND clear the
-    leftover location first."""
+    trips LOCATION_ALREADY_EXISTS on the orphaned directory a previous
+    session left behind — drop the catalog entry AND clear the leftover
+    location first."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
-    path = jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    location = (
+        jvm.org.apache.hadoop.fs.Path(path)
+        if path
+        else jvm.org.apache.hadoop.fs.Path(warehouse, table_name.lower())
+    )
+    fs = location.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(location):
+        fs.delete(location, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
     if sort_by:
         writer = writer.sortBy(sort_by)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 

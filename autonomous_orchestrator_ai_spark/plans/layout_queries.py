@@ -107,9 +107,16 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    write_bucketed(li, li_tbl, "l_orderkey", n_buckets=8, sort_by="l_orderkey")
+    # explicit locations keep the demo's files inside the repo regardless
+    # of the calling session's cwd/warehouse config
+    base = "/root/repo/spark-warehouse"
     write_bucketed(
-        orders, ord_tbl, "o_orderkey", n_buckets=8, sort_by="o_orderkey"
+        li, li_tbl, "l_orderkey", n_buckets=8, sort_by="l_orderkey",
+        path=f"{base}/{li_tbl}",
+    )
+    write_bucketed(
+        orders, ord_tbl, "o_orderkey", n_buckets=8, sort_by="o_orderkey",
+        path=f"{base}/{ord_tbl}",
     )
     joined = bucketed_join_on(spark, li_tbl, ord_tbl)
     return joined.groupBy("o_orderpriority").agg(
