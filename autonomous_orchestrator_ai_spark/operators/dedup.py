@@ -21,6 +21,18 @@ Four families, each designed for the 100 TB regime:
   signature for d=0, banded for d>0).
 
 Embedding-cosine near-dup lives in ``operators.similarity``.
+
+Caching contract: ``lsh_candidate_pairs`` / ``minhash_near_duplicates`` /
+``ngram_jaccard_pairs`` / ``winnowing_near_duplicates`` each ``persist()``
+an internal index frame that BOTH sides of their self-join consume
+(repartitioned on the join key — measured 2x at sf1). The frames are not
+unpersisted on return because the returned DataFrame's lineage still reads
+them; callers running many dedup jobs in one long session should call
+``session.release_session_storage(spark)`` between independent units of
+work (as ``bench.py`` does) or ``spark.catalog.clearCache()`` if no
+localCheckpoint is live. Leaked cache blocks are evicted LRU under memory
+pressure either way — the contract is about determinism of benchmarks, not
+correctness.
 """
 
 from __future__ import annotations
@@ -36,6 +48,53 @@ from autonomous_orchestrator_ai_spark.functions.text import (
 from autonomous_orchestrator_ai_spark.operators.partitioning import (
     ensure_min_parallelism,
 )
+
+# ---------------------------------------------------------------------------
+# Bounded hot-key guard (shared by the df-cap / bucket-cap operators)
+# ---------------------------------------------------------------------------
+
+# Above this many hot keys the guard falls back to a broadcast anti-join
+# instead of a literal IN predicate (plan-size safety valve; IN lists of
+# thousands of md5 strings bloat the plan and codegen).
+_HOT_SET_LITERAL_CAP = 1024
+
+
+def _drop_hot_keys(frame: DataFrame, hot: DataFrame, on: list[str]) -> DataFrame:
+    """Remove rows of ``frame`` whose key appears in ``hot``.
+
+    The hot frame is BOUNDED by construction at every call site: a key is
+    hot only if it accounts for > max_df rows, so |hot| <= rows / max_df —
+    driver-side collection is safe regardless of corpus size. That bound
+    buys a cheaper plan than the always-anti-join form:
+
+    * 0 hot keys (the common case below ~sf1, where df caps rarely trip):
+      return ``frame`` unchanged — the guard costs ONE count-job over the
+      already-cached index and zero extra operators in the main plan.
+      (The previous unconditional broadcast+anti-join paid a fixed two-job
+      overhead even when there was nothing to drop — the r4 driver-bench
+      regression on ``ngram_jaccard_pairs_guarded``, 0.36 -> 0.87 s.)
+    * <= _HOT_SET_LITERAL_CAP keys: a literal NOT-IN filter evaluated
+      inside the existing scan — no join, no broadcast, no extra shuffle.
+    * more: broadcast left-anti join (same plan as before).
+
+    ``on`` keys must be non-null (all call sites derive them from md5 /
+    concat_ws / explode of non-null arrays) — NOT-IN over a null key would
+    drop the row.
+    """
+    rows = hot.limit(_HOT_SET_LITERAL_CAP + 1).collect()
+    if not rows:
+        return frame
+    if len(rows) <= _HOT_SET_LITERAL_CAP:
+        if len(on) == 1:
+            return frame.filter(~F.col(on[0]).isin([r[0] for r in rows]))
+        # composite key: null-free collision-free stringification (band ids
+        # are small ints, band keys md5 hex — the separator can't occur)
+        sep = "\x1f"
+        expr = F.concat_ws(sep, *[F.col(c).cast("string") for c in on])
+        keys = [sep.join(str(r[c]) for c in on) for r in rows]
+        return frame.filter(~expr.isin(keys))
+    return frame.join(F.broadcast(hot), on, "left_anti")
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -183,17 +242,16 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("__band")
     ).select(F.col(id_col), F.col("__band.band_id"), F.col("__band.band_key"))
     if max_bucket_size is not None:
-        # broadcast the HOT buckets (few by definition) and anti-join —
-        # broadcasting the surviving buckets would ship ~every bucket key
+        # the HOT buckets are few by definition (|hot| <= rows / cap);
+        # _drop_hot_keys collects them and short-circuits the usually-empty
+        # case instead of always paying a broadcast anti-join
         hot = (
             banded.groupBy("band_id", "band_key")
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_bucket_size)
             .select("band_id", "band_key")
         )
-        banded = banded.join(
-            F.broadcast(hot), ["band_id", "band_key"], "left_anti"
-        )
+        banded = _drop_hot_keys(banded, hot, ["band_id", "band_key"])
 
     # cache hash-partitioned on the join key: without this, BOTH self-join
     # sides recompute the full signature expression tree (8 array_min
@@ -304,19 +362,20 @@ def ngram_jaccard_pairs(
         .persist()
     )
     if max_shingle_df is not None:
-        # Broadcast the OVER-cap shingles (few by definition — that's what
-        # makes them hot) and anti-join, mirroring lsh_candidate_pairs's
-        # hot-bucket guard. The old form broadcast the SURVIVORS, i.e.
-        # nearly the whole vocabulary: 2.7M shingles (~100MB broadcast) at
-        # sf10 to remove ONE hot shingle — a guard that itself grew with
-        # the corpus.
+        # Drop the OVER-cap shingles (few by definition — that's what makes
+        # them hot; the r3 form broadcast the SURVIVORS, i.e. nearly the
+        # whole vocabulary: 2.7M shingles / ~100MB at sf10 to remove ONE
+        # hot shingle). _drop_hot_keys collects the bounded hot set and
+        # short-circuits when it's empty — the usual case at small sf,
+        # where the r4 unconditional broadcast anti-join cost a fixed
+        # two-job overhead for nothing (driver bench 0.36 -> 0.87 s).
         hot = (
             exploded.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("sh")
         )
-        exploded = exploded.join(F.broadcast(hot), "sh", "left_anti")
+        exploded = _drop_hot_keys(exploded, hot, ["sh"])
     sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = exploded.select(F.col(id_col).alias("id_a"), "sh")
@@ -400,7 +459,7 @@ def winnowing_near_duplicates(
             .filter(F.col("__df") > max_hash_df)
             .select("__h")
         )
-        exploded = exploded.join(F.broadcast(hot), "__h", "left_anti")
+        exploded = _drop_hot_keys(exploded, hot, ["__h"])
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__h"
     )

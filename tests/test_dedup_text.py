@@ -225,3 +225,44 @@ def test_simhash_groups_member_cap(spark):
     assert capped[0]["n_docs"] == 6 and capped[0]["doc_ids"] == [0, 1]
     full = simhash_duplicate_groups(docs).collect()
     assert full[0]["doc_ids"] == [0, 1, 2, 3, 4, 5]
+
+
+def test_drop_hot_keys_branches(spark):
+    """The bounded hot-set guard has three plans: empty -> identity, small
+    -> literal NOT-IN filter (no join), large -> broadcast anti-join."""
+    from pyspark.sql import functions as F
+
+    from autonomous_orchestrator_ai_spark.operators import dedup as D
+
+    frame = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("k"), (F.col("id") % 50)).alias("sh")
+    )
+
+    # empty hot set: the SAME DataFrame object comes back (no-op guard)
+    empty_hot = frame.select("sh").limit(0)
+    assert D._drop_hot_keys(frame, empty_hot, ["sh"]) is frame
+
+    # small hot set: rows dropped, and the plan has no Join operator
+    hot = spark.createDataFrame([("k0",), ("k1",)], ["sh"])
+    guarded = D._drop_hot_keys(frame, hot, ["sh"])
+    assert guarded.count() == 96
+    assert "Join" not in guarded._jdf.queryExecution().optimizedPlan().toString()
+
+    # over-cap hot set: falls back to broadcast anti-join, same semantics
+    big_frame = spark.range(3000).select(
+        F.col("id"), F.concat(F.lit("h"), F.col("id")).alias("sh")
+    )
+    big_hot = big_frame.select("sh").filter(F.col("id") < 2000).select("sh")
+    assert big_hot.count() > D._HOT_SET_LITERAL_CAP
+    out = D._drop_hot_keys(big_frame, big_hot, ["sh"])
+    assert out.count() == 1000
+    assert "Join" in out._jdf.queryExecution().optimizedPlan().toString()
+
+    # composite keys: stringified NOT-IN drops exactly the named pairs
+    two = frame.withColumn("band", (F.col("id") % 2).cast("int"))
+    hot2 = spark.createDataFrame([(0, "k0"), (1, "k1")], ["band", "sh"])
+    kept = D._drop_hot_keys(two, hot2, ["band", "sh"])
+    # (band=0, sh=k0) matches ids {0, 50}; (band=1, sh=k1) matches {1, 51}
+    assert kept.count() == 96
+    ids = {r.id for r in kept.collect()}
+    assert {0, 50, 1, 51}.isdisjoint(ids)
