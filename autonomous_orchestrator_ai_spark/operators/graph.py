@@ -7,19 +7,20 @@ one representative per cluster. The reference repo has no graph surface
 at all — this is part of the beyond-reference training-data toolkit
 (SURVEY.md §2 "beyond" scope), expressed entirely in DataFrame ops.
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with its own id; each round every node takes the min label among itself
-and its neighbors; fixpoint = every node labeled with the smallest node
-id reachable from it (the canonical component id). Rounds needed = graph
-diameter, which for near-dup clusters is tiny (dup clusters are dense —
-typically 2-4 hops). For adversarially long chains at 100 TB scale the
-classic fix is the alternating large-star/small-star algorithm
-(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-which converges in O(log^2 n) rounds; the propagation loop below is the
-right trade for dedup graphs because its per-round cost is one shuffle
-join + one shuffle agg on the EDGE list only (never materializing
-anything superlinear), and real dup-cluster diameters don't grow with
-corpus size.
+Algorithm: hybrid. Iterative min-label propagation first — every node
+starts labeled with its own id; each round every node takes the min
+label among itself and its neighbors; fixpoint = every node labeled with
+the smallest reachable node id (the canonical component id). Rounds
+needed = graph diameter, which for near-dup clusters is tiny (dup
+clusters are dense — typically 2-4 hops), and per-round cost is one
+shuffle join + one shuffle agg on the EDGE list only. If propagation
+hasn't converged after ``switch_after`` rounds, the graph has an
+adversarially long diameter (chains) and ``connected_components``
+contracts the edges through the labels computed so far and finishes
+with alternating large-star/small-star contraction
+(``connected_components_star``; Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14) which converges in O(log^2 n) rounds
+independent of diameter.
 
 Scale notes (100 TB story):
 - State per round is (node, label) — two bigints — plus the symmetrized
@@ -39,6 +40,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "connected_components",
+    "connected_components_star",
     "dedup_clusters",
     "dedup_survivors",
     "pagerank",
@@ -51,6 +53,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    switch_after: int = 8,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     is the smallest node id in that node's connected component.
@@ -59,6 +62,20 @@ def connected_components(
     numeric/string type works. Nodes with no edges don't appear — callers
     wanting singleton components coalesce missing nodes to themselves
     (see ``dedup_survivors``).
+
+    Hybrid strategy: min-label propagation (one shuffle join + one
+    shuffle agg per round, converges in diameter rounds — the cheap path
+    for dense small-diameter dup clusters), auto-switching to
+    alternating star contraction (O(log^2 n) rounds,
+    ``connected_components_star``) if propagation hasn't converged after
+    ``switch_after`` rounds — the adversarial-diameter escape hatch for
+    chain-shaped graphs. The switch CONTRACTS the graph through the
+    labels already computed (edges mapped label->label, self-loops
+    dropped), so propagation work is kept, not thrown away: after k
+    rounds every label is the min within k hops, so the contracted graph
+    has at most diameter/k the original diameter and typically far fewer
+    nodes. Set ``switch_after=None`` (with ``max_iterations`` as the
+    cap) to force pure propagation.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     # symmetrize once; propagation then only needs one join direction
@@ -72,7 +89,13 @@ def connected_components(
         "node", F.col("node").alias("component")
     ).localCheckpoint()
 
-    for _ in range(max_iterations):
+    prop_rounds = (
+        max_iterations
+        if switch_after is None
+        else min(switch_after, max_iterations)
+    )
+    converged = False
+    for _ in range(prop_rounds):
         # each node pulls its neighbors' current labels, keeps the min of
         # (own label, neighbor labels) — one shuffle join + one shuffle agg
         neighbor_labels = sym.join(
@@ -93,8 +116,143 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels
+    if converged or switch_after is None:
+        return labels
+
+    # Propagation ran out of its round budget: the graph has a long
+    # diameter (chains, adversarial inputs). Contract edges through the
+    # current labels and finish with star contraction — components of the
+    # contracted label graph compose with the label map to give the final
+    # answer (label contraction is a quotient map: it preserves
+    # connectivity and introduces none).
+    contracted = (
+        sym.join(labels.withColumnRenamed("node", "s"), "s")
+        .select(F.col("component").alias("ls"), "d")
+        .join(
+            labels.select(
+                F.col("node").alias("d"), F.col("component").alias("ld")
+            ),
+            "d",
+        )
+        .select("ls", "ld")
+        .filter(F.col("ls") != F.col("ld"))
+    )
+    star = connected_components_star(
+        contracted, "ls", "ld", max_iterations=max_iterations
+    )
+    return (
+        labels.join(
+            star.withColumnRenamed("node", "component"), "component", "left"
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("star_component"), F.col("component")).alias(
+                "component"
+            ),
+        )
+        .localCheckpoint()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, star_component) by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — converges in O(log^2 n) rounds regardless of
+    graph diameter, vs O(diameter) for min-label propagation. Same
+    contract as ``connected_components`` (component = min reachable id;
+    isolated nodes absent) with the output column named
+    ``star_component``.
+
+    Per round, on the canonical (hi > lo) edge set E:
+
+    - **large-star**: for every node u with full neighborhood Γ(u)
+      (both orientations), m = min(Γ(u) ∪ {u}); replace each edge
+      (v, u) with v > u by (v, m) — strictly-larger neighbors re-hook
+      to the neighborhood min.
+    - **small-star**: orient edges child=hi -> parent=lo; per child u,
+      m = min of its parents; re-hook every parent (and u itself) to m.
+
+    Both steps are one shuffle agg (the per-node min) + one shuffle join
+    (re-hook) over the edge list only; nothing superlinear is ever
+    materialized, and state per round is the edge set itself. Fixpoint =
+    disjoint stars whose centers are the component minima. Convergence
+    is detected exactly (count + set-difference probe on the canonical
+    edge set, both over localCheckpoint'd frames), never via hashes.
+
+    The number of rounds actually used is exposed for tests/telemetry as
+    ``connected_components_star.last_iterations``.
+    """
+    canon = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = canon.count()
+    rounds = 0
+    for _ in range(max_iterations):
+        if n_edges == 0:
+            break
+        rounds += 1
+        # large-star over the symmetrized neighborhood
+        sym = canon.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(canon.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over child=hi -> parents=lo
+        pmins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(pmins, "hi")
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(
+                pmins.select(F.col("hi"), F.col("m").alias("lo"))
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_n = small.count()
+        if new_n == n_edges and small.subtract(canon).limit(1).count() == 0:
+            canon = small
+            break
+        canon, n_edges = small, new_n
+    connected_components_star.last_iterations = rounds
+    # fixpoint stars: every edge is (member, center); centers themselves
+    # are the nodes never appearing on the hi side
+    return (
+        canon.select(
+            F.col("hi").alias("node"), F.col("lo").alias("star_component")
+        )
+        .union(
+            canon.select(
+                F.col("lo").alias("node"),
+                F.col("lo").alias("star_component"),
+            ).distinct()
+        )
+        .distinct()
+    )
 
 
 def pagerank(
