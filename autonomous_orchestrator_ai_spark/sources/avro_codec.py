@@ -3,9 +3,11 @@ format (reference kafka/schemas/customer_events.avsc; the reference ships
 spark-avro in airflow/include/config.yml:12 but itself parses the topic as
 JSON, ingest_transform.py:117-118).
 
-Implements the subset of the public Apache Avro 1.x binary spec the event
-schema needs — record, string, bytes, int/long (zigzag varint), boolean,
-null, float, double, enum, union, array, map — as both decoder and encoder
+Implements the public Apache Avro 1.x binary spec's core types — record,
+string, bytes, fixed, int/long (zigzag varint), boolean, null, float,
+double, enum, arbitrary unions (not just ["null", T] — branch choice is
+type-directed on encode, branch-index-driven on decode), array, map,
+nested to any depth — as both decoder and encoder
 (the encoder exists so tests can round-trip real wire bytes without any
 external producer). Production Spark clusters should prefer
 ``readers.parse_avro_value`` (JVM spark-avro, codegen); this codec backs
@@ -96,6 +98,13 @@ def encode(schema, value, out: bytearray | None = None) -> bytes:
         out += _encode_long(len(raw)) + raw
     elif t == "enum":
         out += _encode_long(schema["symbols"].index(value))
+    elif t == "fixed":
+        if len(value) != schema["size"]:
+            raise ValueError(
+                f"fixed {schema.get('name')} wants {schema['size']} bytes, "
+                f"got {len(value)}"
+            )
+        out += bytes(value)
     elif t == "union":
         branches = schema if isinstance(schema, list) else schema["type"]
         idx = _union_branch(branches, value)
@@ -122,18 +131,81 @@ def encode(schema, value, out: bytearray | None = None) -> bytes:
     return bytes(out)
 
 
+def _matches(schema, value) -> bool:
+    """Does a Python value structurally fit an Avro schema node? Drives
+    multi-branch union encoding; for ambiguous dict values (record vs map
+    branches in one union) branch ORDER decides — put the more specific
+    branch first, as the Avro spec's own resolution does."""
+    t = _type_of(schema)
+    if t == "null":
+        return value is None
+    if value is None:
+        return False
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        # int values are encodable as floats (Avro promotes); exact-type
+        # branches are tried first by _union_branch's two passes
+        return isinstance(value, float)
+    if t == "bytes":
+        return isinstance(value, (bytes, bytearray))
+    if t == "fixed":
+        return isinstance(value, (bytes, bytearray)) and len(value) == schema["size"]
+    if t == "string":
+        return isinstance(value, str)
+    if t == "enum":
+        return isinstance(value, str) and value in schema["symbols"]
+    if t == "record":
+        return isinstance(value, dict) and set(value) == {
+            f["name"] for f in schema["fields"]
+        }
+    if t == "array":
+        return isinstance(value, (list, tuple))
+    if t == "map":
+        return isinstance(value, dict)
+    return False
+
+
 def _union_branch(branches, value) -> int:
+    """Type-directed branch choice for arbitrary unions (not just
+    ["null", T]): first exact structural match in branch order, then the
+    numeric promotions the spec allows (int -> float/double, bytes <->
+    string is NOT one)."""
     for i, b in enumerate(branches):
-        bt = _type_of(b)
-        if value is None and bt == "null":
+        if _matches(b, value):
             return i
-        if value is not None and bt != "null":
-            return i
+    if isinstance(value, int) and not isinstance(value, bool):
+        for i, b in enumerate(branches):
+            if _type_of(b) in ("float", "double"):
+                return i
     raise ValueError(f"no union branch for {value!r} in {branches!r}")
 
 
-def decode(schema, data: bytes | io.BytesIO):
-    """Decode Avro binary ``data`` per ``schema`` (parsed JSON)."""
+def _is_simple_union(branches) -> bool:
+    """Unions that collapse to ONE Spark-side type (so decode need not
+    mark which branch was taken): at most one non-null branch, or numeric
+    branches that merge ([int,long] -> long, [float,double] -> double —
+    spark-avro's public mapping)."""
+    non_null = [b for b in branches if _type_of(b) != "null"]
+    if len(non_null) <= 1:
+        return True
+    tags = {_type_of(b) for b in non_null}
+    return tags <= {"int", "long"} or tags <= {"float", "double"}
+
+
+def decode(schema, data: bytes | io.BytesIO, mark_unions: bool = False):
+    """Decode Avro binary ``data`` per ``schema`` (parsed JSON).
+
+    ``mark_unions=True`` wraps values of NON-simple unions (more than one
+    Spark-side branch type, see ``_is_simple_union``) as
+    ``(branch_index, value)`` so a schema-driven consumer (e.g.
+    ``readers.decode_avro_values``'s member-struct mapping) knows which
+    branch the writer took — re-inferring it from the Python value alone
+    is ambiguous (e.g. string vs enum branches both decode to ``str``).
+    Simple unions stay unwrapped either way.
+    """
     buf = data if isinstance(data, io.BytesIO) else io.BytesIO(data)
     t = _type_of(schema)
     if t == "null":
@@ -152,13 +224,23 @@ def decode(schema, data: bytes | io.BytesIO):
         return buf.read(_decode_long(buf)).decode("utf-8")
     if t == "enum":
         return schema["symbols"][_decode_long(buf)]
+    if t == "fixed":
+        return buf.read(schema["size"])
     if t == "union":
         branches = schema if isinstance(schema, list) else schema["type"]
-        return decode(branches[_decode_long(buf)], buf)
+        idx = _decode_long(buf)
+        val = decode(branches[idx], buf, mark_unions)
+        # the null branch is never marked — None is unambiguous
+        if mark_unions and val is not None and not _is_simple_union(branches):
+            return (idx, val)
+        return val
     if t == "record":
-        return {f["name"]: decode(f["type"], buf) for f in schema["fields"]}
+        return {
+            f["name"]: decode(f["type"], buf, mark_unions)
+            for f in schema["fields"]
+        }
     if t == "array":
-        return list(_decode_blocks(schema["items"], buf))
+        return list(_decode_blocks(schema["items"], buf, mark_unions))
     if t == "map":
         out = {}
         while True:
@@ -170,11 +252,11 @@ def decode(schema, data: bytes | io.BytesIO):
                 _decode_long(buf)
             for _ in range(n):
                 k = decode("string", buf)
-                out[k] = decode(schema["values"], buf)
+                out[k] = decode(schema["values"], buf, mark_unions)
     raise NotImplementedError(f"avro type {t!r}")
 
 
-def _decode_blocks(item_schema, buf):
+def _decode_blocks(item_schema, buf, mark_unions: bool = False):
     while True:
         n = _decode_long(buf)
         if n == 0:
@@ -183,7 +265,7 @@ def _decode_blocks(item_schema, buf):
             n = -n
             _decode_long(buf)
         for _ in range(n):
-            yield decode(item_schema, buf)
+            yield decode(item_schema, buf, mark_unions)
 
 
 def parse_schema(avro_schema_json: str) -> dict:

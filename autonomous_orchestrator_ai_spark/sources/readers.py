@@ -85,19 +85,46 @@ def parse_avro_value(df: DataFrame, avro_schema_json: str) -> DataFrame:
     )
 
 
+def _union_non_null(schema: list) -> list:
+    return [b for b in schema if not (isinstance(b, str) and b == "null")]
+
+
+def _union_tags(non_null: list) -> set[str]:
+    from autonomous_orchestrator_ai_spark.sources.avro_codec import _type_of
+
+    return {_type_of(b) for b in non_null}
+
+
 def _avro_to_spark_type(schema) -> T.DataType:
-    """Avro type node -> Spark type (the subset the event schema uses).
-    timestamp-millis stays a LongType at the ingest boundary, matching
-    CUSTOMER_EVENTS_SCHEMA (conversion is functions.temporal's job)."""
-    if isinstance(schema, list):  # union: nullable branch type
-        non_null = [b for b in schema if b != "null"]
-        if len(non_null) != 1:
-            raise NotImplementedError(f"multi-branch union {schema!r}")
-        return _avro_to_spark_type(non_null[0])
+    """Avro type node -> Spark type, mirroring spark-avro's PUBLIC union
+    mapping so the jar and no-jar decode paths stay drop-in
+    interchangeable: ["null", T] -> nullable T; [int, long] -> long;
+    [float, double] -> double; any other multi-branch union -> a struct
+    with one nullable ``memberN`` field per non-null branch (only the
+    branch the writer took is populated). timestamp-millis stays a
+    LongType at the ingest boundary, matching CUSTOMER_EVENTS_SCHEMA
+    (conversion is functions.temporal's job)."""
+    if isinstance(schema, list):  # union
+        non_null = _union_non_null(schema)
+        if len(non_null) == 1:
+            return _avro_to_spark_type(non_null[0])
+        tags = _union_tags(non_null)
+        if tags <= {"int", "long"}:
+            return T.LongType()
+        if tags <= {"float", "double"}:
+            return T.DoubleType()
+        return T.StructType(
+            [
+                T.StructField(f"member{i}", _avro_to_spark_type(b))
+                for i, b in enumerate(non_null)
+            ]
+        )
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "enum":
             return T.StringType()
+        if t == "fixed":
+            return T.BinaryType()
         if t == "array":
             return T.ArrayType(_avro_to_spark_type(schema["items"]))
         if t == "map":
@@ -119,6 +146,51 @@ def _avro_to_spark_type(schema) -> T.DataType:
         "double": T.DoubleType(),
         "bytes": T.BinaryType(),
     }[schema]
+
+
+def _avro_to_spark_value(schema, value):
+    """Shape a codec-decoded Python value (``decode(..., mark_unions=True)``)
+    into the structure ``_avro_to_spark_type`` promises: member-struct
+    dicts for multi-branch unions, recursing through records/arrays/maps.
+    Primitives pass through untouched (the common path costs one isinstance
+    check)."""
+    if value is None:
+        return None
+    if isinstance(schema, list):
+        non_null = _union_non_null(schema)
+        if len(non_null) == 1:
+            return _avro_to_spark_value(non_null[0], value)
+        if _union_tags(non_null) <= {"int", "long"} or _union_tags(non_null) <= {
+            "float",
+            "double",
+        }:
+            return value
+        idx, inner = value  # marked by decode(mark_unions=True)
+        branch = schema[idx]
+        pos = next(i for i, b in enumerate(non_null) if b is branch)
+        return {
+            f"member{i}": (_avro_to_spark_value(branch, inner) if i == pos else None)
+            for i in range(len(non_null))
+        }
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {
+                f["name"]: _avro_to_spark_value(f["type"], value[f["name"]])
+                for f in schema["fields"]
+            }
+        if t == "array":
+            return [_avro_to_spark_value(schema["items"], v) for v in value]
+        if t == "map":
+            return {
+                k: _avro_to_spark_value(schema["values"], v)
+                for k, v in value.items()
+            }
+        if t in ("bytes", "fixed"):
+            return bytes(value)
+    if isinstance(value, bytearray):
+        return bytes(value)
+    return value
 
 
 def decode_avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
@@ -154,7 +226,11 @@ def decode_avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
     def batches(it):
         for pdf in it:
             decoded = [
-                decode(record_schema, bytes(v)) for v in pdf["value"]
+                _avro_to_spark_value(
+                    record_schema,
+                    decode(record_schema, bytes(v), mark_unions=True),
+                )
+                for v in pdf["value"]
             ]
             out = pd.DataFrame(
                 {

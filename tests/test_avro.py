@@ -143,3 +143,306 @@ class TestSparkDecode:
             millis_to_timestamp(F.col("event_ts")).alias("event_time")
         ).collect()[0]
         assert ts.event_time == datetime(2023, 11, 14, 22, 19, 20)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary unions + nested records/arrays/maps/fixed (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from autonomous_orchestrator_ai_spark.sources.readers import (
+    _avro_to_spark_type,
+    _avro_to_spark_value,
+)
+
+_PRIMS = ["null", "boolean", "int", "long", "float", "double", "bytes", "string"]
+
+_PRIM_VALUES = {
+    "null": st.none(),
+    "boolean": st.booleans(),
+    "int": st.integers(-(2**31), 2**31 - 1),
+    "long": st.integers(-(2**63), 2**63 - 1),
+    "float": st.floats(width=32, allow_nan=False, allow_infinity=False),
+    "double": st.floats(allow_nan=False, allow_infinity=False),
+    "bytes": st.binary(max_size=10),
+    "string": st.text(max_size=10),
+}
+
+
+@st.composite
+def _avro_schema(draw, depth=2, name_seq=None):
+    """Random Avro schema: primitives, enum/fixed, nested record/array/map,
+    and multi-branch unions (distinct branch tags per the spec; record and
+    map never share a union — a dict value is order-ambiguous between
+    them, which the spec resolves by writer choice, not structure)."""
+    if name_seq is None:
+        name_seq = iter(range(10**6))
+    kinds = list(_PRIMS[1:]) + ["enum", "fixed"]
+    if depth > 0:
+        kinds += ["record", "array", "map", "union"]
+    k = draw(st.sampled_from(kinds))
+    if k in _PRIMS:
+        return k
+    if k == "enum":
+        syms = draw(
+            st.lists(
+                st.sampled_from(["A", "B", "C", "D", "E"]),
+                min_size=1,
+                max_size=4,
+                unique=True,
+            )
+        )
+        return {"type": "enum", "name": f"E{next(name_seq)}", "symbols": syms}
+    if k == "fixed":
+        return {
+            "type": "fixed",
+            "name": f"X{next(name_seq)}",
+            "size": draw(st.integers(0, 6)),
+        }
+    if k == "record":
+        n = draw(st.integers(1, 3))
+        return {
+            "type": "record",
+            "name": f"R{next(name_seq)}",
+            "fields": [
+                {
+                    "name": f"f{i}",
+                    "type": draw(_avro_schema(depth=depth - 1, name_seq=name_seq)),
+                }
+                for i in range(n)
+            ],
+        }
+    if k == "array":
+        return {
+            "type": "array",
+            "items": draw(_avro_schema(depth=depth - 1, name_seq=name_seq)),
+        }
+    if k == "map":
+        return {
+            "type": "map",
+            "values": draw(_avro_schema(depth=depth - 1, name_seq=name_seq)),
+        }
+    # union: one branch per distinct tag, no nested unions, no record+map mix
+    tags = draw(
+        st.lists(
+            st.sampled_from(
+                _PRIMS + ["enum", "fixed", "record", "array", "map"]
+            ),
+            min_size=2,
+            max_size=4,
+            unique=True,
+        ).filter(lambda ts: not ({"record", "map"} <= set(ts)))
+    )
+    branches = []
+    for t in tags:
+        if t in _PRIMS:
+            branches.append(t)
+        else:
+            sub = draw(
+                _avro_schema(depth=0, name_seq=name_seq)
+                if t in ("enum", "fixed")
+                else st.just(None)
+            )
+            if t == "enum":
+                while not (isinstance(sub, dict) and sub["type"] == "enum"):
+                    sub = draw(_avro_schema(depth=0, name_seq=name_seq))
+            elif t == "fixed":
+                while not (isinstance(sub, dict) and sub["type"] == "fixed"):
+                    sub = draw(_avro_schema(depth=0, name_seq=name_seq))
+            elif t == "record":
+                sub = {
+                    "type": "record",
+                    "name": f"R{next(name_seq)}",
+                    "fields": [
+                        {
+                            "name": "uf0",
+                            "type": draw(
+                                _avro_schema(depth=0, name_seq=name_seq)
+                            ),
+                        }
+                    ],
+                }
+            elif t == "array":
+                sub = {
+                    "type": "array",
+                    "items": draw(_avro_schema(depth=0, name_seq=name_seq)),
+                }
+            elif t == "map":
+                sub = {
+                    "type": "map",
+                    "values": draw(_avro_schema(depth=0, name_seq=name_seq)),
+                }
+            branches.append(sub)
+    return branches
+
+
+def _value_for(draw, schema):
+    from autonomous_orchestrator_ai_spark.sources.avro_codec import _type_of
+
+    t = _type_of(schema)
+    if t in _PRIMS:
+        return draw(_PRIM_VALUES[t])
+    if t == "enum":
+        return draw(st.sampled_from(schema["symbols"]))
+    if t == "fixed":
+        return draw(st.binary(min_size=schema["size"], max_size=schema["size"]))
+    if t == "record":
+        return {f["name"]: _value_for(draw, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        return [
+            _value_for(draw, schema["items"])
+            for _ in range(draw(st.integers(0, 3)))
+        ]
+    if t == "map":
+        keys = draw(
+            st.lists(
+                st.sampled_from(["mk1", "mk2", "mk3"]),
+                max_size=3,
+                unique=True,
+            )
+        )
+        return {k: _value_for(draw, schema["values"]) for k in keys}
+    if t == "union":
+        return _value_for(draw, draw(st.sampled_from(schema)))
+    raise AssertionError(t)
+
+
+@st.composite
+def _schema_and_value(draw):
+    sch = draw(_avro_schema())
+    return sch, _value_for(draw, sch)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_schema_and_value())
+def test_codec_roundtrip_property(sv):
+    """encode -> decode is the identity for arbitrary nested schemas,
+    including multi-branch unions, fixed, and deep record/array/map."""
+    schema, value = sv
+    wrapped = {"type": "record", "name": "Top", "fields": [{"name": "v", "type": schema}]}
+    out = decode(wrapped, encode(wrapped, {"v": value}))["v"]
+    assert out == value
+
+
+@settings(max_examples=80, deadline=None)
+@given(_schema_and_value())
+def test_marked_decode_shapes_to_spark_contract(sv):
+    """decode(mark_unions=True) -> _avro_to_spark_value always produces a
+    value structurally valid for _avro_to_spark_type's Spark type: member
+    structs have exactly one populated branch, nesting recurses."""
+    schema, value = sv
+    wrapped = {"type": "record", "name": "Top", "fields": [{"name": "v", "type": schema}]}
+    marked = decode(wrapped, encode(wrapped, {"v": value}), mark_unions=True)
+    shaped = _avro_to_spark_value(wrapped, marked)
+
+    def check(sch, val):
+        from autonomous_orchestrator_ai_spark.sources.avro_codec import (
+            _is_simple_union,
+            _type_of,
+        )
+
+        if val is None:
+            return
+        if isinstance(sch, list):
+            non_null = [b for b in sch if b != "null"]
+            if len(non_null) == 1 or _is_simple_union(sch):
+                return
+            assert isinstance(val, dict) and set(val) == {
+                f"member{i}" for i in range(len(non_null))
+            }
+            populated = [k for k, v in val.items() if v is not None]
+            assert len(populated) <= 1
+            return
+        t = _type_of(sch)
+        if t == "record":
+            for f in sch["fields"]:
+                check(f["type"], val[f["name"]])
+        elif t == "array":
+            for x in val:
+                check(sch["items"], x)
+        elif t == "map":
+            for x in val.values():
+                check(sch["values"], x)
+        elif t in ("bytes", "fixed"):
+            assert isinstance(val, bytes)
+
+    check(wrapped, shaped)
+
+
+class TestMultiBranchUnions:
+    WRAP = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "v", "type": ["null", "string", "long"]}],
+    }
+
+    def test_spark_type_mapping(self):
+        import pyspark.sql.types as T
+
+        assert _avro_to_spark_type(["null", "int", "long"]) == T.LongType()
+        assert _avro_to_spark_type(["float", "double"]) == T.DoubleType()
+        t = _avro_to_spark_type(["null", "string", "long"])
+        assert isinstance(t, T.StructType)
+        assert [f.name for f in t.fields] == ["member0", "member1"]
+        assert t.fields[0].dataType == T.StringType()
+        assert t.fields[1].dataType == T.LongType()
+
+    def test_each_branch_roundtrips_to_the_right_member(self):
+        for raw, expect in [
+            (None, None),
+            ("hi", {"member0": "hi", "member1": None}),
+            (42, {"member0": None, "member1": 42}),
+        ]:
+            wire = encode(self.WRAP, {"v": raw})
+            marked = decode(self.WRAP, wire, mark_unions=True)
+            assert _avro_to_spark_value(self.WRAP, marked)["v"] == expect
+
+    def test_string_vs_enum_branch_is_wire_exact(self):
+        # both branches decode to str — only the wire branch index can
+        # disambiguate, which is exactly what mark_unions preserves
+        sch = {
+            "type": "record",
+            "name": "SE",
+            "fields": [
+                {
+                    "name": "v",
+                    "type": [
+                        {"type": "enum", "name": "Col", "symbols": ["red", "blue"]},
+                        "string",
+                    ],
+                }
+            ],
+        }
+        # force the STRING branch with an enum-member spelling
+        wire = bytearray()
+        wire += b"\x02"  # union branch 1 (zigzag(1) = 2)
+        raw = "red".encode()
+        wire += bytes([len(raw) << 1]) + raw
+        marked = decode(sch, bytes(wire), mark_unions=True)
+        shaped = _avro_to_spark_value(sch, marked)
+        assert shaped["v"] == {"member0": None, "member1": "red"}
+
+    def test_decode_avro_values_multibranch_end_to_end(self, spark):
+        rows = []
+        for i, raw in enumerate([None, "s-1", 7]):
+            rows.append(
+                (
+                    str(i).encode(),
+                    encode(self.WRAP, {"v": raw}),
+                    "t",
+                    0,
+                    i,
+                    datetime(2024, 1, 1, tzinfo=timezone.utc),
+                    0,
+                )
+            )
+        df = spark.createDataFrame(rows, KAFKA_ENVELOPE_SCHEMA)
+        out = {
+            r["kafka_key"]: r["v"]
+            for r in decode_avro_values(df, json.dumps(self.WRAP)).collect()
+        }
+        assert out["0"] is None
+        assert out["1"]["member0"] == "s-1" and out["1"]["member1"] is None
+        assert out["2"]["member0"] is None and out["2"]["member1"] == 7
