@@ -101,6 +101,27 @@ def salted_join(
     return joined.drop("__salt")
 
 
+#: file names Spark's datasource committer writes into a table location —
+#: a directory containing ONLY these is a table dir this helper (or a
+#: prior Spark write) owns and may safely clear on overwrite
+_TABLE_DIR_ENTRY = (
+    "part-",
+    "_SUCCESS",
+    "_committed",
+    "_started",
+    "_temporary",
+    ".",  # .crc shadow files
+)
+
+
+def _looks_like_table_location(fs, location) -> bool:
+    for status in fs.listStatus(location):
+        name = status.getPath().getName()
+        if not name.startswith(_TABLE_DIR_ENTRY):
+            return False
+    return True
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -108,6 +129,7 @@ def write_bucketed(
     n_buckets: int = 8,
     sort_by: str | None = None,
     path: str | None = None,
+    overwrite_location: bool = False,
 ) -> None:
     """Persist with bucketing so subsequent equi-joins/aggs on
     ``bucket_key`` read co-located buckets and skip the exchange.
@@ -121,7 +143,13 @@ def write_bucketed(
     in-memory catalog has no entry for the table, so ``overwrite`` alone
     trips LOCATION_ALREADY_EXISTS on the orphaned directory a previous
     session left behind — drop the catalog entry AND clear the leftover
-    location first."""
+    location first. The clear is GUARDED: an existing directory is only
+    deleted if every entry in it looks like Spark table output
+    (part files / _SUCCESS / committer markers) — i.e. an orphaned table
+    location, not a directory holding unrelated data that a caller
+    pointed ``path`` at (or a table name colliding with a foreign
+    warehouse dir). Anything else raises unless
+    ``overwrite_location=True`` explicitly authorizes the delete."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -134,6 +162,12 @@ def write_bucketed(
     )
     fs = location.getFileSystem(jsc.hadoopConfiguration())
     if fs.exists(location):
+        if not overwrite_location and not _looks_like_table_location(fs, location):
+            raise ValueError(
+                f"refusing to clear {location}: it contains entries that are "
+                "not Spark table output; pass overwrite_location=True to "
+                "delete it anyway"
+            )
         fs.delete(location, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
     if sort_by:

@@ -89,27 +89,72 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem⋈orders shuffle IS the bottleneck, and this removes it.
     The aggregation after the join is exact decimal money arithmetic,
     oracle-checked against the plain parquet join."""
+    li_tbl, ord_tbl = _build_bucket_demo_tables(spark, sf_dir)
+    return _bucketed_revenue_agg(spark, li_tbl, ord_tbl)
+
+
+@register(
+    "bucketed_join_revenue_read",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-only twin of ``bucketed_join_revenue`` (VERDICT r4 item 6):
+    the same exchange-free SortMergeJoin + decimal aggregation over the
+    ALREADY-BUILT bucketed tables, building them only if this session
+    hasn't yet. ``bucketed_join_revenue`` measures the one-time layout
+    investment (write + join); this twin measures what every subsequent
+    query pays — the join alone — which is the number the layout chapter
+    actually claims. Under bench.py's min-of-3-passes protocol, pass 1
+    builds and passes 2+ are pure reads, so the reported min is the
+    read-path cost."""
+    li_tbl, ord_tbl = _bucket_demo_names(sf_dir)
+    if not (
+        spark.catalog.tableExists(li_tbl) and spark.catalog.tableExists(ord_tbl)
+    ):
+        _build_bucket_demo_tables(spark, sf_dir)
+    return _bucketed_revenue_agg(spark, li_tbl, ord_tbl)
+
+
+def _bucket_demo_names(sf_dir: str) -> tuple[str, str]:
     import hashlib as _hashlib
 
-    from autonomous_orchestrator_ai_spark.operators.skew import (
-        bucketed_join,
-        write_bucketed,
-    )
-    from autonomous_orchestrator_ai_spark.plans.registry import (
-        exact_money_sum,
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"bktdemo_lineitem_{tag}", f"bktdemo_orders_{tag}"
+
+
+def _bucket_demo_base(spark: SparkSession) -> str:
+    """Where the demo tables' files land: $SPARK_GRAFT_WAREHOUSE if set,
+    else the session's own warehouse dir — never a hardcoded absolute
+    path, so the demo works on any checkout/machine (ADVICE r4)."""
+    import os
+
+    return (
+        os.environ.get("SPARK_GRAFT_WAREHOUSE")
+        or spark.conf.get("spark.sql.warehouse.dir")
     )
 
-    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    li_tbl, ord_tbl = f"bktdemo_lineitem_{tag}", f"bktdemo_orders_{tag}"
+
+def _build_bucket_demo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(Re)write the two bucketed demo tables — the layout INVESTMENT.
+    Always writes; ``bucketed_join_revenue`` measures this cost
+    deliberately, ``bucketed_join_revenue_read`` avoids it."""
+    from autonomous_orchestrator_ai_spark.operators.skew import write_bucketed
+
+    li_tbl, ord_tbl = _bucket_demo_names(sf_dir)
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    # explicit locations keep the demo's files inside the repo regardless
-    # of the calling session's cwd/warehouse config
-    base = "/root/repo/spark-warehouse"
+    base = _bucket_demo_base(spark)
     write_bucketed(
         li, li_tbl, "l_orderkey", n_buckets=8, sort_by="l_orderkey",
         path=f"{base}/{li_tbl}",
@@ -118,6 +163,12 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, ord_tbl, "o_orderkey", n_buckets=8, sort_by="o_orderkey",
         path=f"{base}/{ord_tbl}",
     )
+    return li_tbl, ord_tbl
+
+
+def _bucketed_revenue_agg(spark: SparkSession, li_tbl: str, ord_tbl: str):
+    from autonomous_orchestrator_ai_spark.plans.registry import exact_money_sum
+
     joined = bucketed_join_on(spark, li_tbl, ord_tbl)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),

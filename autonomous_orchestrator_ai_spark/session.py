@@ -73,7 +73,15 @@ def release_session_storage(spark) -> int:
     survives it and silently starves every later query's execution
     memory (measured 2-4x slowdowns at sf10, PERF.md round 4). This
     walks the JVM's persistent-RDD registry and unpersists everything.
-    Returns the number of RDDs released."""
+    Returns the number of RDDs released.
+
+    DESTRUCTIVE to live lineage: because localCheckpoint TRUNCATES a
+    DataFrame's lineage to the checkpoint blocks, any still-referenced
+    DataFrame built before this call becomes unrecomputable afterwards
+    (FileNotFoundException / "checkpoint block not found" on next use).
+    Call it only BETWEEN fully-independent units of work, and never
+    reuse a DataFrame object across the call — re-derive it from the
+    registry/source instead (what bench.py and check_oracle do)."""
     spark.catalog.clearCache()
     jsc_sc = spark.sparkContext._jsc.sc()
     it = jsc_sc.getPersistentRDDs().toList().iterator()

@@ -110,8 +110,10 @@ HEADLINE = [
     "order_price_cume_deciles",
     "value_mad_outliers_by_type",
     "referential_integrity_report",
-    # physical-design demos (bucketed shuffle-free join incl. table write)
+    # physical-design demos: the layout investment (write + join) and the
+    # read-only twin (what every later query pays — the join alone)
     "bucketed_join_revenue",
+    "bucketed_join_revenue_read",
 ]
 
 

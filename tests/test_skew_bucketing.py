@@ -197,3 +197,70 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_write_bucketed_refuses_foreign_directory(spark, tmp_path):
+    """ADVICE r4 (medium): the pre-write location clear must not destroy
+    a directory holding data this helper didn't write."""
+    import pytest
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+
+    foreign = tmp_path / "precious"
+    foreign.mkdir()
+    (foreign / "notes.txt").write_text("user data, not a table")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        write_bucketed(df, "bkt_guard_t1", "k", n_buckets=2, path=str(foreign))
+    assert (foreign / "notes.txt").exists()  # untouched
+
+    # explicit override deletes and writes
+    write_bucketed(
+        df, "bkt_guard_t1", "k", n_buckets=2, path=str(foreign),
+        overwrite_location=True,
+    )
+    try:
+        assert spark.table("bkt_guard_t1").count() == 10
+        assert not (foreign / "notes.txt").exists()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_guard_t1")
+
+    # an orphaned TABLE location (only part/_SUCCESS files) still clears
+    # without the flag — the cross-session idempotence contract
+    orphan = tmp_path / "orphan"
+    write_bucketed(df, "bkt_guard_t2", "k", n_buckets=2, path=str(orphan))
+    spark.sql("DROP TABLE bkt_guard_t2")  # leaves files behind (external)
+    write_bucketed(df, "bkt_guard_t2", "k", n_buckets=2, path=str(orphan))
+    try:
+        assert spark.table("bkt_guard_t2").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_guard_t2")
+
+
+def test_bucketed_join_revenue_read_twin_plan(spark):
+    """The read-only twin reuses the built tables (no rewrite) and keeps
+    the exchange-free SortMergeJoin plan."""
+    import hashlib
+
+    from autonomous_orchestrator_ai_spark.plans.layout_queries import (
+        bucketed_join_revenue_read,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tables = (f"bktdemo_lineitem_{tag}", f"bktdemo_orders_{tag}")
+    from autonomous_orchestrator_ai_spark.plans.layout_queries import (
+        bucketed_join_on,
+    )
+
+    try:
+        assert bucketed_join_revenue_read(spark, sf_dir).count() == 5  # builds
+        assert bucketed_join_revenue_read(spark, sf_dir).count() == 5  # reads
+        # the join core over the reused tables stays exchange-free (the
+        # post-join groupBy exchange is separate and expected)
+        joined = bucketed_join_on(spark, *tables)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -25,13 +25,22 @@ DEFAULT_HEAVY = [
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    passes = 2
-    for a in sys.argv[1:]:
-        if a.startswith("--passes"):
-            passes = int(a.split("=", 1)[1])
-    sf_dir = args[0]
-    names = args[1:] or DEFAULT_HEAVY
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Spot-benchmark heavy registered queries at a scale dir"
+    )
+    parser.add_argument("sf_dir", help="parquet scale directory, e.g. .scale/sf10")
+    parser.add_argument(
+        "queries", nargs="*", help=f"query names (default: {DEFAULT_HEAVY})"
+    )
+    parser.add_argument(
+        "--passes", type=int, default=2, help="timing passes per query"
+    )
+    ns = parser.parse_args()
+    passes = ns.passes
+    sf_dir = ns.sf_dir
+    names = ns.queries or DEFAULT_HEAVY
 
     import os
 
