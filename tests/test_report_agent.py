@@ -168,3 +168,65 @@ def test_incident_store(spark, tmp_path):
     assert stats["escalated_count"] == 1
     assert stats["by_type"] == {"pipeline_failure": 1, "data_quality": 1}
     assert stats["by_severity"] == {"high": 1, "medium": 1}
+
+
+def test_incident_store_monthly_partitions(spark, tmp_path):
+    """VERDICT r4 item 8: updates touch exactly ONE partition file; reads
+    with a retention cutoff prune old months; a legacy unpartitioned
+    log.jsonl stays readable and updatable."""
+    base = tmp_path / "inc"
+    store = IncidentStore(spark, str(base))
+    t_jan = datetime(2024, 1, 10, 12, 0)
+    t_mar = datetime(2024, 3, 5, 9, 0)
+    i_jan = store.log_incident("pipeline_failure", "old", severity="low", now=t_jan)
+    i_mar = store.log_incident("data_quality", "new", severity="medium", now=t_mar)
+
+    jan_f, mar_f = base / "log_2024-01.jsonl", base / "log_2024-03.jsonl"
+    assert jan_f.exists() and mar_f.exists()
+
+    # update of the March incident must not touch January's file
+    jan_before = jan_f.read_bytes()
+    store.update_incident(i_mar, status="in_progress", now=t_mar + timedelta(hours=1))
+    assert jan_f.read_bytes() == jan_before
+    assert len(mar_f.read_text().splitlines()) == 2  # insert + version
+
+    # versions stay co-located: January update lands in January's file
+    store.resolve_incident(i_jan, notes="done", now=t_mar)
+    assert len(jan_f.read_text().splitlines()) == 2
+    assert len(mar_f.read_text().splitlines()) == 2
+
+    # month pruning: a 30-day window from mid-March never lists January's
+    # file, and results are correct
+    pruned = store._files_desc("2024-02")
+    assert jan_f not in pruned and mar_f in pruned
+    recent = store.recent(days=30, now=t_mar + timedelta(days=1)).collect()
+    assert [r["id"] for r in recent] == [i_mar]
+    latest = {r["id"]: r for r in store.latest_state().collect()}
+    assert latest[i_jan]["status"] == "resolved"
+    assert latest[i_mar]["status"] == "in_progress"
+
+    # legacy layout: a plain log.jsonl is read and its incidents update
+    # in place (appends go back to the legacy file)
+    legacy_base = tmp_path / "legacy"
+    legacy_base.mkdir()
+    legacy_store = IncidentStore(spark, str(legacy_base))
+    rec = {
+        "id": "old-1", "incident_type": "x", "summary": "s", "context": "{}",
+        "severity": "low", "status": "open",
+        "created_at": "2023-12-01T00:00:00", "updated_at": "2023-12-01T00:00:00",
+        "resolved_at": None, "escalated_at": None, "escalated": False,
+        "resolution_notes": None, "created_by": "t",
+    }
+    (legacy_base / "log.jsonl").write_text(json.dumps(rec) + "\n")
+    legacy_store.update_incident("old-1", status="resolved",
+                                 now=datetime(2024, 1, 1))
+    assert len((legacy_base / "log.jsonl").read_text().splitlines()) == 2
+    assert not list(legacy_base.glob("log_*.jsonl"))
+    state = legacy_store.latest_state().collect()
+    assert state[0]["status"] == "resolved"
+
+    # unknown id still raises
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        store.update_incident("nope")
