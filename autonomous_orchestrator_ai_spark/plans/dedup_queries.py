@@ -410,6 +410,36 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           array_to_string(list_sort(list(node)), ',') AS doc_ids
+    FROM comp GROUP BY component
+    """,
+)
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate clusters as ``near_dup_clusters``, computed by
+    alternating large-star/small-star contraction
+    (operators.graph.connected_components_star, Kiveris et al. SoCC'14)
+    instead of min-label propagation — O(log^2 n) rounds independent of
+    graph diameter, the adversarial-chain escape hatch the auto-switch
+    falls back to. Registered with the SAME oracle so the two algorithms
+    are pinned equivalent on real data, not just unit graphs."""
+    from autonomous_orchestrator_ai_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    cc = connected_components_star(_ngram_edges(spark, sf_dir)).withColumnRenamed(
+        "star_component", "component"
+    )
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("doc_ids"),
+    )
+
+
+@register(
     "near_dup_survivors",
     oracle=f"""
     WITH RECURSIVE {_CC_CTES}
