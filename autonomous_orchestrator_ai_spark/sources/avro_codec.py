@@ -145,10 +145,20 @@ def _matches(schema, value) -> bool:
         return isinstance(value, bool)
     if t in ("int", "long"):
         return isinstance(value, int) and not isinstance(value, bool)
-    if t in ("float", "double"):
-        # int values are encodable as floats (Avro promotes); exact-type
-        # branches are tried first by _union_branch's two passes
+    if t == "double":
         return isinstance(value, float)
+    if t == "float":
+        # only values that survive a float32 round-trip match the 32-bit
+        # branch — in a [float, double] union, 16777217.0 must take the
+        # double branch or the encode loses precision (hypothesis-found)
+        if not isinstance(value, float):
+            return False
+        if value != value:  # NaN round-trips by definition
+            return True
+        try:
+            return struct.unpack("<f", struct.pack("<f", value))[0] == value
+        except OverflowError:  # beyond float32 range
+            return False
     if t == "bytes":
         return isinstance(value, (bytes, bytearray))
     if t == "fixed":
@@ -177,9 +187,11 @@ def _union_branch(branches, value) -> int:
         if _matches(b, value):
             return i
     if isinstance(value, int) and not isinstance(value, bool):
-        for i, b in enumerate(branches):
-            if _type_of(b) in ("float", "double"):
-                return i
+        # promote int -> double first (exact for |v| < 2^53), then float
+        for want in ("double", "float"):
+            for i, b in enumerate(branches):
+                if _type_of(b) == want:
+                    return i
     raise ValueError(f"no union branch for {value!r} in {branches!r}")
 
 
