@@ -14,10 +14,11 @@ external producer). Production Spark clusters should prefer
 ``readers.decode_avro_values``, an Arrow-batched ``mapInPandas`` fallback
 whose per-record Python cost is explicitly the price of jar-lessness.
 
-Schema resolution/evolution (reader-vs-writer schema matching) is NOT
-implemented — records must be read with the schema they were written with;
-drifted fields arrive via the union-with-null defaults exactly as the
-reference's v2/v3 producer emits them.
+Schema resolution/evolution (reader-vs-writer schema matching) is
+implemented in ``decode_resolved`` per the public spec's resolution rules:
+field match by name, writer-only fields skipped, reader defaults applied,
+primitive promotions, enum defaults, union re-branching. Aliases are the
+one spec feature not supported (no-match raises).
 """
 
 from __future__ import annotations
@@ -282,6 +283,182 @@ def _decode_blocks(item_schema, buf, mark_unions: bool = False):
 
 def parse_schema(avro_schema_json: str) -> dict:
     return json.loads(avro_schema_json)
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader vs writer schema — Avro spec "Schema Resolution")
+# ---------------------------------------------------------------------------
+
+#: (writer, reader) primitive promotions the spec allows
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+    ("string", "bytes"), ("bytes", "string"),
+}
+
+
+def _simple_name(schema) -> str:
+    return schema.get("name", "").rsplit(".", 1)[-1]
+
+
+def _compatible(w, r) -> bool:
+    """Can data written with ``w`` be read as ``r`` (spec match rules:
+    same type, allowed promotion, or — for named types — same unqualified
+    name; fixed also requires equal size)? Aliases are not supported."""
+    tw, tr = _type_of(w), _type_of(r)
+    if tr == "union":
+        branches = r if isinstance(r, list) else r["type"]
+        return any(_compatible(w, b) for b in branches)
+    if tw == "union":
+        branches = w if isinstance(w, list) else w["type"]
+        return all(_compatible(b, r) for b in branches)
+    if tw == tr:
+        if tw == "fixed":
+            return w["size"] == r["size"] and _simple_name(w) == _simple_name(r)
+        if tw in ("record", "enum"):
+            return _simple_name(w) == _simple_name(r)
+        return True
+    return (tw, tr) in _PROMOTIONS
+
+
+def _promote(value, tr: str):
+    if tr in ("float", "double"):
+        return float(value)
+    if tr == "long":
+        return int(value)
+    if tr == "bytes" and isinstance(value, str):
+        return value.encode("utf-8")
+    if tr == "string" and isinstance(value, (bytes, bytearray)):
+        return bytes(value).decode("utf-8")
+    return value
+
+
+def default_value(schema, default, mark_unions: bool = False):
+    """A reader field's JSON default -> runtime value per the spec:
+    ``bytes``/``fixed`` defaults are strings of codepoints 0-255; a union
+    field's default corresponds to the FIRST branch."""
+    t = _type_of(schema)
+    if t == "union":
+        branches = schema if isinstance(schema, list) else schema["type"]
+        val = default_value(branches[0], default)
+        if mark_unions and val is not None and not _is_simple_union(branches):
+            return (0, val)
+        return val
+    if t in ("bytes", "fixed") and isinstance(default, str):
+        return default.encode("latin-1")
+    if t in ("float", "double") and isinstance(default, (int, float)):
+        return float(default)
+    if t == "record":
+        return {
+            f["name"]: default_value(
+                f["type"], default.get(f["name"], f.get("default"))
+            )
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [default_value(schema["items"], v) for v in default]
+    if t == "map":
+        return {k: default_value(schema["values"], v) for k, v in default.items()}
+    return default
+
+
+def decode_resolved(
+    writer_schema,
+    reader_schema,
+    data: bytes | io.BytesIO,
+    mark_unions: bool = False,
+):
+    """Decode bytes written with ``writer_schema`` into the shape of
+    ``reader_schema`` — the spec's schema-resolution walk, which is what
+    makes the reference's v2/v3 producer evolution readable by old and
+    new consumers alike: writer-only fields are skipped, reader-only
+    fields take their defaults (error if none), fields match by name not
+    position, primitives promote (int->long/float/double, long->float/
+    double, float->double, string<->bytes), enum symbols fall back to the
+    reader's ``default``, and union branches resolve writer-branch ->
+    first compatible reader branch. With ``mark_unions=True``, non-simple
+    READER unions wrap as (reader_branch_index, value) — the same
+    contract as ``decode`` — so ``readers._avro_to_spark_value`` shapes
+    resolved values with the reader schema. Aliases are not supported
+    (raise via no-match)."""
+    buf = data if isinstance(data, io.BytesIO) else io.BytesIO(data)
+    return _resolve_decode(writer_schema, reader_schema, buf, mark_unions)
+
+
+def _resolve_decode(w, r, buf: io.BytesIO, mark: bool):
+    tw = _type_of(w)
+    if tw == "union":
+        branches = w if isinstance(w, list) else w["type"]
+        return _resolve_decode(branches[_decode_long(buf)], r, buf, mark)
+    tr = _type_of(r)
+    if tr == "union":
+        rbranches = r if isinstance(r, list) else r["type"]
+        for i, rb in enumerate(rbranches):
+            if _compatible(w, rb):
+                val = _resolve_decode(w, rb, buf, mark)
+                if mark and val is not None and not _is_simple_union(rbranches):
+                    return (i, val)
+                return val
+        raise ValueError(
+            f"writer schema {w!r} matches no reader union branch {rbranches!r}"
+        )
+    if not _compatible(w, r):
+        raise ValueError(f"incompatible schemas: writer {w!r} vs reader {r!r}")
+    if tw != tr:  # primitive promotion
+        return _promote(decode(w, buf), tr)
+    if tw == "enum":
+        sym = w["symbols"][_decode_long(buf)]
+        if sym in r["symbols"]:
+            return sym
+        if "default" in r:
+            return r["default"]
+        raise ValueError(
+            f"enum symbol {sym!r} absent from reader symbols {r['symbols']!r}"
+        )
+    if tw == "record":
+        rfields = {f["name"]: f for f in r["fields"]}
+        out = {}
+        for f in w["fields"]:
+            if f["name"] in rfields:
+                out[f["name"]] = _resolve_decode(
+                    f["type"], rfields[f["name"]]["type"], buf, mark
+                )
+            else:
+                decode(f["type"], buf)  # writer-only field: skip wire bytes
+        for f in r["fields"]:
+            if f["name"] not in out:
+                if "default" in f:
+                    out[f["name"]] = default_value(f["type"], f["default"], mark)
+                else:
+                    raise ValueError(
+                        f"reader field {f['name']!r} not written and has no default"
+                    )
+        return out
+    if tw == "array":
+        out_l = []
+        while True:
+            n = _decode_long(buf)
+            if n == 0:
+                return out_l
+            if n < 0:
+                n = -n
+                _decode_long(buf)
+            for _ in range(n):
+                out_l.append(_resolve_decode(w["items"], r["items"], buf, mark))
+    if tw == "map":
+        out_m = {}
+        while True:
+            n = _decode_long(buf)
+            if n == 0:
+                return out_m
+            if n < 0:
+                n = -n
+                _decode_long(buf)
+            for _ in range(n):
+                k = decode("string", buf)
+                out_m[k] = _resolve_decode(w["values"], r["values"], buf, mark)
+    # identical primitive / fixed — plain decode
+    return decode(w, buf, mark)
 
 
 #: the reference's customer-event wire schema

@@ -193,22 +193,37 @@ def _avro_to_spark_value(schema, value):
     return value
 
 
-def decode_avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
+def decode_avro_values(
+    df: DataFrame,
+    avro_schema_json: str,
+    reader_schema_json: str | None = None,
+) -> DataFrame:
     """No-jar Avro decode of the Kafka ``value`` column via the vendored
     pure-Python codec (sources.avro_codec), Arrow-batched through
     ``mapInPandas``. Same output contract as ``parse_avro_value`` (kafka
     envelope columns + flattened record fields) so the two are drop-in
     interchangeable; use the JVM spark-avro route whenever the jar is
     available — this fallback pays per-record Python decode and exists so
-    S2's real wire format is exercisable in jar-less environments."""
+    S2's real wire format is exercisable in jar-less environments.
+
+    ``reader_schema_json`` enables schema evolution (the reference's
+    v2/v3 producer story, produce_events.py:149-164): bytes written with
+    ``avro_schema_json`` (the writer schema) are resolved into the
+    reader's shape — reader-only fields take their defaults, writer-only
+    fields are dropped, primitives promote — and the OUTPUT schema is the
+    reader's, exactly like spark-avro's ``avroSchema`` option."""
     import pandas as pd
 
     from autonomous_orchestrator_ai_spark.sources.avro_codec import (
         decode,
+        decode_resolved,
         parse_schema,
     )
 
-    record_schema = parse_schema(avro_schema_json)
+    writer_schema = parse_schema(avro_schema_json)
+    record_schema = (
+        parse_schema(reader_schema_json) if reader_schema_json else writer_schema
+    )
     data_type = _avro_to_spark_type(record_schema)
     if not isinstance(data_type, T.StructType):
         raise ValueError("top-level avro schema must be a record")
@@ -223,13 +238,19 @@ def decode_avro_values(df: DataFrame, avro_schema_json: str) -> DataFrame:
     )
     field_names = [f.name for f in data_type.fields]
 
+    if reader_schema_json:
+        def _decode_one(v):
+            return decode_resolved(
+                writer_schema, record_schema, bytes(v), mark_unions=True
+            )
+    else:
+        def _decode_one(v):
+            return decode(record_schema, bytes(v), mark_unions=True)
+
     def batches(it):
         for pdf in it:
             decoded = [
-                _avro_to_spark_value(
-                    record_schema,
-                    decode(record_schema, bytes(v), mark_unions=True),
-                )
+                _avro_to_spark_value(record_schema, _decode_one(v))
                 for v in pdf["value"]
             ]
             out = pd.DataFrame(

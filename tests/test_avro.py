@@ -446,3 +446,145 @@ class TestMultiBranchUnions:
         assert out["0"] is None
         assert out["1"]["member0"] == "s-1" and out["1"]["member1"] is None
         assert out["2"]["member0"] is None and out["2"]["member1"] == 7
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (reader vs writer — the v2/v3 evolution story)
+# ---------------------------------------------------------------------------
+
+from autonomous_orchestrator_ai_spark.sources.avro_codec import (  # noqa: E402
+    decode_resolved,
+)
+
+
+def _rec(name, *fields):
+    return {"type": "record", "name": name, "fields": list(fields)}
+
+
+class TestSchemaResolution:
+    def test_v1_bytes_read_with_v3_reader_fills_defaults(self):
+        """The reference's evolution path: old wire bytes + new reader
+        schema -> drift fields appear with their null defaults."""
+        v1_fields = [f for f in SCHEMA["fields"]
+                     if f["name"] not in ("marketing_opt_in", "customer_segment")]
+        v1 = {"type": "record", "name": "CustomerEvent", "fields": v1_fields}
+        payload = {k: v for k, v in EVENT_V1.items()
+                   if k not in ("marketing_opt_in", "customer_segment")}
+        wire = encode(v1, payload)
+        out = decode_resolved(v1, SCHEMA, wire)
+        assert out == EVENT_V1  # defaults filled as None
+
+    def test_writer_only_fields_skipped_and_reorder_by_name(self):
+        w = _rec("R",
+                 {"name": "a", "type": "string"},
+                 {"name": "dropme", "type": "long"},
+                 {"name": "b", "type": "int"})
+        r = _rec("R",
+                 {"name": "b", "type": "int"},
+                 {"name": "a", "type": "string"})
+        out = decode_resolved(w, r, encode(w, {"a": "x", "dropme": 9, "b": 3}))
+        assert out == {"a": "x", "b": 3}
+
+    def test_missing_default_raises(self):
+        w = _rec("R", {"name": "a", "type": "string"})
+        r = _rec("R", {"name": "a", "type": "string"},
+                 {"name": "b", "type": "long"})
+        with pytest.raises(ValueError, match="no default"):
+            decode_resolved(w, r, encode(w, {"a": "x"}))
+
+    def test_primitive_promotions(self):
+        w = _rec("R", {"name": "i", "type": "int"},
+                 {"name": "f", "type": "float"},
+                 {"name": "s", "type": "string"},
+                 {"name": "by", "type": "bytes"})
+        r = _rec("R", {"name": "i", "type": "double"},
+                 {"name": "f", "type": "double"},
+                 {"name": "s", "type": "bytes"},
+                 {"name": "by", "type": "string"})
+        out = decode_resolved(
+            w, r, encode(w, {"i": 7, "f": 1.5, "s": "hi", "by": b"ok"})
+        )
+        assert out == {"i": 7.0, "f": 1.5, "s": b"hi", "by": "ok"}
+        assert isinstance(out["i"], float)
+
+    def test_enum_falls_back_to_reader_default(self):
+        w_enum = {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]}
+        r_enum = {"type": "enum", "name": "E", "symbols": ["A", "B"],
+                  "default": "A"}
+        w = _rec("R", {"name": "e", "type": w_enum})
+        r = _rec("R", {"name": "e", "type": r_enum})
+        assert decode_resolved(w, r, encode(w, {"e": "B"})) == {"e": "B"}
+        assert decode_resolved(w, r, encode(w, {"e": "C"})) == {"e": "A"}
+        r_nodefault = _rec("R", {"name": "e", "type":
+                           {"type": "enum", "name": "E", "symbols": ["A"]}})
+        with pytest.raises(ValueError, match="absent from reader"):
+            decode_resolved(w, r_nodefault, encode(w, {"e": "C"}))
+
+    def test_union_rebranching_and_nonunion_to_union(self):
+        # writer long -> reader ["null","string","long"]: resolves into
+        # the long branch (member1 when marked)
+        w = _rec("R", {"name": "v", "type": "long"})
+        r = _rec("R", {"name": "v", "type": ["null", "string", "long"]})
+        wire = encode(w, {"v": 42})
+        assert decode_resolved(w, r, wire) == {"v": 42}
+        marked = decode_resolved(w, r, wire, mark_unions=True)
+        assert marked == {"v": (2, 42)}
+        from autonomous_orchestrator_ai_spark.sources.readers import (
+            _avro_to_spark_value,
+        )
+        assert _avro_to_spark_value(r, marked)["v"] == {
+            "member0": None, "member1": 42
+        }
+        # writer union -> narrower reader union, branch-compatible
+        w2 = _rec("R", {"name": "v", "type": ["null", "int"]})
+        r2 = _rec("R", {"name": "v", "type": ["null", "double"]})
+        assert decode_resolved(w2, r2, encode(w2, {"v": 3})) == {"v": 3.0}
+        assert decode_resolved(w2, r2, encode(w2, {"v": None})) == {"v": None}
+
+    def test_nested_array_map_resolution(self):
+        w = _rec("R", {"name": "xs", "type": {"type": "array", "items": "int"}},
+                 {"name": "m", "type": {"type": "map", "values": "int"}})
+        r = _rec("R", {"name": "xs", "type": {"type": "array", "items": "long"}},
+                 {"name": "m", "type": {"type": "map", "values": "double"}})
+        out = decode_resolved(
+            w, r, encode(w, {"xs": [1, 2], "m": {"k": 5}})
+        )
+        assert out == {"xs": [1, 2], "m": {"k": 5.0}}
+        assert isinstance(out["m"]["k"], float)
+
+    def test_incompatible_raises(self):
+        w = _rec("R", {"name": "a", "type": "string"})
+        r = _rec("R", {"name": "a", "type": "long"})
+        with pytest.raises(ValueError, match="incompatible|no reader"):
+            decode_resolved(w, r, encode(w, {"a": "x"}))
+
+    def test_decode_avro_values_with_reader_schema(self, spark):
+        """End-to-end: v1 wire bytes + v3 reader schema through the
+        mapInPandas decode — output columns are the reader's, defaults
+        filled (spark-avro avroSchema-option parity)."""
+        v1_fields = [f for f in SCHEMA["fields"]
+                     if f["name"] not in ("marketing_opt_in", "customer_segment")]
+        v1 = {"type": "record", "name": "CustomerEvent", "fields": v1_fields}
+        payload = {k: v for k, v in EVENT_V1.items()
+                   if k not in ("marketing_opt_in", "customer_segment")}
+        rows = [(b"k", encode(v1, payload), "t", 0, 0,
+                 datetime(2024, 1, 1, tzinfo=timezone.utc), 0)]
+        df = spark.createDataFrame(rows, KAFKA_ENVELOPE_SCHEMA)
+        out = decode_avro_values(
+            df, json.dumps(v1), reader_schema_json=CUSTOMER_EVENTS_AVSC
+        ).collect()[0]
+        assert out["marketing_opt_in"] is None
+        assert out["customer_segment"] is None
+        assert out["id"] == EVENT_V1["id"] and out["plan"] == EVENT_V1["plan"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(_schema_and_value())
+def test_resolution_with_identical_schemas_is_plain_decode(sv):
+    """decode_resolved(s, s, bytes) == decode(s, bytes) for arbitrary
+    schemas — resolution degenerates to identity when nothing evolved."""
+    schema, value = sv
+    wrapped = {"type": "record", "name": "Top",
+               "fields": [{"name": "v", "type": schema}]}
+    wire = encode(wrapped, {"v": value})
+    assert decode_resolved(wrapped, wrapped, wire) == decode(wrapped, wire)
