@@ -228,3 +228,120 @@ def read_latest_snapshot(spark, base_path: str) -> DataFrame:
     if version == 0:
         raise FileNotFoundError(f"no snapshot published under {base_path}")
     return spark.read.parquet(str(Path(base_path) / f"v={version}"))
+
+
+# ---------------------------------------------------------------------------
+# Kafka produce path (the write twin of readers.parse_avro_value /
+# decode_avro_values — reference kafka/produce_events.py publishes these
+# wire bytes; the engine can now emit them too)
+# ---------------------------------------------------------------------------
+
+
+def serialize_avro_value(df: DataFrame, avro_schema_json: str) -> DataFrame:
+    """JVM to_avro encode of a struct column ``value`` into Avro binary —
+    the spark-avro produce path, mirroring ``readers.parse_avro_value``.
+    Requires the spark-avro package (absent in this container → clear
+    ImportError at call time); ``encode_avro_values`` below is the
+    vendored no-jar twin."""
+    from pyspark.sql import functions as F
+
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError("pyspark avro functions unavailable") from exc
+    return df.withColumn("value", to_avro(F.col("value"), avro_schema_json))
+
+
+def encode_avro_values(
+    df: DataFrame, avro_schema_json: str, value_cols: list[str] | None = None
+) -> DataFrame:
+    """No-jar Avro ENCODE: pack ``value_cols`` (default: every column
+    except ``key``) of each row into Avro binary per the writer schema,
+    via the vendored codec (sources.avro_codec.encode), Arrow-batched
+    through ``mapInPandas``. Output is Kafka-producer-shaped —
+    ``key: binary, value: binary`` — ready for a ``kafka`` sink's
+    required columns, and round-trips bit-exactly through
+    ``readers.decode_avro_values`` (tested). Unions/enums/nesting follow
+    the codec's full surface, so the reference's v1/v2/v3 producer
+    payloads (produce_events.py:149-164) are all emittable."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from autonomous_orchestrator_ai_spark.sources.avro_codec import (
+        default_value,
+        encode,
+        parse_schema,
+    )
+
+    schema = parse_schema(avro_schema_json)
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    cols = value_cols or [c for c in df.columns if c != "key"]
+    # columns absent from the frame take the schema's declared defaults —
+    # a v1-shaped frame emits valid v3 wire bytes, the producer-evolution
+    # direction; fields with no default must be present
+    field_names, defaults, missing = [], {}, []
+    for f in schema["fields"]:
+        if f["name"] in cols:
+            field_names.append(f["name"])
+        elif "default" in f:
+            defaults[f["name"]] = default_value(f["type"], f["default"])
+        else:
+            missing.append(f["name"])
+    if missing:
+        raise ValueError(f"dataframe lacks schema fields {missing}")
+    has_key = "key" in df.columns
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            keys = (
+                [None if k is None else bytes(k) for k in pdf["key"]]
+                if has_key
+                else [None] * len(pdf)
+            )
+            values = [
+                encode(
+                    schema,
+                    {f: _py(pdf[f].iloc[i]) for f in field_names} | defaults,
+                )
+                for i in range(len(pdf))
+            ]
+            yield pd.DataFrame({"key": keys, "value": values})
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def _py(v):
+    """numpy/pandas scalar -> plain Python for the avro codec (None for
+    the missing-value sentinels pandas substitutes in object columns)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float) and v != v:  # NaN marks a missing value here
+        return None
+    return v
+
+
+def kafka_sink_options(
+    brokers: str, topic: str, extra: dict | None = None
+) -> dict:
+    """Option surface for a Kafka writeStream/batch-write sink (public
+    spark-sql-kafka connector; reference docker-compose.yml:30-70 broker).
+    The jar is absent in this container, so like ``readers.kafka_stream``
+    this exposes the exact production options without executing: use
+    ``df.write.format("kafka").options(**kafka_sink_options(...))`` on a
+    cluster with the package."""
+    opts = {"kafka.bootstrap.servers": brokers, "topic": topic}
+    if extra:
+        opts.update(extra)
+    return opts

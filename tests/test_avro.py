@@ -588,3 +588,103 @@ def test_resolution_with_identical_schemas_is_plain_decode(sv):
                "fields": [{"name": "v", "type": schema}]}
     wire = encode(wrapped, {"v": value})
     assert decode_resolved(wrapped, wrapped, wire) == decode(wrapped, wire)
+
+
+# ---------------------------------------------------------------------------
+# Produce path: encode_avro_values (write twin of decode_avro_values)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_avro_values_roundtrip(spark):
+    """Engine-emitted wire bytes decode back bit-exactly: Spark rows ->
+    encode_avro_values -> (envelope) -> decode_avro_values == input."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from autonomous_orchestrator_ai_spark.schemas import CUSTOMER_EVENTS_SCHEMA
+    from autonomous_orchestrator_ai_spark.sources.writers import (
+        encode_avro_values,
+    )
+
+    v3_struct = T.StructType(
+        CUSTOMER_EVENTS_SCHEMA.fields
+        + [
+            T.StructField("marketing_opt_in", T.BooleanType()),
+            T.StructField("customer_segment", T.StringType()),
+        ]
+    )
+    rows = [EVENT_V1, EVENT_V3]
+    src = spark.createDataFrame(
+        [tuple(r[f.name] for f in v3_struct.fields) for r in rows],
+        v3_struct,
+    ).withColumn("key", F.col("id").cast("binary"))
+
+    wire = encode_avro_values(src, CUSTOMER_EVENTS_AVSC)
+    assert wire.columns == ["key", "value"]
+
+    enveloped = wire.select(
+        "key",
+        "value",
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.lit("2024-01-01").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    decoded = decode_avro_values(enveloped, CUSTOMER_EVENTS_AVSC)
+    got = {r["id"]: r.asDict() for r in decoded.collect()}
+    for r in rows:
+        out = got[r["id"]]
+        for k, v in r.items():
+            assert out[k] == v, (r["id"], k, out[k], v)
+
+    # also byte-exact vs the reference-shaped driver-side encoder
+    wire_bytes = {bytes(r["key"]).decode(): bytes(r["value"])
+                  for r in wire.collect()}
+    for r in rows:
+        assert wire_bytes[r["id"]] == encode(SCHEMA, r)
+
+
+def test_encode_avro_values_missing_field_raises(spark):
+    from autonomous_orchestrator_ai_spark.sources.writers import (
+        encode_avro_values,
+    )
+
+    df = spark.createDataFrame([(1,)], ["only_col"])
+    # id/name/... have no defaults -> must be present
+    with pytest.raises(ValueError, match="lacks schema fields"):
+        encode_avro_values(df, CUSTOMER_EVENTS_AVSC)
+
+
+def test_encode_avro_values_v1_frame_fills_v3_defaults(spark):
+    """A v1-shaped frame (no drift columns) emits valid v3 wire bytes:
+    absent fields with schema defaults are filled — the producer side of
+    the evolution story."""
+    from autonomous_orchestrator_ai_spark.schemas import CUSTOMER_EVENTS_SCHEMA
+    from autonomous_orchestrator_ai_spark.sources.writers import (
+        encode_avro_values,
+    )
+
+    payload = {k: v for k, v in EVENT_V1.items()
+               if k not in ("marketing_opt_in", "customer_segment")}
+    src = spark.createDataFrame(
+        [tuple(payload[f.name] for f in CUSTOMER_EVENTS_SCHEMA.fields)],
+        CUSTOMER_EVENTS_SCHEMA,
+    )
+    wire = encode_avro_values(src, CUSTOMER_EVENTS_AVSC).collect()[0]
+    assert decode(SCHEMA, bytes(wire["value"])) == EVENT_V1  # defaults None
+
+
+
+def test_kafka_sink_options_surface():
+    from autonomous_orchestrator_ai_spark.sources.writers import (
+        kafka_sink_options,
+    )
+
+    opts = kafka_sink_options("b1:9092,b2:9092", "events",
+                              {"kafka.acks": "all"})
+    assert opts == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "topic": "events",
+        "kafka.acks": "all",
+    }
