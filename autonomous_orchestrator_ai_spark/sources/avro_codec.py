@@ -393,15 +393,30 @@ def _resolve_decode(w, r, buf: io.BytesIO, mark: bool):
     tr = _type_of(r)
     if tr == "union":
         rbranches = r if isinstance(r, list) else r["type"]
-        for i, rb in enumerate(rbranches):
-            if _compatible(w, rb):
-                val = _resolve_decode(w, rb, buf, mark)
-                if mark and val is not None and not _is_simple_union(rbranches):
-                    return (i, val)
-                return val
-        raise ValueError(
-            f"writer schema {w!r} matches no reader union branch {rbranches!r}"
+        # like the Apache resolver's best-branch rule: an exact-type
+        # branch wins over a promotable one ("" must resolve to a string
+        # branch, not promote to an earlier bytes branch)
+        pick = next(
+            (
+                i
+                for i, rb in enumerate(rbranches)
+                if _type_of(rb) == tw and _compatible(w, rb)
+            ),
+            None,
         )
+        if pick is None:
+            pick = next(
+                (i for i, rb in enumerate(rbranches) if _compatible(w, rb)),
+                None,
+            )
+        if pick is None:
+            raise ValueError(
+                f"writer schema {w!r} matches no reader union branch {rbranches!r}"
+            )
+        val = _resolve_decode(w, rbranches[pick], buf, mark)
+        if mark and val is not None and not _is_simple_union(rbranches):
+            return (pick, val)
+        return val
     if not _compatible(w, r):
         raise ValueError(f"incompatible schemas: writer {w!r} vs reader {r!r}")
     if tw != tr:  # primitive promotion

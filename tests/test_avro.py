@@ -688,3 +688,53 @@ def test_kafka_sink_options_surface():
         "topic": "events",
         "kafka.acks": "all",
     }
+
+
+@st.composite
+def _evolved_pair(draw):
+    """(writer_record, reader_record, value, expectations): start from a
+    random flat-ish writer record, then evolve it — drop fields, add
+    fields with defaults, promote primitive types, shuffle field order —
+    the moves the spec's resolution rules exist for."""
+    n = draw(st.integers(2, 5))
+    name_seq = iter(range(10**6))
+    wfields = []
+    for i in range(n):
+        sch = draw(_avro_schema(depth=1, name_seq=name_seq))
+        wfields.append({"name": f"f{i}", "type": sch})
+    writer = {"type": "record", "name": "Evo", "fields": wfields}
+    value = {f["name"]: _value_for(draw, f["type"]) for f in wfields}
+
+    _PROMOTE = {"int": ["long", "double"], "long": ["double"],
+                "float": ["double"]}
+    rfields, expect = [], {}
+    for f in wfields:
+        keep = draw(st.integers(0, 9)) < 8  # drop ~20% of fields
+        if not keep:
+            continue
+        ftype = f["type"]
+        v = value[f["name"]]
+        if isinstance(ftype, str) and ftype in _PROMOTE and draw(st.booleans()):
+            ftype = draw(st.sampled_from(_PROMOTE[f["type"]]))
+            v = float(v) if ftype in ("float", "double") else int(v)
+        rfields.append({"name": f["name"], "type": ftype})
+        expect[f["name"]] = v
+    # add 0-2 reader-only fields with defaults
+    for j in range(draw(st.integers(0, 2))):
+        dflt = draw(st.integers(-5, 5))
+        rfields.append({"name": f"new{j}", "type": "long", "default": dflt})
+        expect[f"new{j}"] = dflt
+    draw(st.randoms()).shuffle(rfields)
+    reader = {"type": "record", "name": "Evo", "fields": rfields}
+    return writer, reader, value, expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(_evolved_pair())
+def test_random_schema_evolution_resolves(pair):
+    """For random evolutions (field drops, additions-with-defaults,
+    primitive promotions, reorders), decode_resolved returns exactly the
+    reader-shaped expectation."""
+    writer, reader, value, expect = pair
+    out = decode_resolved(writer, reader, encode(writer, value))
+    assert out == expect
