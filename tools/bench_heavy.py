@@ -37,6 +37,10 @@ def main() -> None:
     parser.add_argument(
         "--passes", type=int, default=2, help="timing passes per query"
     )
+    parser.add_argument(
+        "--partitions", type=int, default=128,
+        help="shuffle partitions (scale with input: 128 at sf10, 512 at sf100)",
+    )
     ns = parser.parse_args()
     passes = ns.passes
     sf_dir = ns.sf_dir
@@ -57,7 +61,7 @@ def main() -> None:
     # AGGREGATE_OUT_OF_MEMORY at 16g). 4x-cpus partitions bounds per-task
     # state; the heap env default rises to a third of this host.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
-    spark = get_spark("bench-heavy", cpus=32, shuffle_partitions=128)
+    spark = get_spark("bench-heavy", cpus=32, shuffle_partitions=ns.partitions)
     registry.load_all()
     registry.QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir).collect()
 
