@@ -1,0 +1,256 @@
+"""Exact duplicate-SPAN deduplication (substring-level, Lee et al. 2022).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+ACL 2022) removes *substrings* that repeat across a corpus, not just
+whole near-duplicate documents: two docs can each be unique overall yet
+share a long boilerplate passage that an LLM would memorize. The paper
+builds a single suffix array over the concatenated corpus — an inherently
+single-machine construction. This module re-expresses the same semantics
+Spark-first:
+
+1. every document emits one row per word-``k``-gram *occurrence*
+   ``(doc_id, pos, gram_hash)`` — a pure posexplode, no UDF;
+2. a gram duplicated across >= ``min_docs`` distinct documents is found
+   with one groupBy on the 16-byte md5 (never the gram text — shuffle
+   bytes stay fixed-width no matter how long the grams are);
+3. per document, the positions of duplicated grams are merged into
+   *maximal spans* with the classic island window (running max of
+   interval ends) — the window is partitioned by ``doc_id`` so its state
+   is bounded by document length, never corpus size;
+4. removal keeps one canonical copy per gram (the minimum ``doc_id``
+   containing it — deterministic, engine-portable) and drops the covered
+   token positions everywhere else, reconstructing the cleaned text
+   order-exactly.
+
+Scale shape: explode(positions) is linear in corpus tokens; the only
+shuffles are a groupBy on fixed-width hashes, a hash join occurrences ×
+duplicated-grams (both corpus-scale sides — no broadcast hints), and
+per-doc windows/groupBys bounded by document length. No all-pairs step
+exists anywhere, so the plan survives a 100x scale-up; at 100 TB the
+gram table is just a bigger shuffle, exactly what Spark is for.
+
+Everything is md5-based and positionally deterministic, so the DuckDB
+oracles in plans/span_queries.py replay each step bit-for-bit in SQL.
+
+Reference parity note: the reference repo (AbdulSohail018/
+Autonomous-Orchestrator-Ai) has no substring dedup — this is part of the
+beyond-reference LLM-training-data surface, alongside operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.functions.text import normalized_text
+
+__all__ = [
+    "kgram_occurrences",
+    "duplicated_grams",
+    "duplicate_spans",
+    "duplicate_span_doc_stats",
+    "covered_positions",
+    "remove_duplicate_spans",
+]
+
+
+def _norm_tokens(text: Column | str) -> Column:
+    """Tokens of the *normalized* text (lower/trim/collapse) — the same
+    canonical form every other dedup operator fingerprints, so span dedup
+    and document dedup agree on what "the same text" means."""
+    return F.split(normalized_text(text), " ")
+
+
+def kgram_occurrences(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per word-k-gram occurrence: (doc_id, pos, gram_hash).
+
+    ``pos`` is the 0-based token index where the gram starts; ``gram_hash``
+    is the 16-byte md5 of the space-joined gram (binary, not hex — halves
+    the shuffle width of every downstream groupBy/join). Documents shorter
+    than ``k`` tokens emit nothing: they cannot contain a duplicated span
+    of length k and are provably never modified by removal.
+    """
+    toks = _norm_tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.unhex(F.md5(F.array_join(F.slice(toks, i, k), " "))),
+    )
+    return (
+        docs.where(F.size(toks) >= k)
+        .select(id_col, F.posexplode(grams).alias("pos", "gram_hash"))
+    )
+
+
+def duplicated_grams(
+    occ: DataFrame, id_col: str = "doc_id", min_docs: int = 2
+) -> DataFrame:
+    """Grams appearing in >= min_docs distinct docs: (gram_hash, n_docs,
+    n_occurrences, keeper_doc). ``keeper_doc`` (the minimum doc id holding
+    the gram) is the one canonical copy removal preserves — min() is
+    deterministic and engine-portable where "first seen" is not.
+
+    One partial-aggregating groupBy on the 16-byte hash; at corpus scale
+    this is the dominant (and only unavoidable) shuffle of the pipeline.
+    """
+    return (
+        occ.groupBy("gram_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(id_col).alias("keeper_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def _merge_islands(marked: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Merge marked gram-start positions into maximal [start, end) token
+    spans per doc — the island trick: a new span starts where ``pos``
+    clears the running max of previous interval ends. Window state is
+    per-document (bounded by doc length), so no skew risk at corpus scale.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int")
+    return (
+        marked.select(id_col, "pos", new_island.alias("ni"))
+        .withColumn("island", F.sum("ni").over(w))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .drop("island")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc_id, span_start, span_end).
+
+    Every occurrence of a cross-doc duplicated gram is marked (keeper or
+    not — a span IS duplicated in the keeper too; removal, not detection,
+    is where the keeper survives), then merged into maximal spans.
+    """
+    occ = kgram_occurrences(docs, k, id_col, text_col)
+    dup = duplicated_grams(occ, id_col, min_docs)
+    marked = occ.join(dup.select("gram_hash"), "gram_hash")
+    return _merge_islands(marked, k, id_col)
+
+
+def duplicate_span_doc_stats(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-doc duplication profile: (doc_id, n_spans, dup_tokens).
+
+    dup_tokens is the union length of the maximal spans — the count of
+    token positions inside any duplicated passage.
+    """
+    spans = duplicate_spans(docs, k, id_col, text_col, min_docs)
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+
+
+def covered_positions(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Token positions slated for removal: (doc_id, pos), distinct.
+
+    Only *non-keeper* occurrences cover positions — the minimum doc id
+    containing each duplicated gram keeps its copy, so exactly one
+    canonical occurrence of every duplicated passage survives the corpus
+    (the Lee et al. contract). The explode is a bounded fan-out of k rows
+    per occurrence; distinct() collapses overlap.
+    """
+    occ = kgram_occurrences(docs, k, id_col, text_col)
+    dup = duplicated_grams(occ, id_col, min_docs)
+    removable = occ.join(dup.select("gram_hash", "keeper_doc"), "gram_hash").where(
+        F.col(id_col) != F.col("keeper_doc")
+    )
+    return removable.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+        ).alias("pos"),
+    ).distinct()
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cleaned corpus for the *modified* docs: (doc_id, tokens_before,
+    tokens_after, clean_text).
+
+    clean_text is the normalized text with covered positions dropped and
+    the remainder re-joined in original order (sort_array over
+    (pos, token) structs — exact, no window needed). Docs that lose every
+    token come back with clean_text = '' rather than vanishing: a
+    downstream filter on tokens_after is a *policy* decision this operator
+    does not make. Unmodified docs are not returned — at 100 TB the whole
+    point is that the output of the removal step is a small delta, joined
+    back to the corpus by the caller (left join + coalesce), not a
+    rewritten copy of every row.
+    """
+    covered = covered_positions(docs, k, id_col, text_col, min_docs)
+    toks = docs.select(
+        id_col, F.posexplode(_norm_tokens(text_col)).alias("pos", "tok")
+    )
+    # Per-doc sizes of the *affected* docs only (semi join keeps the token
+    # re-scan proportional to the delta, not the corpus).
+    affected = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("removed_tokens")
+    )
+    kept = (
+        toks.join(affected.select(id_col), id_col)
+        .join(covered, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("tokens_after"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        affected.join(kept, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce(F.col("tokens_after"), F.lit(0)) + F.col("removed_tokens"))
+            .cast("bigint")
+            .alias("tokens_before"),
+            F.coalesce(F.col("tokens_after"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_after"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

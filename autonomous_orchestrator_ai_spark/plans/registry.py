@@ -70,6 +70,7 @@ def load_all() -> None:
         scoring_queries,
         similarity_queries,
         snapshot_queries,
+        span_queries,
         text_queries,
         timeseries_queries,
         tpch,
