@@ -335,3 +335,86 @@ def token_kl_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("kl", 6).alias("kl_divergence"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (operators/classify.py)
+# ---------------------------------------------------------------------------
+
+from autonomous_orchestrator_ai_spark.operators.classify import (  # noqa: E402
+    N_BUCKETS,
+    hashed_linear_score,
+)
+from autonomous_orchestrator_ai_spark.plans.dedup_queries import (  # noqa: E402
+    NORM_SQL,
+)
+
+
+def _bucket_sql(tok: str) -> str:
+    return f"(CAST(('0x' || substr(md5({tok}), 1, 8)) AS BIGINT) % {N_BUCKETS})"
+
+
+def _weight_sql(bucket: str) -> str:
+    return (
+        f"((CAST(('0x' || substr(md5('w1#' || CAST({bucket} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 2001 - 1000) / 1000.0)"
+    )
+
+
+#: the full classifier as one SQL scalar — mirrors
+#: classify.hashed_linear_score(text, salt='w1') exactly.
+_SCORE_SQL = (
+    "1.0 / (1.0 + exp(-("
+    f"list_sum(list_transform(string_split({NORM_SQL}, ' '), "
+    f"t -> {_weight_sql(_bucket_sql('t'))})) "
+    f"/ len(string_split({NORM_SQL}, ' ')))))"
+)
+
+
+@register(
+    "quality_classifier_by_source",
+    oracle=f"""
+    WITH scored AS (SELECT source, {_SCORE_SQL} AS score FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_score,
+           ROUND(AVG(CASE WHEN score >= 0.5 THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def quality_classifier_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-gate profile per source: mean score and the fraction
+    passing the 0.5 threshold. The classifier is the zero-shuffle
+    expression form — the aggregate is the ONLY exchange in the plan."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select("source", hashed_linear_score("text").alias("score"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(
+                F.avg(F.when(F.col("score") >= 0.5, 1.0).otherwise(0.0)), 6
+            ).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "quality_classifier_topk",
+    oracle=f"""
+    WITH scored AS (SELECT doc_id, {_SCORE_SQL} AS score FROM documents)
+    SELECT doc_id, ROUND(score, 6) AS score
+    FROM scored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 15
+    """,
+)
+def quality_classifier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-scoring documents (TakeOrderedAndProject over a map-only
+    scoring stage; rounded score is the sort key so cross-engine last-ulp
+    noise cannot reorder ties — doc_id breaks the rest)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(hashed_linear_score("text"), 6).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
