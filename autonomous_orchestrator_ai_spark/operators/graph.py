@@ -396,6 +396,41 @@ def dedup_survivors(
     )
 
 
+def quality_ranked_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster dedup: per connected component of the
+    near-dup graph keep the row with the HIGHEST ``score_col`` (ties ->
+    smallest id); rows without a near-dup edge survive untouched. This is
+    the "keep the best copy" curation step production pipelines run after
+    clustering — :func:`dedup_survivors` keeps the arbitrary smallest id,
+    this variant keeps the copy a quality model prefers.
+
+    Scale shape: the component-label frame only contains docs that HAVE a
+    near-dup (tiny vs the corpus), so both joins broadcast it; only the
+    in-cluster rows are shuffled for ranking, and each ranking partition
+    is one cluster. The corpus at large never exchanges. ``score_col``
+    should be pre-rounded by the caller if scores come from float math,
+    so ranking never depends on last-ulp noise."""
+    cc = connected_components(pairs, src, dst)
+    in_cc = df.join(F.broadcast(cc), df[id_col] == cc["node"], "inner").drop("node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    winners = (
+        in_cc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "component")
+    )
+    singles = df.join(F.broadcast(cc), df[id_col] == cc["node"], "left_anti")
+    return singles.unionByName(winners)
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

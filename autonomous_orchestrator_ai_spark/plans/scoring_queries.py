@@ -418,3 +418,59 @@ def quality_classifier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(hashed_linear_score("text"), 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+
+
+from autonomous_orchestrator_ai_spark.plans.dedup_queries import (  # noqa: E402
+    _CC_CTES,
+)
+
+
+@register(
+    "quality_ranked_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES},
+    scored AS (SELECT doc_id, source, n_chars, ROUND({_SCORE_SQL}, 6) AS score
+               FROM documents),
+    labeled AS (SELECT s.*, COALESCE(c.component, s.doc_id) AS component
+                FROM scored s LEFT JOIN comp c ON s.doc_id = c.node),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY component ORDER BY score DESC, doc_id) AS rn
+               FROM labeled)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(score), 6) AS avg_score
+    FROM ranked WHERE rn = 1 GROUP BY source ORDER BY source
+    """,
+)
+def quality_ranked_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup dedup: within each connected component of
+    the n-gram-Jaccard >= 0.2 graph keep the doc the hashed-linear
+    classifier scores HIGHEST (ties -> smallest doc_id); edge-free docs
+    survive untouched (operators.graph.quality_ranked_survivors). The
+    per-source profile makes this directly comparable to
+    near_dup_survivors, which keeps the arbitrary smallest id instead."""
+    from autonomous_orchestrator_ai_spark.operators.graph import (
+        quality_ranked_survivors,
+    )
+    from autonomous_orchestrator_ai_spark.plans.dedup_queries import _ngram_edges
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(hashed_linear_score("text"), 6).alias("score"),
+    )
+    survivors = quality_ranked_survivors(
+        scored, _ngram_edges(spark, sf_dir), "score"
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("source")
+    )
