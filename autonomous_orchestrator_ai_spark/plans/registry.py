@@ -66,6 +66,7 @@ def load_all() -> None:
         fuzzy_queries,
         graph_queries,
         layout_queries,
+        lm_queries,
         pipeline_queries,
         scoring_queries,
         similarity_queries,
