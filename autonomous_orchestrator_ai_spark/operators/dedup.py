@@ -400,6 +400,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle *containment* for every pair sharing a shingle:
+    ``C = |A ∩ B| / min(|A|, |B|)`` (Broder 1997's containment measure).
+
+    The subset-duplicate detector Jaccard structurally misses: when a short
+    document is embedded verbatim inside a much longer one, Jaccard is
+    diluted by the big doc's extra shingles (|A∩B| / |A∪B| → small) while
+    containment stays ~1. Output is directional: ``contained_id`` is the
+    doc with the smaller shingle set (tie → smaller id), ``container_id``
+    the other — the pair a dedup policy keeps is the container, since the
+    contained doc's content survives inside it.
+
+    Plan shape is identical to ngram_jaccard_pairs (same inverted-index
+    self-join on the cached, join-key-partitioned shingle table, same
+    optional hot-shingle df-guard), so every scale argument there —
+    linear explode, bounded candidate generation under the guard, no
+    all-pairs — carries over unchanged.
+    """
+    df = ensure_min_parallelism(df)
+    exploded = (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+        )
+        .distinct()
+        .repartition("sh")
+        .persist()
+    )
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("sh")
+        )
+        exploded = _drop_hot_keys(exploded, hot, ["sh"])
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = exploded.select(F.col(id_col).alias("id_a"), "sh")
+    b = exploded.select(F.col(id_col).alias("id_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    smaller_is_a = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return scored.select(
+        F.when(smaller_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "contained_id"
+        ),
+        F.when(smaller_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "container_id"
+        ),
+        "containment",
+        F.round(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+        ).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing (rolling-hash fingerprint sketches)
 # ---------------------------------------------------------------------------

@@ -13,6 +13,7 @@ from autonomous_orchestrator_ai_spark.functions.text import fingerprint
 from autonomous_orchestrator_ai_spark.operators.dedup import (
     exact_dedup_by_fingerprint,
     minhash_near_duplicates,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash_duplicate_groups,
 )
@@ -152,6 +153,40 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.ngram_jaccard_pairs)."""
     docs = table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+
+
+@register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    exploded AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM docs),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_sh FROM exploded GROUP BY doc_id),
+    shared AS (SELECT a.doc_id id_a, b.doc_id id_b, CAST(COUNT(*) AS BIGINT) shared
+               FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT s.id_a, s.id_b, s.shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             ROUND(s.shared * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment,
+             ROUND(s.shared * 1.0 / (sa.n_sh + sb.n_sh - s.shared), 6) AS jaccard
+      FROM shared s JOIN sizes sa ON s.id_a = sa.doc_id
+                    JOIN sizes sb ON s.id_b = sb.doc_id)
+    SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+                THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+                THEN id_b ELSE id_a END AS container_id,
+           containment, jaccard
+    FROM scored WHERE containment >= 0.6
+    """,
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment pairs >= 0.6 — the subset-duplicate
+    detector for short docs embedded in longer ones, where Jaccard dilutes
+    (operators.dedup.ngram_containment_pairs). The jaccard column is
+    reported alongside to make the divergence auditable."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.6
+    )
 
 
 def _simhash_sql(bits: int = 16) -> str:

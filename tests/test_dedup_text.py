@@ -14,6 +14,7 @@ from autonomous_orchestrator_ai_spark.functions.text import (
 from autonomous_orchestrator_ai_spark.operators.dedup import (
     exact_dedup_by_fingerprint,
     minhash_near_duplicates,
+    ngram_containment_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_signature,
@@ -266,3 +267,31 @@ def test_drop_hot_keys_branches(spark):
     assert kept.count() == 96
     ids = {r.id for r in kept.collect()}
     assert {0, 50, 1, 51}.isdisjoint(ids)
+
+
+def test_containment_catches_embedded_doc(spark):
+    # doc 2 is a verbatim substring of doc 1: Jaccard is diluted by the
+    # container's extra shingles, containment of the contained doc is 1.0
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    short = "eta theta iota kappa lambda mu"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, "unrelated words entirely here today")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(df, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.contained_id, r.container_id) == (2, 1)
+    assert r.containment == 1.0
+    assert r.jaccard < 0.5  # the signal Jaccard-only dedup would miss
+
+
+def test_containment_tie_breaks_on_id(spark):
+    df = spark.createDataFrame(
+        [(7, "one two three four"), (5, "one two three four")],
+        "doc_id long, text string",
+    )
+    r = ngram_containment_pairs(df, threshold=0.9).collect()[0]
+    assert (r.contained_id, r.container_id) == (5, 7)
+    assert r.containment == 1.0 and r.jaccard == 1.0
