@@ -327,6 +327,74 @@ def minhash_near_duplicates(
     return verified
 
 
+def edit_verified_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+    similarity_threshold: float = 0.8,
+    max_chars: int = 2000,
+) -> DataFrame:
+    """LSH candidates verified by TRUE edit distance instead of Jaccard:
+    ``sim = 1 - levenshtein(a, b) / max(len(a), len(b))`` on the normalized
+    text, pairs kept at ``sim >= similarity_threshold``.
+
+    This is the exact-verification stage of a fuzzy-dedup pipeline
+    (NeMo-Curator / BigCode style): shingle-set Jaccard is blind to token
+    ORDER ("a b c d" vs "d c b a" share every unigram), while edit distance
+    charges every transposition — the two verifiers disagree exactly on
+    reordered boilerplate, which is why production pipelines run Levenshtein
+    on the candidate set when ordering matters (e.g. code dedup).
+
+    Scale: Levenshtein is O(len_a * len_b) PER PAIR — affordable only
+    because it runs on the LSH candidate set (bounded by band collisions,
+    never all-pairs) and on texts truncated to ``max_chars`` normalized
+    chars (100 TB corpora cap the comparison window; a 2k-char prefix
+    decides near-duplicate status for web docs in practice). The compute is
+    a single JVM codegen expression (``F.levenshtein``) — no Python in the
+    loop — and the candidate join ships only (id, truncated text) pairs.
+    """
+    df = ensure_min_parallelism(df)
+    prepared = df.select(
+        F.col(id_col),
+        F.substring(normalized_text(text_col), 1, max_chars).alias("__t"),
+        word_shingles(text_col, shingle_k).alias("__precomputed"),
+    ).persist()
+    sigs = minhash_signatures(
+        prepared,
+        text_col="__precomputed",
+        id_col=id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        precomputed_shingles=True,
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    a = prepared.select(F.col(id_col).alias("id_a"), F.col("__t").alias("t_a"))
+    b = prepared.select(F.col(id_col).alias("id_b"), F.col("__t").alias("t_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "edit_similarity",
+            F.round(
+                F.lit(1.0)
+                - F.levenshtein("t_a", "t_b")
+                / F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("edit_similarity") >= similarity_threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "edit_similarity",
+            F.levenshtein("t_a", "t_b").alias("edit_distance"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (inverted-index join — no LSH approximation)
 # ---------------------------------------------------------------------------

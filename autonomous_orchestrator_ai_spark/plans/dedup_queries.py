@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.functions.text import fingerprint
 from autonomous_orchestrator_ai_spark.operators.dedup import (
+    edit_verified_near_duplicates,
     exact_dedup_by_fingerprint,
     minhash_near_duplicates,
     ngram_containment_pairs,
@@ -186,6 +187,44 @@ def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return ngram_containment_pairs(
         docs, "text", "doc_id", shingle_k=3, threshold=0.6
+    )
+
+
+@register(
+    "edit_verified_near_dups",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, substr({NORM_SQL}, 1, 2000) AS t,
+                         {SHINGLES_SQL} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh,
+                    {", ".join(f"{_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
+             FROM docs),
+    banded AS (SELECT doc_id, band_id, {_bands_case_sql()} AS band_key
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(1.0 - levenshtein(da.t, db.t) * 1.0 /
+                   greatest(length(da.t), length(db.t), 1), 6) AS edit_similarity,
+             CAST(levenshtein(da.t, db.t) AS INTEGER) AS edit_distance
+      FROM cands c JOIN docs da ON c.id_a = da.doc_id
+                   JOIN docs db ON c.id_b = db.doc_id)
+    SELECT id_a, id_b, edit_similarity, edit_distance
+    FROM verified WHERE edit_similarity >= 0.4
+    """,
+)
+def edit_verified_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by true Levenshtein similarity at 0.4
+    (operators.dedup.edit_verified_near_duplicates) — the order-sensitive
+    verifier Jaccard can't express; same banded candidate generation as
+    minhash_lsh_near_dups, so the scale bound is identical."""
+    docs = table(spark, sf_dir, "documents")
+    return edit_verified_near_duplicates(
+        docs, "text", "doc_id",
+        num_hashes=NUM_HASHES, bands=BANDS, shingle_k=3,
+        similarity_threshold=0.4, max_chars=2000,
     )
 
 

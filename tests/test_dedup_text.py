@@ -12,6 +12,7 @@ from autonomous_orchestrator_ai_spark.functions.text import (
     word_shingles,
 )
 from autonomous_orchestrator_ai_spark.operators.dedup import (
+    edit_verified_near_duplicates,
     exact_dedup_by_fingerprint,
     minhash_near_duplicates,
     ngram_containment_pairs,
@@ -285,6 +286,42 @@ def test_containment_catches_embedded_doc(spark):
     assert (r.contained_id, r.container_id) == (2, 1)
     assert r.containment == 1.0
     assert r.jaccard < 0.5  # the signal Jaccard-only dedup would miss
+
+
+def test_edit_verified_scores_candidates(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("kappa", "KAPPA2")  # one token edited
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, base), (4, "totally different content")],
+        "doc_id long, text string",
+    )
+    rows = edit_verified_near_duplicates(df, similarity_threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    # identical pair: distance 0, similarity exactly 1
+    assert got[(1, 3)].edit_distance == 0
+    assert got[(1, 3)].edit_similarity == 1.0
+    # one-token edit: small positive distance, similarity just under 1
+    for pair in [(1, 2), (2, 3)]:
+        if pair in got:  # must band-collide to be scored; (1,3) always does
+            assert 0 < got[pair].edit_distance <= 7
+            assert 0.9 < got[pair].edit_similarity < 1.0
+    assert all(p[0] != 4 and p[1] != 4 for p in got)
+
+
+def test_edit_verified_truncates_comparison_window(spark):
+    # identical 30-char prefix, divergence beyond max_chars: distance is 0
+    # within the window, so the pair scores 1.0 despite different suffixes
+    prefix = "one two three four five six seven "
+    df = spark.createDataFrame(
+        [(1, prefix + "apple banana"), (2, prefix + "cherry date")],
+        "doc_id long, text string",
+    )
+    rows = edit_verified_near_duplicates(
+        df, similarity_threshold=0.9, max_chars=len(prefix) - 1
+    ).collect()
+    if rows:  # pair is only scored if the full-text shingles band-collide
+        assert rows[0].edit_distance == 0 and rows[0].edit_similarity == 1.0
 
 
 def test_containment_tie_breaks_on_id(spark):
