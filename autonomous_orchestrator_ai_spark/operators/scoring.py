@@ -124,6 +124,80 @@ def unigram_logprob(
     )
 
 
+def top_vocabulary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Frozen top-``vocab_size`` vocabulary by global occurrence count
+    (tie-break token asc) — the deterministic stand-in for a trained
+    tokenizer vocab when planning coverage.
+
+    Scale: the top-k is ``orderBy().limit()`` which compiles to
+    TakeOrderedAndProject — per-partition heaps of size V merged once, never
+    a global sort of the (possibly billions-of-types) vocabulary. The result
+    is BOUNDED at V rows, so it is always the broadcast side downstream.
+    """
+    counts = (
+        explode_tokens(docs, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 512,
+) -> DataFrame:
+    """Out-of-vocabulary rates per group against the frozen top-V vocab:
+    the tokenizer-planning report (how much of each source a fixed vocab
+    fails to cover, by occurrence AND by distinct type).
+
+    Token occurrences left-join the broadcast vocab (bounded V rows) for an
+    in-vocab flag; one grouped aggregation computes occurrence totals and
+    approximate-free distinct-type counts. No shuffle carries raw text —
+    only (group, token) pairs.
+    """
+    vocab = F.broadcast(top_vocabulary(docs, id_col, text_col, vocab_size))
+    tokens = explode_tokens(
+        docs.select(group_col, id_col, text_col), id_col=group_col,
+        text_col=text_col,
+    )
+    flagged = tokens.join(
+        vocab.select("token", F.lit(1).alias("__in_vocab")), "token", "left"
+    )
+    oov = F.col("__in_vocab").isNull()
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(oov, 1).otherwise(0)).alias("oov_tokens"),
+            F.countDistinct("token").alias("distinct_types"),
+            F.countDistinct(F.when(oov, F.col("token"))).alias(
+                "oov_types"
+            ),
+        )
+        .select(
+            group_col,
+            "total_tokens",
+            "oov_tokens",
+            F.round(F.col("oov_tokens") / F.col("total_tokens"), 6).alias(
+                "oov_token_rate"
+            ),
+            "distinct_types",
+            "oov_types",
+            F.round(F.col("oov_types") / F.col("distinct_types"), 6).alias(
+                "oov_type_rate"
+            ),
+        )
+    )
+
+
 def trimmed_stats(
     df: DataFrame,
     group_col: str,

@@ -21,6 +21,7 @@ from autonomous_orchestrator_ai_spark.operators.scoring import (
     top_terms_per_doc,
     trimmed_stats,
     unigram_logprob,
+    vocab_coverage,
 )
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
 
@@ -110,6 +111,40 @@ def unigram_logprob_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mean_logprob"), 4).alias("best_logprob"),
         )
     )
+
+
+@register(
+    "oov_rate_by_source",
+    oracle="""
+    WITH tokens_src AS (
+      SELECT source, t AS token
+      FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t <> ''),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tokens_src GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY cnt DESC, token ASC LIMIT 16)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS oov_token_rate,
+           CAST(COUNT(DISTINCT t.token) AS BIGINT) AS distinct_types,
+           CAST(COUNT(DISTINCT CASE WHEN v.token IS NULL THEN t.token END) AS BIGINT) AS oov_types,
+           ROUND(COUNT(DISTINCT CASE WHEN v.token IS NULL THEN t.token END) * 1.0
+                 / COUNT(DISTINCT t.token), 6) AS oov_type_rate
+    FROM tokens_src t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rates per source against the frozen global top-16
+    vocabulary (operators.scoring.vocab_coverage) — the tokenizer-planning
+    report: which sources a fixed vocab under-serves, by occurrence and by
+    distinct type. V=16 is sized to the synthetic corpus's 31-type
+    vocabulary so the OOV boundary is actually exercised. Vocab selection
+    is TakeOrderedAndProject (bounded top-k, no global sort); the vocab is
+    broadcast into the token stream."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    return vocab_coverage(docs, "source", "doc_id", "text", vocab_size=16)
 
 
 @register(

@@ -227,3 +227,54 @@ class TestGopherRules:
         assert not got[3]["word_count"] and not got[3]["alpha_words"]
         assert got[3]["repetition"] and got[3]["symbol_ratio"]
         assert not got[4]["repetition"]
+
+
+class TestVocabCoverage:
+    def test_oov_rates_hand_computed(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.scoring import (
+            top_vocabulary,
+            vocab_coverage,
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "a a a b b c", "s1"),   # a:3 b:2 c:1
+                (2, "a b d d", "s2"),       # a:1 b:1 d:2
+            ],
+            "doc_id long, text string, source string",
+        )
+        # global counts: a=4, d=2, b=3, c=1 -> top-2 vocab = {a, b}
+        vocab = {r.token for r in top_vocabulary(df, vocab_size=2).collect()}
+        assert vocab == {"a", "b"}
+        got = {
+            r.source: r
+            for r in vocab_coverage(df, vocab_size=2).collect()
+        }
+        # s1: 6 tokens, oov = c (1 occurrence); types {a,b,c}, oov types {c}
+        assert got["s1"].total_tokens == 6 and got["s1"].oov_tokens == 1
+        assert got["s1"].oov_token_rate == round(1 / 6, 6)
+        assert got["s1"].distinct_types == 3 and got["s1"].oov_types == 1
+        # s2: 4 tokens, oov = d,d; types {a,b,d}, oov types {d}
+        assert got["s2"].total_tokens == 4 and got["s2"].oov_tokens == 2
+        assert got["s2"].oov_type_rate == round(1 / 3, 6)
+
+    def test_vocab_tiebreak_deterministic(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.scoring import (
+            top_vocabulary,
+        )
+        # all counts equal: top-2 must be the lexicographically smallest
+        df = spark.createDataFrame(
+            [(1, "zebra apple mango", "s")],
+            "doc_id long, text string, source string",
+        )
+        vocab = [r.token for r in top_vocabulary(df, vocab_size=2).collect()]
+        assert set(vocab) == {"apple", "mango"}
+
+    def test_topk_plan_has_no_global_sort(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.scoring import (
+            top_vocabulary,
+        )
+        df = spark.createDataFrame(
+            [(1, "a b c", "s")], "doc_id long, text string, source string"
+        )
+        plan = top_vocabulary(df, vocab_size=2)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
