@@ -281,3 +281,49 @@ def embedding_near_duplicates(
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k vectors farthest from their group centroid, per group — the
+    embedding-space novelty/mislabel report (SemDeDup-adjacent: the same
+    centroid geometry, pointed at outliers instead of duplicates).
+
+    Per-dimension explode -> per-(label, dim) mean -> broadcast the centroid
+    table (bounded: n_labels x dim rows) back onto the exploded vectors ->
+    per-vector L2 distance -> per-label top-k. The only corpus-scaled
+    shuffle is the (id, label) distance aggregation; the ranking window
+    then sees one row per vector, partitioned by label — the natural
+    per-group top-k shape (skewed labels rank within their own partition).
+
+    Distances are rounded to 6dp BEFORE ranking so the ordering is stable
+    across engines (float summation order differs; ties break on id).
+    """
+    flat = embeddings.select(
+        id_col, label_col,
+        F.posexplode(_as_double_array(vec_col)).alias("i", "v"),
+    )
+    cent = flat.groupBy(label_col, "i").agg(F.avg("v").alias("m"))
+    dist = (
+        flat.join(F.broadcast(cent), [label_col, "i"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))),
+                6,
+            ).alias("centroid_dist")
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.desc("centroid_dist"), F.asc(id_col)
+    )
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(label_col, id_col, "centroid_dist", "rank")
+    )

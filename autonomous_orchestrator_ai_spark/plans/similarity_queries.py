@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.similarity import (
+    centroid_outliers,
     cosine,
     cosine_topk,
     lsh_bucketed_topk,
@@ -132,6 +133,37 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "label")
         .select("label", "n_vectors", "centroid_norm")
     )
+
+
+@register(
+    "centroid_outlier_topk",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (SELECT label, i, AVG(v) AS m FROM flat GROUP BY label, i),
+    dist AS (
+      SELECT f.vec_id, f.label,
+             ROUND(SQRT(SUM((f.v - c.m) * (f.v - c.m))), 6) AS centroid_dist
+      FROM flat f JOIN cent c ON f.label = c.label AND f.i = c.i
+      GROUP BY f.vec_id, f.label),
+    ranked AS (
+      SELECT label, vec_id, centroid_dist,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY centroid_dist DESC, vec_id ASC) AS rnk
+      FROM dist)
+    SELECT label, vec_id, centroid_dist, CAST(rnk AS BIGINT) AS rank
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def centroid_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 farthest-from-centroid vectors per label
+    (operators.similarity.centroid_outliers) — the embedding novelty /
+    mislabel report. Centroid table is bounded (labels x dims) and
+    broadcast; ranking is rounded-before-ordered for engine stability."""
+    emb = table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "embedding", "vec_id", "label", k=5)
 
 
 @register("ivf_ann_topk")  # no oracle: approximate + iterative (kmeans); pytest checks recall

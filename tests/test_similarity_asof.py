@@ -99,3 +99,31 @@ def test_asof_join_null_right_value_not_mixed(spark):
     row = out.collect()[0]
     assert row["ts_asof"] == 20
     assert row["rv_asof"] is None        # NOT "old"
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        centroid_outliers,
+    )
+    # label 0: three tight vectors + one far point; label 1: two points
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.1, 0.0], 0),
+        (3, [0.0, 0.1], 0),
+        (4, [9.0, 9.0], 0),   # planted outlier
+        (5, [1.0, 1.0], 1),
+        (6, [3.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = centroid_outliers(df, k=2).collect()
+    by_label = {}
+    for r in got:
+        by_label.setdefault(r.label, []).append(r)
+    # rank 1 for label 0 is the planted point, by a wide margin
+    l0 = sorted(by_label[0], key=lambda r: r.rank)
+    assert l0[0].vec_id == 4 and l0[0].centroid_dist > 5
+    assert l0[1].centroid_dist < 4
+    # label 1 is symmetric around the centroid: equidistant, tie -> id asc
+    l1 = sorted(by_label[1], key=lambda r: r.rank)
+    assert [r.vec_id for r in l1] == [5, 6]
+    assert l1[0].centroid_dist == l1[1].centroid_dist == 1.0
