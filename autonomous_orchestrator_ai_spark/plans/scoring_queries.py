@@ -148,6 +148,56 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zipf_slope_by_source",
+    oracle="""
+    WITH tokens_src AS (
+      SELECT source, t AS token
+      FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+      WHERE t <> ''),
+    counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tokens_src GROUP BY source, token),
+    ranked AS (
+      SELECT source, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, token ASC) AS rnk
+      FROM counts)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(cnt), ln(rnk)), 6) AS zipf_r2
+    FROM ranked GROUP BY source
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source: OLS slope of ln(count) on ln(rank) over the
+    source's token rank-frequency curve (slope near -1 = natural text;
+    flat = synthetic/uniform, steep = repetitive). Corpus-scaled work is
+    one (source, token) count shuffle; the regression runs over the
+    bounded per-source type table. Natural-text health check for a
+    training mix."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    from autonomous_orchestrator_ai_spark.operators.scoring import (
+        explode_tokens,
+    )
+
+    counts = (
+        explode_tokens(docs.select("source", "text"), "source", "text")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("cnt"), F.log("rnk")), 6).alias("zipf_r2"),
+    )
+
+
+@register(
     "trimmed_value_stats",
     oracle="""
     WITH ranked AS (

@@ -4,7 +4,7 @@ DuckDB oracles that recompute every formula exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import functools
@@ -132,6 +132,48 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
     return docs.groupBy(lang_id("text").alias("predicted_lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "lang_confusion_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang AS labeled_lang, text,
+             {", ".join(f"{_lang_score_sql(l)} AS s_{l}" for l in _ORDERED_LANGS)}
+      FROM documents),
+    cells AS (
+      SELECT labeled_lang, {_LANG_CASE} AS predicted_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY 1, 2)
+    SELECT labeled_lang, predicted_lang, n_docs,
+           ROUND(n_docs * 1.0 /
+                 SUM(n_docs) OVER (PARTITION BY labeled_lang), 6) AS frac_of_label
+    FROM cells
+    """,
+)
+def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix with per-label row
+    fractions — the mislabel detector a multilingual curation pipeline runs
+    before trusting upstream lang tags. One grouped count (corpus-scaled)
+    then a window over the bounded confusion cells (labels x predictions)."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    cells = (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id("text").alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "frac_of_label"
+        ),
     )
 
 

@@ -278,3 +278,45 @@ class TestVocabCoverage:
         )
         plan = top_vocabulary(df, vocab_size=2)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestZipfAndConfusion:
+    def test_zipf_slope_exact_on_powerlaw_corpus(self, spark):
+        # the registered query reads an sf_dir; exercise the same logic on
+        # a constructed frame where the exact slope is known
+        from autonomous_orchestrator_ai_spark.operators.scoring import (
+            explode_tokens,
+        )
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        # counts 8,4,2,1 = 2^-(rank-1) * 8: ln(cnt) = ln(16) - ln(2)*rank
+        # on ln(rank) that's not a perfect line; instead use cnt = 1/rank
+        # scaled: counts 12, 6, 4, 3 -> cnt = 12/rank exactly
+        text = " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3)
+        df = spark.createDataFrame([(1, text, "s")], "doc_id long, text string, source string")
+        counts = (
+            explode_tokens(df.select("source", "text"), "source", "text")
+            .groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+        ranked = counts.withColumn("rnk", F.row_number().over(w))
+        row = ranked.groupBy("source").agg(
+            F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 6).alias("slope"),
+            F.round(F.regr_r2(F.log("cnt"), F.log("rnk")), 6).alias("r2"),
+        ).collect()[0]
+        # cnt = 12 / rank exactly -> ln cnt = ln 12 - 1 * ln rank: slope -1, r2 1
+        assert row.slope == -1.0
+        assert row.r2 == 1.0
+
+    def test_lang_confusion_fractions_sum_to_one(self, spark):
+        from autonomous_orchestrator_ai_spark.plans.text_queries import (
+            lang_confusion_report,
+        )
+        from pyspark.sql import functions as F
+        out = lang_confusion_report(spark, SF)
+        sums = (
+            out.groupBy("labeled_lang")
+            .agg(F.round(F.sum("frac_of_label"), 4).alias("s"))
+            .collect()
+        )
+        assert sums and all(abs(r.s - 1.0) < 1e-3 for r in sums)
