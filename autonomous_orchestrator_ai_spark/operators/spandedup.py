@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from autonomous_orchestrator_ai_spark.functions.text import normalized_text
+from autonomous_orchestrator_ai_spark.functions.text import _once, normalized_text
 
 __all__ = [
     "kgram_occurrences",
@@ -75,14 +75,23 @@ def kgram_occurrences(
     than ``k`` tokens emit nothing: they cannot contain a duplicated span
     of length k and are provably never modified by removal.
     """
-    toks = _norm_tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.unhex(F.md5(F.array_join(F.slice(toks, i, k), " "))),
-    )
+    # Hoist the token array via _once: captured raw in the lambda, the
+    # whole normalize+split pipeline would re-run PER GRAM (O(n^2) regex
+    # work per doc — measured 30s -> ~2s for the sf1 occurrence explode).
+    def grams_of(ts: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (k - 1)),
+            lambda i: F.unhex(F.md5(F.array_join(F.slice(ts, i, k), " "))),
+        )
+
     return (
-        docs.where(F.size(toks) >= k)
-        .select(id_col, F.posexplode(grams).alias("pos", "gram_hash"))
+        docs.where(F.size(_norm_tokens(text_col)) >= k)
+        .select(
+            id_col,
+            F.posexplode(_once(_norm_tokens(text_col), grams_of)).alias(
+                "pos", "gram_hash"
+            ),
+        )
     )
 
 
@@ -144,7 +153,15 @@ def duplicate_spans(
     not — a span IS duplicated in the keeper too; removal, not detection,
     is where the keeper survives), then merged into maximal spans.
     """
-    occ = kgram_occurrences(docs, k, id_col, text_col)
+    # One shuffle serves both consumers: the groupBy inside
+    # duplicated_grams and the marking join both cluster on gram_hash, so
+    # a persisted hash-partitioned occurrence table computes the gram
+    # explode once and satisfies both distributions (same pattern as the
+    # dedup.py inverted-index caches; see the module caching contract
+    # there — callers release via session.release_session_storage).
+    occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
+        "gram_hash"
+    ).persist()
     dup = duplicated_grams(occ, id_col, min_docs)
     marked = occ.join(dup.select("gram_hash"), "gram_hash")
     return _merge_islands(marked, k, id_col)
@@ -184,7 +201,10 @@ def covered_positions(
     (the Lee et al. contract). The explode is a bounded fan-out of k rows
     per occurrence; distinct() collapses overlap.
     """
-    occ = kgram_occurrences(docs, k, id_col, text_col)
+    # same one-shuffle-two-consumers persist as duplicate_spans
+    occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
+        "gram_hash"
+    ).persist()
     dup = duplicated_grams(occ, id_col, min_docs)
     removable = occ.join(dup.select("gram_hash", "keeper_doc"), "gram_hash").where(
         F.col(id_col) != F.col("keeper_doc")
@@ -217,7 +237,11 @@ def remove_duplicate_spans(
     back to the corpus by the caller (left join + coalesce), not a
     rewritten copy of every row.
     """
-    covered = covered_positions(docs, k, id_col, text_col, min_docs)
+    # covered feeds BOTH the removed-count aggregate and the keep-side
+    # anti-join; persisted, the occ->dup->explode->distinct pipeline runs
+    # once instead of once per consumer (bounded: one row per removed
+    # token position of the affected delta, not the corpus)
+    covered = covered_positions(docs, k, id_col, text_col, min_docs).persist()
     toks = docs.select(
         id_col, F.posexplode(_norm_tokens(text_col)).alias("pos", "tok")
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from autonomous_orchestrator_ai_spark.functions.text import normalized_text
+from autonomous_orchestrator_ai_spark.functions.text import _once, normalized_text
 from autonomous_orchestrator_ai_spark.operators.spandedup import (
     duplicate_span_doc_stats,
     remove_duplicate_spans,
@@ -192,13 +192,19 @@ def top_duplicate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break."""
     docs = table(spark, sf_dir, "documents")
     toks = F.split(normalized_text("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (K - 1)),
-        lambda i: F.array_join(F.slice(toks, i, K), " "),
-    )
+
+    # _once-hoisted: capturing `toks` raw in the lambda re-runs the
+    # normalize+split per gram (same O(n^2) trap fixed in
+    # spandedup.kgram_occurrences)
+    def grams_of(ts):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (K - 1)),
+            lambda i: F.array_join(F.slice(ts, i, K), " "),
+        )
+
     return (
         docs.where(F.size(toks) >= K)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.explode(_once(toks, grams_of)).alias("gram"))
         .groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),

@@ -38,9 +38,15 @@ HEADLINE = [
     "pq_fixed_codebook_topk",
     "minhash_lsh_near_dups",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "edit_verified_near_dups",
     "simhash_collision_groups",
     "dedup_keep_first",
     "semantic_dedup_survivors",
+    "centroid_outlier_topk",
+    "oov_rate_by_source",
+    "zipf_slope_by_source",
+    "lang_confusion_report",
     "weighted_sample_docs",
     "text_stats_per_doc",
     "benchmark_contamination",
