@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from autonomous_orchestrator_ai_spark.functions.text import _once
+
 __all__ = ["bigram_occurrences", "bigram_model", "bigram_perplexity"]
 
 
@@ -62,16 +64,21 @@ def bigram_occurrences(
     no window; a document of n tokens emits exactly n-1 rows.
     """
     toks = _tokens(text_col)
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
-        ),
-    )
+
+    # _once-hoisted: captured raw, the lower+trim+regex split re-runs per
+    # bigram (the O(n^2)-per-doc HOF trap — see functions.text._once)
+    def pairs_of(ts: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        )
+
     return (
         docs.where((F.size(toks) >= 2) & (F.element_at(toks, 1) != ""))
-        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.explode(_once(toks, pairs_of)).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
