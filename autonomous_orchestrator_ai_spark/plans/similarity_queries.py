@@ -610,3 +610,154 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_b").cast("int").alias("label_b"),
         F.round(F.sqrt("d2"), 4).alias("centroid_dist"),
     )
+
+
+def _ivfpq_oracle_sql(
+    k: int,
+    n_probe: int,
+    shortlist: int,
+    n_cents: int,
+    m: int,
+    n_codes: int,
+    dim: int,
+    seed: int,
+) -> str:
+    """Frozen IVF-PQ (IVFADC + refine) oracle: centroid AND codebook
+    literals, so every stage of the fused pipeline is plain SQL — bucket
+    assignment (argmax 2x·c − ‖c‖², ties low id), RESIDUAL sub-codes
+    (same rule per subspace over x − c_bucket), probe lists (same argmax,
+    rn <= n_probe), ADC score q·c_b + Σ_j q_j·cb_j[code], shortlist cut
+    (score desc, id asc), exact-cosine re-rank. Engine-identical by the
+    family argument (lsh/ivf/pq oracles above): decisions only flip on
+    float near-ties, measure-zero for Gaussian constants."""
+    from autonomous_orchestrator_ai_spark.operators.ivf import fixed_centroids
+    from autonomous_orchestrator_ai_spark.operators.pq import fixed_pq_codebooks
+
+    sub = dim // m
+    cents = fixed_centroids(dim, n_cents, seed)
+    cb = fixed_pq_codebooks(dim, m, n_codes, seed)
+    cent_rows = ", ".join(
+        f"({cid}, [" + ",".join(repr(float(x)) for x in c) + "])"
+        for cid, c in enumerate(cents)
+    )
+    cb_rows = ", ".join(
+        f"({j}, {code}, [" + ",".join(repr(float(x)) for x in cb[j][code]) + "])"
+        for j in range(m)
+        for code in range(n_codes)
+    )
+    assign_score = (
+        f"2.0 * list_sum(list_transform(range(1, {dim}+1), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * p.c[i])) "
+        f"- list_sum(list_transform(range(1, {dim}+1), i -> p.c[i] * p.c[i]))"
+    )
+    enc_score = (
+        f"2.0 * list_sum(list_transform(range(1, {sub}+1), "
+        f"i -> r.r[cb.j * {sub} + i] * cb.c[i])) "
+        f"- list_sum(list_transform(range(1, {sub}+1), i -> cb.c[i] * cb.c[i]))"
+    )
+    return f"""
+    WITH cents(cid, c) AS (VALUES {cent_rows}),
+    cb(j, code, c) AS (VALUES {cb_rows}),
+    d AS (
+      SELECT e.vec_id, p.cid, {assign_score} AS score
+      FROM embeddings e CROSS JOIN cents p),
+    vb AS (
+      SELECT vec_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) rn
+        FROM d) WHERE rn = 1),
+    qp AS (
+      SELECT vec_id AS query_id, cid AS bucket FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) rn
+        FROM d WHERE vec_id < 10) WHERE rn <= {n_probe}),
+    res AS (
+      SELECT e.vec_id, v.bucket,
+             list_transform(range(1, {dim}+1),
+                            i -> CAST(e.embedding[i] AS DOUBLE) - p.c[i]) AS r
+      FROM embeddings e
+      JOIN vb v ON v.vec_id = e.vec_id
+      JOIN cents p ON p.cid = v.bucket),
+    encs AS (
+      SELECT r.vec_id, r.bucket, cb.j, cb.code, {enc_score} AS s
+      FROM res r CROSS JOIN cb),
+    enc AS (
+      SELECT vec_id, bucket, j, code FROM (
+        SELECT vec_id, bucket, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY s DESC, code) rn
+        FROM encs) WHERE rn = 1),
+    qip AS (
+      SELECT e.vec_id AS query_id, cb.j, cb.code,
+             list_sum(list_transform(range(1, {sub}+1),
+               i -> CAST(e.embedding[cb.j * {sub} + i] AS DOUBLE) * cb.c[i]))
+               AS ip
+      FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 10),
+    qcent AS (
+      SELECT q.query_id, q.bucket,
+             list_sum(list_transform(range(1, {dim}+1),
+               i -> CAST(e.embedding[i] AS DOUBLE) * p.c[i])) AS qc
+      FROM qp q
+      JOIN embeddings e ON e.vec_id = q.query_id
+      JOIN cents p ON p.cid = q.bucket),
+    adc AS (
+      SELECT qp.query_id, en.vec_id AS neighbor_id,
+             MAX(qc.qc) + SUM(qi.ip) AS score
+      FROM enc en
+      JOIN qp ON qp.bucket = en.bucket
+      JOIN qip qi ON qi.query_id = qp.query_id
+              AND qi.j = en.j AND qi.code = en.code
+      JOIN qcent qc ON qc.query_id = qp.query_id AND qc.bucket = en.bucket
+      WHERE en.vec_id <> qp.query_id
+      GROUP BY qp.query_id, en.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) rn
+        FROM adc) WHERE rn <= {shortlist}),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_cos_sql("qe.embedding", "ne.embedding")} AS sim
+      FROM short s
+      JOIN embeddings qe ON qe.vec_id = s.query_id
+      JOIN embeddings ne ON ne.vec_id = s.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) rn
+      FROM scored)
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {k}
+    """
+
+
+@register(
+    "ivfpq_fixed_topk",
+    oracle=_ivfpq_oracle_sql(
+        k=5, n_probe=3, shortlist=50, n_cents=8, m=8, n_codes=16, dim=64, seed=42
+    ),
+)
+def ivfpq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVF-PQ serving stack (operators/ivfpq.py — IVFADC +
+    refine, Jegou et al. TPAMI 2011) under FROZEN quantizers: one-pass
+    (bucket, residual-PQ-code) encoding, n_probe inverted-list pruning,
+    ADC shortlist of 50, exact-cosine re-rank to top-5. The third member
+    of the derandomized-ANN family (lsh_ann_topk, ivf_fixed_quantizer_
+    topk, pq_fixed_codebook_topk) and the only one exercising RESIDUAL
+    quantization — the accuracy trick that makes IVF-PQ the 100 TB
+    default. Hash-matched end to end against the unrolled SQL oracle."""
+    from autonomous_orchestrator_ai_spark.operators.ivf import fixed_centroids
+    from autonomous_orchestrator_ai_spark.operators.ivfpq import ivfpq_topk
+    from autonomous_orchestrator_ai_spark.operators.pq import fixed_pq_codebooks
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = fixed_centroids(64, 8, 42)
+    cb = fixed_pq_codebooks(64, 8, 16, 42)
+    return ivfpq_topk(
+        emb, queries, cents, cb, k=5, n_probe=3, shortlist=50
+    )

@@ -36,6 +36,7 @@ HEADLINE = [
     "ivf_fixed_quantizer_topk",
     "pq_ann_topk",
     "pq_fixed_codebook_topk",
+    "ivfpq_fixed_topk",
     "minhash_lsh_near_dups",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
