@@ -70,6 +70,7 @@ def load_all() -> None:
         pipeline_queries,
         scoring_queries,
         similarity_queries,
+        sketch_queries,
         snapshot_queries,
         span_queries,
         text_queries,
