@@ -65,6 +65,7 @@ def load_all() -> None:
         extended_queries,
         fuzzy_queries,
         graph_queries,
+        kmv_queries,
         layout_queries,
         lm_queries,
         pipeline_queries,

@@ -49,6 +49,7 @@ GLOBAL_SORT_OK = {
     "doc_fingerprints",
     "binary_payload_profile",
     "part_type_string_profile",
+    "ddsketch_merge_identity",  # cumulative walk over ONE global sketch: <=~2.1k bucket rows at any corpus size (operators/ddsketch.py memory bound)
 }
 
 
