@@ -771,3 +771,37 @@ def assign_split(
         .when(in_val, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    key_col: str = "doc_id",
+    fractions: tuple[float, float] = (0.8, 0.1),
+    salt: str = "csplit",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split UNIT is the
+    near-dup cluster, not the document, so a near-duplicate of a training
+    doc can never land in eval (the failure mode ``split_leakage_report``
+    measures for per-doc hashing; this is the fix — Lee et al. 2022 §6.2
+    observed eval contamination from exactly this).
+
+    ``components`` is ``graph.connected_components`` output (node,
+    component) over the near-dup edge list; docs absent from it are
+    singletons and fall back to their own key (LEFT join + coalesce), so
+    the unit id of a non-duplicated doc is itself. The draw hashes the
+    UNIT id through the same portable md5 thresholds as ``assign_split``
+    — stable under corpus growth, engine-portable, and by construction
+    constant within a cluster.
+
+    Scale shape: one broadcast-or-shuffle join of docs against the
+    component map (bounded by the number of near-dup DOCS, typically a
+    few % of the corpus), then a map-side hash — no new shuffle beyond
+    the join. Adds columns: split_unit, split."""
+    comp = components.select(
+        F.col("node").alias(key_col), F.col("component")
+    )
+    with_unit = docs.join(comp, key_col, "left").withColumn(
+        "split_unit", F.coalesce(F.col("component"), F.col(key_col))
+    ).drop("component")
+    return assign_split(with_unit, "split_unit", fractions, salt)

@@ -792,3 +792,68 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("later_doc").alias("n_leaked_docs"),
     )
+
+
+#: cluster-unit split mirror (salt='csplit', fractions (0.8, 0.1)): the
+#: draw hashes the split UNIT (component id, or the doc's own id for
+#: singletons) through the same hex thresholds as _SPLIT_SQL.
+_CSPLIT_SQL = """
+  CASE WHEN substr(md5('csplit:' || CAST(split_unit AS VARCHAR)), 1, 4) < 'cccd'
+         THEN 'train'
+       WHEN substr(md5('csplit:' || CAST(split_unit AS VARCHAR)), 1, 4) < 'e666'
+         THEN 'val'
+       ELSE 'test' END
+""".strip()
+
+
+@register(
+    "cluster_safe_split_report",
+    oracle=f"""
+    WITH RECURSIVE {_CC_CTES},
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_unit
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    labeled AS (
+      SELECT doc_id, split_unit, {_CSPLIT_SQL} AS split FROM assigned),
+    viol AS (
+      SELECT split_unit FROM labeled
+      GROUP BY split_unit HAVING COUNT(DISTINCT split) > 1)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split_unit) AS BIGINT) AS n_units,
+           CAST((SELECT COUNT(*) FROM viol) AS BIGINT) AS n_violating_units
+    FROM labeled GROUP BY split
+    """,
+)
+def cluster_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIX for what ``split_leakage_report`` measures: assign splits
+    with the near-dup CLUSTER as the atomic unit
+    (operators.curation.cluster_safe_split over the same n-gram-Jaccard
+    >= 0.2 edge list as ``near_dup_clusters``). Per split: docs, units,
+    and the cross-split-unit violation count — the oracle recomputes the
+    clustering AND the unit draw from scratch, so n_violating_units = 0
+    is a verified property of the construction, not an assertion."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        cluster_safe_split,
+    )
+    from autonomous_orchestrator_ai_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(_ngram_edges(spark, sf_dir))
+    labeled = cluster_safe_split(docs, comp)
+    viol = (
+        labeled.groupBy("split_unit")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violating_units"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("split_unit").cast("bigint").alias("n_units"),
+        )
+        .crossJoin(F.broadcast(viol))
+    )

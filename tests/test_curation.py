@@ -613,3 +613,61 @@ class TestAssignSplit:
         assert counts.get("test", 0) == 0
         assert sum(counts.values()) == 1000
         assert counts["val"] > 0
+
+
+# --- cluster_safe_split ----------------------------------------------------
+
+
+def test_cluster_safe_split_units_never_span_splits(spark):
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        cluster_safe_split,
+    )
+    from autonomous_orchestrator_ai_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    # two clusters {1,2,3}, {10,11}; 20..119 singletons
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.range(1, 120).withColumnRenamed("id", "doc_id")
+    out = cluster_safe_split(docs, connected_components(edges)).cache()
+
+    # every cluster lands in exactly one split
+    spans = (
+        out.groupBy("split_unit")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert spans == 0
+    # cluster members share the unit id (the component min)
+    units = {r["doc_id"]: r["split_unit"] for r in out.collect()}
+    assert units[1] == units[2] == units[3] == 1
+    assert units[10] == units[11] == 10
+    assert units[50] == 50  # singleton falls back to itself
+    # all three splits materialize over ~116 units (sanity, deterministic)
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {
+        "train", "val", "test"
+    }
+    out.unpersist()
+
+
+def test_cluster_safe_split_stable_under_corpus_growth(spark):
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        cluster_safe_split,
+    )
+    from autonomous_orchestrator_ai_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    comp = connected_components(edges)
+    small = spark.range(1, 50).withColumnRenamed("id", "doc_id")
+    big = spark.range(1, 500).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"]
+               for r in cluster_safe_split(small, comp).collect()}
+    s_big = {r["doc_id"]: r["split"]
+             for r in cluster_safe_split(big, comp).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
