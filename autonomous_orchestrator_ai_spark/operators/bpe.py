@@ -1,0 +1,137 @@
+"""BPE (byte-pair-encoding) merge training, Spark-first (Sennrich et al.
+2016, "Neural machine translation of rare words with subword units") —
+the tokenizer-training primitive of an LLM data pipeline.
+
+The scale insight (same as every real BPE trainer): the corpus collapses
+to a WORD-FREQUENCY table first — one map-side-combined groupBy — and all
+training iterations run over that vocabulary-bounded table (≤ a few
+hundred k rows at ANY corpus size), never over raw text again. At 100 TB
+the corpus pass is one aggregation; the merge loop is driver-paced work
+on a table that fits in one executor's cache.
+
+Symbolization state is a SEPARATOR-DELIMITED STRING (``a␟b␟c␟`` for
+symbols [a, b, c], ␟ = U+001F): applying merge (x, y) is then a single
+literal ``replace('x␟y␟' -> 'xy␟')``. ``replace`` substitutes
+left-to-right over non-overlapping occurrences — exactly BPE's
+within-word merge order (the 'a a a' case merges the leftmost pair) —
+and behaves identically in Spark and DuckDB, which is what makes the
+8-round training loop ORACLE-EXACT (plans/bpe_queries.py unrolls the
+same rounds as chained CTEs) instead of rows-only-checked.
+
+Vocabulary scope: lowercase whitespace tokens matching ``^[a-z0-9]+$``.
+Normalizing away punctuation/mixed-unicode words keeps the pair alphabet
+clean AND sidesteps the one engine divergence in this area (Java regex
+walks UTF-16 units, DuckDB walks codepoints — they disagree only outside
+the BMP, which the filter excludes entirely).
+
+Per-iteration top-pair selection collects ONE row; the state column is
+localCheckpoint'd every few merges so the replace-chain lineage stays
+bounded (the pagerank pattern from operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: U+001F unit separator: cannot occur in ``^[a-z0-9]+$`` words.
+SEP = "\x1f"
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over lowercase whitespace tokens, restricted to
+    ``^[a-z0-9]+$``. The ONE corpus-scale pass; everything after is
+    vocabulary-bounded."""
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("word")
+    return (
+        df.select(tok)
+        .where(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_initial_state(word_counts: DataFrame) -> DataFrame:
+    """Adds ``seq``: the char-level symbolization ``c1␟c2␟…cn␟``."""
+    return word_counts.withColumn(
+        "seq", F.regexp_replace(F.col("word"), "(.)", "$1" + SEP)
+    )
+
+
+def _symbols(seq: Column) -> Column:
+    """seq -> symbol array (drops the empty element after the trailing ␟)."""
+    arr = F.split(seq, SEP)
+    return F.slice(arr, 1, F.size(arr) - 1)
+
+
+def bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair frequencies weighted by word
+    count — vocabulary-bounded input, pair-alphabet-bounded output."""
+    syms = _symbols(F.col("seq"))
+    pairs = F.expr(
+        "transform(sequence(1, size(__syms) - 1), "
+        "i -> struct(__syms[i - 1] AS a, __syms[i] AS b))"
+    )
+    return (
+        state.withColumn("__syms", syms)
+        .where(F.size("__syms") >= 2)
+        .select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def bpe_apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
+    """One merge as one literal replace: ``a␟b␟`` -> ``ab␟``."""
+    return state.withColumn(
+        "seq",
+        F.replace(
+            F.col("seq"), F.lit(f"{a}{SEP}{b}{SEP}"), F.lit(f"{a}{b}{SEP}")
+        ),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 4,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(rank, a, b, cnt), ...].
+
+    Each round: aggregate pair counts (vocab-bounded), collect the single
+    top pair (cnt desc, then (a, b) asc — the deterministic tie-break both
+    engines share), apply the merge. Stops early when no pair remains."""
+    state = bpe_initial_state(bpe_word_counts(df, text_col)).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            bpe_pair_counts(state)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+        state = bpe_apply_merge(state, a, b)
+        if rank % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    return merges
+
+
+def bpe_segment(
+    df: DataFrame,
+    word_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Apply learned merges to segment words: adds ``bpe_tokens``
+    (array<string>). The merge chain is a fixed expression pipeline —
+    pure map-side, no shuffle, codegen-friendly."""
+    seq = F.regexp_replace(F.col(word_col), "(.)", "$1" + SEP)
+    for _, a, b, _ in merges:
+        seq = F.replace(seq, F.lit(f"{a}{SEP}{b}{SEP}"), F.lit(f"{a}{b}{SEP}"))
+    return df.withColumn("bpe_tokens", _symbols(seq))

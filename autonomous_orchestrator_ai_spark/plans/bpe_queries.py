@@ -1,0 +1,163 @@
+"""BPE tokenizer-training queries (operators/bpe.py).
+
+``bpe_learned_merges`` is the unusual one: an ITERATIVE algorithm with a
+full value-hash oracle. The DuckDB side unrolls the same 8 training
+rounds as chained CTEs — possible because one BPE merge is one literal
+``replace`` over the delimited symbolization (see operators/bpe.py), and
+``replace`` is engine-identical. So the driver's hash gate covers the
+whole training loop, not just round one (contrast: k-means-backed
+``ivf_ann_topk`` stays rows-only because float centroid iteration can't
+be mirrored exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from autonomous_orchestrator_ai_spark.operators.bpe import (
+    bpe_initial_state,
+    bpe_pair_counts,
+    bpe_segment,
+    bpe_train,
+    bpe_word_counts,
+)
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+
+_N_MERGES = 8
+
+#: word-frequency CTE: lowercase whitespace tokens, [a-z0-9]+ only
+#: (operators/bpe.py vocabulary scope).
+_WC = (
+    "wc AS (SELECT t AS word, COUNT(*) AS cnt "
+    "FROM documents, unnest(string_split_regex(lower(trim(text)), '\\s+')) "
+    "AS u(t) WHERE regexp_matches(t, '^[a-z0-9]+$') GROUP BY t)"
+)
+
+
+@register(
+    "bpe_top_pairs",
+    oracle=f"""
+    WITH {_WC},
+    pc AS (
+      SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+             SUM(cnt) AS cnt
+      FROM wc, unnest(range(1, len(word))) AS r(i)
+      WHERE len(word) >= 2
+      GROUP BY 1, 2)
+    SELECT a, b, CAST(cnt AS BIGINT) AS cnt
+    FROM pc ORDER BY cnt DESC, a, b LIMIT 40
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE statistics: the 40 most frequent adjacent character
+    pairs over the word-frequency table (total order: cnt desc, then the
+    pair itself). The corpus collapses to the vocab-bounded word table in
+    one aggregation; the pair explode multiplies VOCAB rows by avg word
+    length — independent of corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    state = bpe_initial_state(bpe_word_counts(docs, "text"))
+    from pyspark.sql import functions as F
+
+    return (
+        bpe_pair_counts(state)
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(40)
+    )
+
+
+def _training_ctes(n: int) -> str:
+    """state0..state{n-1} + per-round pair counts and top-1 picks, as
+    chained CTEs mirroring bpe_train round for round."""
+    sep = "chr(31)"
+    ctes = [
+        _WC,
+        f"state0 AS (SELECT regexp_replace(word, '(.)', '\\1' || {sep}, 'g')"
+        " AS seq, cnt FROM wc)",
+    ]
+    for i in range(n):
+        ctes.append(
+            f"pc{i} AS ("
+            f"SELECT list_extract(l, i) AS a, list_extract(l, i + 1) AS b, "
+            f"SUM(cnt) AS cnt "
+            f"FROM (SELECT string_split(seq, {sep}) AS l, cnt FROM state{i}) s, "
+            f"unnest(range(1, len(s.l) - 1)) AS r(i) "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT a, b, cnt FROM pc{i} "
+            f"ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if i < n - 1:
+            ctes.append(
+                f"state{i + 1} AS ("
+                f"SELECT replace(s.seq, t.a || {sep} || t.b || {sep}, "
+                f"t.a || t.b || {sep}) AS seq, s.cnt "
+                f"FROM state{i} s, t{i} t)"
+            )
+    return "WITH " + ",\n".join(ctes)
+
+
+_MERGES_FINAL = " UNION ALL ".join(
+    f"SELECT {i + 1} AS merge_rank, a, b, CAST(cnt AS BIGINT) AS cnt FROM t{i}"
+    for i in range(_N_MERGES)
+)
+
+
+@register(
+    "bpe_learned_merges",
+    oracle=_training_ctes(_N_MERGES) + "\n" + _MERGES_FINAL,
+)
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 learned BPE merges (merge_rank, a, b, cnt) —
+    operators.bpe.bpe_train's driver loop over the vocab-bounded word
+    table, hash-exact against the oracle's 8 unrolled rounds. Tie-break
+    (cnt desc, a, b) is the determinism contract both engines share."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _N_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank int, a string, b string, cnt bigint"
+    )
+
+
+@register(
+    "bpe_compression_stats",
+    oracle=_training_ctes(_N_MERGES)
+    + f""",
+    final AS (
+      SELECT replace(s.seq, t.a || chr(31) || t.b || chr(31),
+                     t.a || t.b || chr(31)) AS seq, s.cnt
+      FROM state{_N_MERGES - 1} s, t{_N_MERGES - 1} t)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM((len(string_split(seq, chr(31))) - 1) * cnt) AS BIGINT)
+             AS n_tokens_after,
+           CAST(SUM(len(replace(seq, chr(31), '')) * cnt) AS BIGINT)
+             AS n_chars,
+           ROUND(SUM((len(string_split(seq, chr(31))) - 1) * cnt) * 1.0
+                 / SUM(len(replace(seq, chr(31), '')) * cnt), 6)
+             AS tokens_per_char
+    FROM final
+    """,
+)
+def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the 8 merges buy, measured over the corpus (weighted by word
+    frequency): total subword tokens after segmentation vs raw chars.
+    The segmentation (operators.bpe.bpe_segment) is a fixed map-side
+    replace chain — the production encode path for 100 TB — applied here
+    to the vocab table with occurrence weights, so the numbers equal a
+    full-corpus re-encode at vocab-table cost."""
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _N_MERGES)
+    wc = bpe_word_counts(docs, "text")
+    seg = bpe_segment(wc, "word", merges)
+    return seg.select(
+        F.col("cnt"),
+        (F.size("bpe_tokens") * F.col("cnt")).alias("tk"),
+        (F.length("word") * F.col("cnt")).alias("ch"),
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("n_word_occurrences"),
+        F.sum("tk").cast("bigint").alias("n_tokens_after"),
+        F.sum("ch").cast("bigint").alias("n_chars"),
+        F.round(F.sum("tk") / F.sum("ch"), 6).alias("tokens_per_char"),
+    )

@@ -59,6 +59,7 @@ def load_all() -> None:
     if _LOADED:
         return
     from autonomous_orchestrator_ai_spark.plans import (  # noqa: F401
+        bpe_queries,
         curation_queries,
         dedup_queries,
         dq_queries,
