@@ -94,3 +94,53 @@ def numeric_histogram(
         F.round(F.col("__mn") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
         "n_rows",
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    k_levels: tuple[int, ...] = (2, 5, 10, 20),
+) -> DataFrame:
+    """Re-identification risk profile over a quasi-identifier combination
+    (Sweeney 2002, k-anonymity): rows whose QI equivalence class has
+    fewer than k members are linkable to at most k-1 others.
+
+    One row per k level: (k, n_classes_below, n_rows_below, pct_rows_below)
+    — how many equivalence classes (and what share of rows) fail
+    k-anonymity at that threshold. The governance companion to
+    curation.redact_pii: redaction handles direct identifiers, this
+    measures the INDIRECT ones.
+
+    Scale shape: one map-side-combined groupBy over the QI tuple builds
+    the class-size table (bounded by the QI domain product, not row
+    count); each k level is then an aggregate over that bounded table —
+    the k_levels loop multiplies work on class counts, never on data."""
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    per_k = [
+        classes.agg(
+            F.lit(k).alias("k"),
+            F.sum((F.col("class_size") < k).cast("bigint")).alias(
+                "n_classes_below"
+            ),
+            F.sum(
+                F.when(F.col("class_size") < k, F.col("class_size")).otherwise(
+                    0
+                )
+            ).cast("bigint").alias("n_rows_below"),
+        )
+        for k in k_levels
+    ]
+    out = per_k[0]
+    for frame in per_k[1:]:
+        out = out.unionByName(frame)
+    total = classes.agg(F.sum("class_size").alias("__total"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .withColumn(
+            "pct_rows_below",
+            F.round(F.col("n_rows_below") * 100.0 / F.col("__total"), 4),
+        )
+        .drop("__total")
+    )

@@ -1251,3 +1251,46 @@ def sketch_accuracy_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bloom_fp_rate_ok"),
         )
     )
+
+
+@register(
+    "customer_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 100.0) AS BIGINT) AS acctbal_bucket
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, acctbal_bucket,
+             COUNT(*) AS class_size
+      FROM qi GROUP BY ALL),
+    tot AS (SELECT SUM(class_size) AS total FROM classes)
+    SELECT k,
+           CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_below,
+           ROUND(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+                 * 100.0 / MAX(t.total), 4) AS pct_rows_below
+    FROM classes CROSS JOIN (VALUES (2), (5), (10), (20)) ks(k)
+    CROSS JOIN tot t
+    GROUP BY k
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk over customer quasi-identifiers (nation, market
+    segment, account balance bucketed to 100s) —
+    operators.profiling.k_anonymity_report. Per k in {2,5,10,20}: classes
+    and row share failing the threshold. Class table is bounded by the QI
+    domain product, so every k level is an aggregate over a tiny frame
+    regardless of corpus size."""
+    from autonomous_orchestrator_ai_spark.operators.profiling import (
+        k_anonymity_report,
+    )
+
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "acctbal_bucket", F.floor(F.col("c_acctbal") / 100.0).cast("bigint")
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment", "acctbal_bucket"]
+    )

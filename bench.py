@@ -69,6 +69,17 @@ HEADLINE = [
     "value_equidepth_histogram",
     "value_equidepth_histogram_approx",
     "equidepth_approx_contract",
+    "ddsketch_value_quantiles",
+    "ddsketch_merge_identity",
+    "duplicate_span_stats",
+    "bigram_perplexity_by_source",
+    "quality_classifier_by_source",
+    "near_dup_clusters_star",
+    "kmv_distinct_contract",
+    "kmv_token_jaccard_by_source",
+    "cluster_safe_split_report",
+    "bpe_top_pairs",
+    "bpe_learned_merges",
     "salted_event_type_stats",
     "revenue_mom_growth",
     # reference pipeline surface

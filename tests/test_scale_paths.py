@@ -93,3 +93,19 @@ class TestSaltedDistinct:
             .toString()
         )
         assert "collect_set" not in plan and "collect_list" not in plan
+
+
+def test_k_anonymity_report_hand_computed(spark):
+    from autonomous_orchestrator_ai_spark.operators.profiling import (
+        k_anonymity_report,
+    )
+
+    # classes: (a,1)x1, (a,2)x3, (b,1)x5
+    rows = [("a", 1)] + [("a", 2)] * 3 + [("b", 1)] * 5
+    df = spark.createDataFrame(rows, "g string, q int")
+    got = {r["k"]: (r["n_classes_below"], r["n_rows_below"],
+                    r["pct_rows_below"])
+           for r in k_anonymity_report(df, ["g", "q"], (2, 4, 10)).collect()}
+    assert got[2] == (1, 1, round(1 * 100.0 / 9, 4))
+    assert got[4] == (2, 4, round(4 * 100.0 / 9, 4))
+    assert got[10] == (3, 9, 100.0)
