@@ -124,6 +124,19 @@ def _sliding_6h(df):
     )
 
 
+def _ddsketch_build(df):
+    """DDSketch build core (ddsketch_value_quantiles): the sketch IS a
+    groupBy over geometric buckets, so it streams as an ordinary
+    incremental agg — per-batch partial sketches merge by bucket-wise
+    count addition, which is exactly DDSketch's merge law. Counts are
+    integers -> bit parity, no float discipline needed."""
+    from autonomous_orchestrator_ai_spark.operators.ddsketch import (
+        ddsketch_build,
+    )
+
+    return ddsketch_build(df, "value", ["event_type"])
+
+
 def _user_minmax(df):
     """Grouped min/max/count per user (argmax/latest-per-key family)."""
     return df.groupBy("user_id").agg(
@@ -143,6 +156,7 @@ EVENT_CORES = {
     "tumbling_daily": ("complete", _tumbling_daily),
     "sliding_6h": ("complete", _sliding_6h),
     "user_minmax": ("complete", _user_minmax),
+    "ddsketch_build": ("complete", _ddsketch_build),
 }
 DOC_CORES = {
     "doc_text_stats": ("append", _doc_text_stats),
