@@ -1,0 +1,99 @@
+"""Full-text retrieval scoring: BM25 over the tokenized corpus.
+
+The missing piece between the TF-IDF salience report (operators/scoring.py)
+and an actual search/RAG data path: given a bag-of-words query, rank
+documents by Okapi BM25. A training-data pipeline uses this to pull
+topical slices out of a 100 TB corpus ("give me the docs about X"), to
+mine retrieval training pairs, and as the sparse half of hybrid
+(BM25 + dense) retrieval next to operators/similarity.py.
+
+Spark-first shape (reference has no retrieval surface; extends SURVEY.md
+§2.10's scoring family):
+
+- the query-term list is a tiny in-plan literal — it reaches the token
+  stream as a broadcast hash join, so the corpus-scaled work is ONE scan
+  of the token stream with the join filtering it down to query-term hits
+  before any shuffle;
+- document length and the corpus token total are one map-side-combined
+  aggregate each; `avgdl` and per-term `df` are scalar/tiny frames
+  broadcast back in;
+- the final score is a per-(doc, term) expression plus one groupBy(doc)
+  — no UDFs, everything whole-stage-codegen.
+
+At cluster scale the tokens→(doc, term, tf) stage is the materialized
+inverted index (operators/dedup.py builds the same shape for n-gram
+Jaccard); point ``bm25_scores`` at a pre-built index table to skip
+re-tokenization per query batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.scoring import explode_tokens
+
+__all__ = ["bm25_scores"]
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score per document for a bag-of-words query.
+
+    Returns ``(id_col, n_hit_terms, score)`` for every document matching
+    at least one query term. ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (the Lucene form — strictly positive, so a term in >half the corpus
+    can't subtract); the tf saturation uses the standard
+    ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    df is counted over the FULL corpus (that's what makes it BM25 and not
+    a per-slice heuristic); dl/avgdl likewise. All three are tiny
+    aggregates broadcast into the scoring join.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    spark = docs.sparkSession
+    terms = spark.createDataFrame(
+        [(t.lower(),) for t in dict.fromkeys(query_terms)], ["token"]
+    )
+
+    tokens = explode_tokens(docs.select(id_col, text_col), id_col, text_col)
+    # doc length + corpus size: one combined pass over the token stream
+    dl = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    # restrict the token stream to query-term hits BEFORE any shuffle:
+    # broadcast the term list into the scan
+    hits = tokens.join(F.broadcast(terms), "token")
+    tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = hits.groupBy("token").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+
+    n, dfc, tfc, dlc = F.col("n_docs"), F.col("df"), F.col("tf"), F.col("dl")
+    idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
+    denom = tfc + k1 * (1.0 - b + b * dlc / F.col("avgdl"))
+    term_score = idf * (tfc * (k1 + 1.0)) / denom
+
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("term_score", term_score)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("term_score").alias("score"),
+        )
+    )

@@ -327,3 +327,63 @@ def centroid_outliers(
         .filter(F.col("rank") <= k)
         .select(label_col, id_col, "centroid_dist", "rank")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most cosine-similar corpus vectors with a DIFFERENT
+    label — the near-misses a metric-learning objective needs as
+    negatives (easy random negatives carry no gradient signal).
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cosine_sim, rank). The label-mismatch filter runs BEFORE the ranking
+    window, so rank 1..k counts negatives only.
+
+    Plan shape mirrors cosine_topk: broadcast the bounded query batch,
+    one corpus scan, per-query ranking window. For corpus-wide mining
+    (every vector is a query) swap the broadcast cross-join for the
+    LSH-bucketed candidate join (lsh_bucketed_topk) and apply the same
+    mismatch filter — identical semantics, candidate-bounded cost.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        _as_double_array(vec_col).alias("__qv"),
+    )
+    c = ensure_min_parallelism(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double_array(vec_col).alias("__cv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_label") != F.col("query_label")
+    )
+    scored = pairs.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round("__sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -1,0 +1,264 @@
+"""Retrieval + feature-statistics queries (operators/retrieval.py,
+operators/mlstats.py, similarity.hard_negatives) with DuckDB oracles.
+
+BM25 search, contrastive hard-negative mining, RFM behavioral
+segmentation, cross-column mutual information and WOE/IV feature
+screening — the search/feature-engineering layer next to the dedup and
+scoring families. Extends the reference's per-row quality surface
+(SURVEY.md §2.10) with the corpus-relative statistics a training-data
+pipeline screens features and mixes with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomous_orchestrator_ai_spark.operators.mlstats import (
+    mutual_information,
+    rfm_segments,
+    woe_iv,
+)
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    ensure_min_parallelism,
+)
+from autonomous_orchestrator_ai_spark.operators.retrieval import bm25_scores
+from autonomous_orchestrator_ai_spark.operators.similarity import (
+    hard_negatives,
+)
+from autonomous_orchestrator_ai_spark.plans.registry import register, table
+from autonomous_orchestrator_ai_spark.plans.scoring_queries import _TOKENS_CTE
+from autonomous_orchestrator_ai_spark.plans.similarity_queries import _cos_sql
+
+#: the pinned bag-of-words query for the BM25 demo — common + mid + rare
+#: corpus terms so idf actually spreads
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('window')) AS v(token)),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tokens GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    hits AS (SELECT t.doc_id, t.token FROM tokens t JOIN q USING (token)),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM hits GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM hits GROUP BY token),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+             SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_hit_terms, ROUND(score, 6) AS score
+    FROM scored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by Okapi BM25 (k1=1.2, b=0.75) for the pinned
+    query {spark, join, window}. df/avgdl come from the FULL corpus; the
+    rounded score is the sort key (6dp — cross-engine float-sum noise
+    cannot reorder, doc_id breaks ties) and the top-k is
+    TakeOrderedAndProject, never a global sort."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    scored = bm25_scores(docs, list(_BM25_TERMS))
+    return (
+        scored.select(
+            "doc_id", "n_hit_terms", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "hard_negative_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding AS qe
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             {_cos_sql("q.qe", "e.embedding")} AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.query_label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored)
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           ROUND(sim, 6) AS cosine_sim, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives for query vectors vec_id<10: the top-5
+    most cosine-similar corpus vectors whose LABEL DIFFERS
+    (similarity.hard_negatives) — the near-miss negatives metric-learning
+    batches are built from. Broadcast query batch, one corpus scan,
+    label-mismatch filter before the per-query ranking window."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hard_negatives(emb, queries, k=5)
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '2001-09-01') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey),
+    tiled AS (
+      SELECT *,
+             NTILE(4) OVER (ORDER BY recency_days DESC, custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency ASC, custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary ASC, custkey) AS m
+      FROM base)
+    SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(recency_days), 2) AS avg_recency_days,
+           ROUND(AVG(frequency), 2) AS avg_frequency,
+           CAST(ROUND(SUM(CAST(monetary AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_monetary
+    FROM tiled GROUP BY segment
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation profile: per-customer recency/frequency/monetary
+    quartile scores (4 = best; as-of 2001-09-01) rolled up to the <=64
+    R*F*M segments (operators.mlstats.rfm_segments). The ntile windows
+    rank the per-CUSTOMER aggregate — the dimension table, not the fact
+    table — and every window has a unique tie-break, so the assignment is
+    a total order. The global ntile is the exact anchor (whitelisted like
+    value_equidepth_histogram); the scale form assigns against broadcast
+    approx-percentile cut points instead of ranking."""
+    orders = table(spark, sf_dir, "orders")
+    seg = rfm_segments(orders, "2001-09-01")
+    return seg.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("recency_days"), 2).alias("avg_recency_days"),
+        F.round(F.avg("frequency"), 2).alias("avg_frequency"),
+        # exact decimal sum (registry.exact_money_sum pattern): a segment
+        # AVERAGE would divide into a double whose shortest-repr boundary
+        # (x.445) Spark and DuckDB round in opposite directions
+        F.round(F.sum(F.col("monetary").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_monetary"),
+    )
+
+
+@register(
+    "event_type_time_mutual_info",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'event_type' AS x_col, 'hour' AS y_col,
+             event_type AS x, CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS y
+      FROM events
+      UNION ALL
+      SELECT 'event_type', 'weekday',
+             event_type, CAST(EXTRACT(isodow FROM ts) AS VARCHAR)
+      FROM events),
+    joint AS (
+      SELECT x_col, y_col, x, y, CAST(COUNT(*) AS BIGINT) AS nxy
+      FROM pairs GROUP BY x_col, y_col, x, y),
+    tot AS (SELECT x_col, y_col, SUM(nxy) AS n FROM joint
+            GROUP BY x_col, y_col),
+    px AS (SELECT x_col, y_col, x, SUM(nxy) AS nx FROM joint
+           GROUP BY x_col, y_col, x),
+    py AS (SELECT x_col, y_col, y, SUM(nxy) AS ny FROM joint
+           GROUP BY x_col, y_col, y),
+    mi AS (
+      SELECT j.x_col, j.y_col,
+             SUM(j.nxy * 1.0 / t.n
+                 * ln((j.nxy * t.n * 1.0) / (px.nx * py.ny))) AS mi
+      FROM joint j
+      JOIN tot t USING (x_col, y_col)
+      JOIN px ON j.x_col = px.x_col AND j.y_col = px.y_col AND j.x = px.x
+      JOIN py ON j.x_col = py.x_col AND j.y_col = py.y_col AND j.y = py.y
+      GROUP BY j.x_col, j.y_col),
+    hx AS (SELECT px.x_col, px.y_col,
+                  -SUM(nx * 1.0 / t.n * ln(nx * 1.0 / t.n)) AS h_x
+           FROM px JOIN tot t USING (x_col, y_col)
+           GROUP BY px.x_col, px.y_col),
+    hy AS (SELECT py.x_col, py.y_col,
+                  -SUM(ny * 1.0 / t.n * ln(ny * 1.0 / t.n)) AS h_y
+           FROM py JOIN tot t USING (x_col, y_col)
+           GROUP BY py.x_col, py.y_col)
+    SELECT t.x_col, t.y_col, CAST(t.n AS BIGINT) AS n,
+           ROUND(h_x, 6) AS entropy_x, ROUND(h_y, 6) AS entropy_y,
+           ROUND(mi.mi, 6) AS mi_nats,
+           ROUND(mi.mi / sqrt(h_x * h_y), 6) AS normalized_mi
+    FROM tot t JOIN mi USING (x_col, y_col) JOIN hx USING (x_col, y_col)
+    JOIN hy USING (x_col, y_col)
+    """,
+)
+def event_type_time_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and the hour / ISO weekday
+    of the event (operators.mlstats.mutual_information) — does behavior
+    depend on time-of-day or day-of-week, and how strongly (normalized
+    MI)? The feature-screen / drift-probe primitive: run it feature-vs-
+    label before training and feature-vs-feature across pipeline stages
+    to catch leaks. One (x, y) count shuffle per pair; marginals derive
+    from the joint."""
+    events = table(spark, sf_dir, "events")
+    hour_mi = mutual_information(
+        events, "event_type", F.hour("ts").cast("string"),
+        x_name="event_type", y_name="hour",
+    )
+    wd_mi = mutual_information(
+        events,
+        "event_type",
+        (F.weekday("ts") + 1).cast("string"),  # 1=Mon..7=Sun, = isodow
+        x_name="event_type", y_name="weekday",
+    )
+    return hour_mi.unionByName(wd_mi)
+
+
+@register(
+    "order_priority_woe_iv",
+    oracle="""
+    WITH per_cat AS (
+      SELECT o_orderpriority AS category,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_event,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_non_event
+      FROM orders GROUP BY o_orderpriority),
+    tot AS (SELECT SUM(n_event) AS te, SUM(n_non_event) AS tne,
+                   COUNT(*) AS nc FROM per_cat)
+    SELECT category, n, n_event, n_non_event,
+           ROUND(ln(((n_event + 0.5) / (te + 0.5 * nc))
+                    / ((n_non_event + 0.5) / (tne + 0.5 * nc))), 6) AS woe,
+           ROUND(((n_event + 0.5) / (te + 0.5 * nc)
+                  - (n_non_event + 0.5) / (tne + 0.5 * nc))
+                 * ln(((n_event + 0.5) / (te + 0.5 * nc))
+                      / ((n_non_event + 0.5) / (tne + 0.5 * nc))),
+                 6) AS iv_contrib
+    FROM per_cat CROSS JOIN tot
+    """,
+)
+def order_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of o_orderpriority
+    against the binary target o_orderstatus = 'F' (order fully shipped)
+    — the classical scorecard feature audit (operators.mlstats.woe_iv;
+    SUM(iv_contrib) is the feature's IV). Smoothed (0.5/cell) so an
+    all-one-class category stays finite. One count shuffle on the
+    feature key; totals broadcast."""
+    orders = table(spark, sf_dir, "orders")
+    return woe_iv(
+        orders, "o_orderpriority", F.col("o_orderstatus") == F.lit("F")
+    )

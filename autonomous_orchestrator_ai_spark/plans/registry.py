@@ -69,6 +69,7 @@ def load_all() -> None:
         kmv_queries,
         layout_queries,
         lm_queries,
+        ml_queries,
         pipeline_queries,
         scoring_queries,
         similarity_queries,

@@ -82,6 +82,12 @@ HEADLINE = [
     "bpe_learned_merges",
     "salted_event_type_stats",
     "revenue_mom_growth",
+    # retrieval + feature screens (round 5)
+    "bm25_search_topk",
+    "hard_negative_topk",
+    "event_type_time_mutual_info",
+    "order_priority_woe_iv",
+    "rfm_customer_segments",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",
