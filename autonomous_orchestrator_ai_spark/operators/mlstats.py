@@ -16,64 +16,96 @@ to cross-column statistics.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["mutual_information", "woe_iv", "rfm_segments"]
+__all__ = [
+    "mutual_information",
+    "mutual_information_pairs",
+    "woe_iv",
+    "rfm_segments",
+    "rfm_segments_cutpoint",
+]
 
 
-def mutual_information(
-    df: DataFrame, x_col: str | Column, y_col: str | Column,
-    x_name: str = "x", y_name: str = "y",
-) -> DataFrame:
-    """One-row frame: n, entropy of X and Y, their mutual information
-    (nats) and the normalized MI ``mi / sqrt(h_x · h_y)`` (0 = independent,
-    1 = bijective). NULL cells count as their own category (a NULL pattern
-    that tracks the label IS signal — dropping it would hide a leak).
-
-    One (x, y) count shuffle; marginals derive from the joint via two
-    bounded re-aggregations, so the corpus is scanned once.
-    """
+def _cat(c: str | Column) -> Column:
     # categories ride through equi-joins, where NULL keys never match —
     # map NULL to a sentinel so the NULL category survives the marginal
     # joins (cast to string first: MI only needs category identity)
-    def _cat(c: str | Column) -> Column:
-        col = c if isinstance(c, Column) else F.col(c)
-        return F.coalesce(col.cast("string"), F.lit("<NULL>"))
+    col = c if isinstance(c, Column) else F.col(c)
+    return F.coalesce(col.cast("string"), F.lit("<NULL>"))
 
-    x = _cat(x_col).alias("__x")
-    y = _cat(y_col).alias("__y")
-    joint = df.select(x, y).groupBy("__x", "__y").agg(
+
+def mutual_information_pairs(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str | Column, str, str | Column]],
+) -> DataFrame:
+    """Mutual information for several (X, Y) column pairs in ONE scan of
+    the source: each ``(x_name, x_col, y_name, y_col)`` pair yields a row
+    (x_col, y_col, n, entropy_x, entropy_y, mi_nats, normalized_mi) —
+    MI in nats, normalized MI ``mi / sqrt(h_x · h_y)`` (0 = independent,
+    1 = bijective). NULL cells count as their own category (a NULL
+    pattern that tracks the label IS signal — dropping it would hide a
+    leak).
+
+    The pair list is exploded inline (rows × n_pairs before the first
+    shuffle — the price of the single scan and far cheaper than
+    re-reading the corpus per pair); everything after the joint
+    (pair, x, y) count is bounded by category cardinalities, with
+    marginals derived from the joint so the source is never re-read.
+    """
+    if not pairs:
+        raise ValueError("mutual_information_pairs: pairs must be non-empty")
+    structs = [
+        F.struct(
+            F.lit(xn).alias("x_col"),
+            F.lit(yn).alias("y_col"),
+            _cat(xc).alias("__x"),
+            _cat(yc).alias("__y"),
+        )
+        for xn, xc, yn, yc in pairs
+    ]
+    key = ["x_col", "y_col"]
+    exploded = df.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.*"
+    )
+    joint = exploded.groupBy(*key, "__x", "__y").agg(
         F.count(F.lit(1)).alias("nxy")
     )
-    n = joint.agg(F.sum("nxy").alias("n"))
-    px = joint.groupBy("__x").agg(F.sum("nxy").alias("nx"))
-    py = joint.groupBy("__y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.groupBy(*key).agg(F.sum("nxy").alias("n"))
+    px = joint.groupBy(*key, "__x").agg(F.sum("nxy").alias("nx"))
+    py = joint.groupBy(*key, "__y").agg(F.sum("nxy").alias("ny"))
     nn = F.col("n").cast("double")
     terms = (
-        joint.join(px, "__x")
-        .join(py, "__y")
-        .crossJoin(F.broadcast(n))
+        joint.join(px, [*key, "__x"])
+        .join(py, [*key, "__y"])
+        .join(F.broadcast(tot), key)
         .select(
-            F.col("n"),
+            *key,
             (F.col("nxy") / nn * F.log(
                 (F.col("nxy") * nn) / (F.col("nx") * F.col("ny"))
             )).alias("mi_term"),
         )
     )
-    hx = px.crossJoin(F.broadcast(n)).agg(
-        (-F.sum(F.col("nx") / nn * F.log(F.col("nx") / nn))).alias("h")
+    hx = (
+        px.join(F.broadcast(tot), key)
+        .groupBy(*key)
+        .agg((-F.sum(F.col("nx") / nn * F.log(F.col("nx") / nn))).alias("h_x"))
     )
-    hy = py.crossJoin(F.broadcast(n)).agg(
-        (-F.sum(F.col("ny") / nn * F.log(F.col("ny") / nn))).alias("h")
+    hy = (
+        py.join(F.broadcast(tot), key)
+        .groupBy(*key)
+        .agg((-F.sum(F.col("ny") / nn * F.log(F.col("ny") / nn))).alias("h_y"))
     )
-    mi = terms.groupBy("n").agg(F.sum("mi_term").alias("mi"))
+    mi = terms.groupBy(*key).agg(F.sum("mi_term").alias("mi"))
     return (
-        mi.crossJoin(hx.select(F.col("h").alias("h_x")))
-        .crossJoin(hy.select(F.col("h").alias("h_y")))
+        tot.join(mi, key)
+        .join(hx, key)
+        .join(hy, key)
         .select(
-            F.lit(x_name).alias("x_col"),
-            F.lit(y_name).alias("y_col"),
+            *key,
             F.col("n").cast("bigint").alias("n"),
             F.round("h_x", 6).alias("entropy_x"),
             F.round("h_y", 6).alias("entropy_y"),
@@ -83,6 +115,14 @@ def mutual_information(
             ).alias("normalized_mi"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame, x_col: str | Column, y_col: str | Column,
+    x_name: str = "x", y_name: str = "y",
+) -> DataFrame:
+    """Single-pair convenience wrapper over ``mutual_information_pairs``."""
+    return mutual_information_pairs(df, [(x_name, x_col, y_name, y_col)])
 
 
 def woe_iv(
@@ -177,4 +217,77 @@ def rfm_segments(
                 F.lit("M"), F.col("m"),
             ),
         )
+    )
+
+
+def rfm_segments_cutpoint(
+    orders: DataFrame,
+    as_of: str,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Scale twin of ``rfm_segments``: scores against broadcast
+    approx-percentile cut points instead of ranking, so there is NO
+    global window — the per-customer base aggregates, one tiny
+    all-quantiles row broadcasts back, and assignment is a codegen
+    expression. At 1e9 customers this is two shuffles and no serial
+    sort; the price is ntile-exactness at the quartile boundaries
+    (ties and approx error move boundary customers one bucket —
+    test_mlstats_retrieval pins the agreement rate vs the exact form).
+
+    Scores: 4 = best (most recent / most frequent / highest spend),
+    matching ``rfm_segments``; ``v > cut`` strictness mirrors ntile's
+    first-buckets-get-extra tie placement for values AT a cut.
+    """
+    base = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        F.datediff(F.lit(as_of).cast("date"), F.max(date_col)).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col(amount_col).cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = base.agg(
+        F.percentile_approx("recency_days", probs, accuracy).alias("rc"),
+        F.percentile_approx("frequency", probs, accuracy).alias("fc"),
+        F.percentile_approx("monetary", probs, accuracy).alias("mc"),
+    )
+
+    def _asc_score(v: str, c: str) -> Column:
+        # quartile by value position among the cut points; > (not >=) so a
+        # value sitting exactly on a cut stays in the lower bucket, like
+        # ntile placing ties in the earlier (extra-row) buckets
+        return (
+            F.lit(1)
+            + (F.col(v) > F.col(c)[0]).cast("int")
+            + (F.col(v) > F.col(c)[1]).cast("int")
+            + (F.col(v) > F.col(c)[2]).cast("int")
+        )
+
+    def _desc_score(v: str, c: str) -> Column:
+        return (
+            F.lit(1)
+            + (F.col(v) < F.col(c)[2]).cast("int")
+            + (F.col(v) < F.col(c)[1]).cast("int")
+            + (F.col(v) < F.col(c)[0]).cast("int")
+        )
+
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .withColumn("r", _desc_score("recency_days", "rc"))
+        .withColumn("f", _asc_score("frequency", "fc"))
+        .withColumn("m", _asc_score("monetary", "mc"))
+        .withColumn(
+            "segment",
+            F.concat(
+                F.lit("R"), F.col("r"), F.lit("F"), F.col("f"),
+                F.lit("M"), F.col("m"),
+            ),
+        )
+        .drop("rc", "fc", "mc")
     )

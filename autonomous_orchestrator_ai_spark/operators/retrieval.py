@@ -35,12 +35,12 @@ from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.scoring import explode_tokens
 
-__all__ = ["bm25_scores"]
+__all__ = ["bm25_scores", "rrf_fuse"]
 
 
 def bm25_scores(
     docs: DataFrame,
-    query_terms: Sequence[str],
+    query_terms: Sequence[str] | DataFrame,
     *,
     k1: float = 1.2,
     b: float = 0.75,
@@ -55,16 +55,25 @@ def bm25_scores(
     can't subtract); the tf saturation uses the standard
     ``tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
 
+    ``query_terms`` is either a literal term list or a small DataFrame
+    with a ``token`` column (e.g. the distinct tokens of a query-by-
+    example document) — either way it's broadcast, never shuffled.
+
     df is counted over the FULL corpus (that's what makes it BM25 and not
     a per-slice heuristic); dl/avgdl likewise. All three are tiny
     aggregates broadcast into the scoring join.
     """
-    if not query_terms:
-        raise ValueError("bm25_scores: query_terms must be non-empty")
-    spark = docs.sparkSession
-    terms = spark.createDataFrame(
-        [(t.lower(),) for t in dict.fromkeys(query_terms)], ["token"]
-    )
+    if isinstance(query_terms, DataFrame):
+        terms = query_terms.select(
+            F.lower(F.col("token")).alias("token")
+        ).distinct()
+    else:
+        if not query_terms:
+            raise ValueError("bm25_scores: query_terms must be non-empty")
+        spark = docs.sparkSession
+        terms = spark.createDataFrame(
+            [(t.lower(),) for t in dict.fromkeys(query_terms)], ["token"]
+        )
 
     tokens = explode_tokens(docs.select(id_col, text_col), id_col, text_col)
     # doc length + corpus size: one combined pass over the token stream
@@ -97,3 +106,40 @@ def bm25_scores(
             F.sum("term_score").alias("score"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[tuple[str, DataFrame]],
+    *,
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of several
+    rankings: ``rrf = Σ_legs 1/(k + rank_leg)``, the standard way to
+    combine a sparse (BM25) and a dense (embedding-cosine) retriever
+    without score calibration — ranks fuse, scores don't.
+
+    ``rankings`` is ``[(leg_name, df)]`` where each df has ``id_col`` and
+    a bigint ``rank`` (1-based; produce it with a rounded-score ordering
+    + unique tie-break so it's deterministic). Items missing from a leg
+    contribute nothing for that leg (full outer join semantics). Returns
+    ``(id_col, rank_<leg> ... , rrf_score)``.
+
+    Plan shape: each leg is already a per-item frame; the fusion is a
+    sequence of full-outer equi-joins on the item id — at corpus scale
+    all legs are id-partitioned aggregates, so the joins co-locate.
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse: need at least two rankings")
+    fused: DataFrame | None = None
+    for name, df in rankings:
+        leg = df.select(id_col, F.col("rank").alias(f"rank_{name}"))
+        fused = leg if fused is None else fused.join(leg, id_col, "full_outer")
+    score = None
+    for name, _ in rankings:
+        term = F.when(
+            F.col(f"rank_{name}").isNotNull(),
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{name}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return fused.withColumn("rrf_score", score)

@@ -15,14 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.mlstats import (
-    mutual_information,
+    mutual_information_pairs,
     rfm_segments,
     woe_iv,
 )
 from autonomous_orchestrator_ai_spark.operators.partitioning import (
     ensure_min_parallelism,
 )
-from autonomous_orchestrator_ai_spark.operators.retrieval import bm25_scores
+from autonomous_orchestrator_ai_spark.operators.retrieval import (
+    bm25_scores,
+    rrf_fuse,
+)
 from autonomous_orchestrator_ai_spark.operators.similarity import (
     hard_negatives,
 )
@@ -143,8 +146,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank the per-CUSTOMER aggregate — the dimension table, not the fact
     table — and every window has a unique tie-break, so the assignment is
     a total order. The global ntile is the exact anchor (whitelisted like
-    value_equidepth_histogram); the scale form assigns against broadcast
-    approx-percentile cut points instead of ranking."""
+    value_equidepth_histogram); the scale form is
+    mlstats.rfm_segments_cutpoint — broadcast approx-percentile cut
+    points, no global window (agreement pinned in tests)."""
     orders = table(spark, sf_dir, "orders")
     seg = rfm_segments(orders, "2001-09-01")
     return seg.groupBy("segment").agg(
@@ -211,20 +215,19 @@ def event_type_time_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     depend on time-of-day or day-of-week, and how strongly (normalized
     MI)? The feature-screen / drift-probe primitive: run it feature-vs-
     label before training and feature-vs-feature across pipeline stages
-    to catch leaks. One (x, y) count shuffle per pair; marginals derive
-    from the joint."""
+    to catch leaks. Both pairs come out of ONE scan of events
+    (mutual_information_pairs explodes the pair list inline); marginals
+    derive from the joint, so the corpus is never re-read."""
     events = table(spark, sf_dir, "events")
-    hour_mi = mutual_information(
-        events, "event_type", F.hour("ts").cast("string"),
-        x_name="event_type", y_name="hour",
-    )
-    wd_mi = mutual_information(
+    return mutual_information_pairs(
         events,
-        "event_type",
-        (F.weekday("ts") + 1).cast("string"),  # 1=Mon..7=Sun, = isodow
-        x_name="event_type", y_name="weekday",
+        [
+            ("event_type", "event_type", "hour", F.hour("ts").cast("string")),
+            # weekday: 1=Mon..7=Sun, = isodow
+            ("event_type", "event_type", "weekday",
+             (F.weekday("ts") + 1).cast("string")),
+        ],
     )
-    return hour_mi.unionByName(wd_mi)
 
 
 @register(
@@ -261,4 +264,259 @@ def order_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return woe_iv(
         orders, "o_orderpriority", F.col("o_orderstatus") == F.lit("F")
+    )
+
+
+_RRF_K = 60
+_LEG_DEPTH = 100
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    qt AS (SELECT DISTINCT token FROM tokens WHERE doc_id = 0),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tokens GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    hits AS (SELECT t.doc_id, t.token FROM tokens t JOIN qt USING (token)),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM hits GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM hits GROUP BY token),
+    bm AS (
+      SELECT tf.doc_id,
+             SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+      FROM tf JOIN df USING (token) JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id),
+    sparse AS (
+      SELECT doc_id, ROUND(score, 6) AS s FROM bm WHERE doc_id <> 0
+      ORDER BY ROUND(score, 6) DESC, doc_id LIMIT {_LEG_DEPTH}),
+    sparse_r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk
+      FROM sparse),
+    qv AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND({_cos_sql("e.embedding", "qv.e")}, 6) AS s
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id <> 0
+      ORDER BY ROUND({_cos_sql("e.embedding", "qv.e")}, 6) DESC, e.vec_id
+      LIMIT {_LEG_DEPTH}),
+    dense_r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rnk
+      FROM dense),
+    fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             s.rnk AS rank_sparse, d.rnk AS rank_dense,
+             COALESCE(1.0 / ({_RRF_K} + s.rnk), 0)
+               + COALESCE(1.0 / ({_RRF_K} + d.rnk), 0) AS rrf
+      FROM sparse_r s FULL OUTER JOIN dense_r d ON s.doc_id = d.doc_id)
+    SELECT doc_id, rank_sparse, rank_dense, ROUND(rrf, 6) AS rrf_score
+    FROM fused ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 15
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by query-by-example on document 0: the sparse leg
+    is BM25 over doc 0's distinct tokens, the dense leg is embedding
+    cosine against doc 0's vector, fused with reciprocal-rank fusion
+    (operators.retrieval.rrf_fuse, k=60) — THE standard two-tower RAG
+    retrieval pattern, with no score calibration across legs.
+
+    Each leg keeps its top-100 via TakeOrderedAndProject (rounded score +
+    id tie-break, so the cut and the ranks are engine-deterministic);
+    the in-leg row_number then ranks a 100-row frame (post-limit, benign
+    — whitelisted like join_key_skew_profile). Fusion is a full-outer
+    join of two <=100-row frames."""
+    from autonomous_orchestrator_ai_spark.operators.scoring import (
+        explode_tokens,
+    )
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        _as_double_array,
+        cosine,
+    )
+    from pyspark.sql import Window
+
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    emb = table(spark, sf_dir, "embeddings")
+
+    q_tokens = (
+        explode_tokens(docs.filter(F.col("doc_id") == 0), "doc_id", "text")
+        .select("token")
+        .distinct()
+    )
+    sparse = (
+        bm25_scores(docs, q_tokens)
+        .filter(F.col("doc_id") != 0)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_LEG_DEPTH)
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        _as_double_array("embedding").alias("qv")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine(_as_double_array("embedding"), F.col("qv")), 6
+            ).alias("s"),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_LEG_DEPTH)
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    legs = [
+        (name, df.withColumn("rank", F.row_number().over(w).cast("bigint")))
+        for name, df in (("sparse", sparse), ("dense", dense))
+    ]
+    fused = rrf_fuse(legs, id_col="doc_id", k=_RRF_K)
+    return (
+        fused.select(
+            "doc_id",
+            "rank_sparse",
+            "rank_dense",
+            F.round("rrf_score", 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+@register(
+    "knn_label_disagreement",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding AS qe
+               FROM embeddings WHERE vec_id < 100),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             {_cos_sql("q.qe", "e.embedding")} AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM scored),
+    agg AS (
+      SELECT query_id, query_label,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+             ROUND(AVG(CASE WHEN neighbor_label <> query_label
+                            THEN 1.0 ELSE 0.0 END), 2) AS disagree_rate
+      FROM ranked WHERE rn <= 5 GROUP BY query_id, query_label)
+    SELECT query_id, query_label, n_neighbors, disagree_rate
+    FROM agg ORDER BY disagree_rate DESC, query_id LIMIT 15
+    """,
+)
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen (confident-learning style): for each query
+    vector (vec_id<100) the fraction of its 5 nearest cosine neighbors
+    carrying a DIFFERENT label — a vector whose neighborhood votes
+    against its label is a mislabeling suspect. Top-15 most-suspect
+    vectors; disagree_rate is an exact multiple of 0.2, so ordering is
+    float-hazard-free. Same broadcast-queries / one-scan / per-query
+    window shape as cosine_topk; at corpus scale swap the broadcast
+    cross-join for the LSH-bucketed candidate join."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 100)
+    nn = cosine_topk(emb, queries, k=5)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        nn.join(
+            labels.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("label", "query_label"),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "neighbor_label"),
+            "neighbor_id",
+        )
+    )
+    agg = joined.groupBy("query_id", "query_label").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("neighbor_label") != F.col("query_label"), 1.0
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("disagree_rate"),
+    )
+    return agg.orderBy(
+        F.desc("disagree_rate"), F.asc("query_id")
+    ).limit(15)
+
+
+from autonomous_orchestrator_ai_spark.plans.scoring_queries import (  # noqa: E402
+    _SCORE_SQL,
+)
+from autonomous_orchestrator_ai_spark.plans.text_queries import (  # noqa: E402
+    _TOKEN_COUNT,
+)
+
+
+@register(
+    "classifier_calibration_report",
+    oracle=f"""
+    WITH scored AS (
+      SELECT {_SCORE_SQL} AS p,
+             CASE WHEN {_TOKEN_COUNT} >= 30 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    binned AS (
+      SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, p, y
+      FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p), 6) AS avg_confidence,
+           ROUND(AVG(y), 6) AS pos_rate,
+           ROUND(ABS(ROUND(AVG(p), 6) - ROUND(AVG(y), 6)), 6) AS calib_gap
+    FROM binned GROUP BY bin
+    """,
+)
+def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the hashed-linear quality classifier
+    against the exact proxy label token_count >= 30: per confidence
+    decile, mean predicted probability vs empirical positive rate and
+    their gap (the per-bin term of Expected Calibration Error). The
+    model-readiness screen you run before trusting classifier-gated
+    filtering at corpus scale — a score can rank well and still be
+    mis-calibrated, silently shifting the volume a 0.5 threshold keeps.
+    Pure per-row scoring + one bounded (<=10 bins) aggregation;
+    calib_gap is computed from the ROUNDED aggregates on both engines so
+    the subtraction can't reintroduce float noise."""
+    from autonomous_orchestrator_ai_spark.functions.text import token_count
+    from autonomous_orchestrator_ai_spark.operators.classify import (
+        hashed_linear_score,
+    )
+
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    p = hashed_linear_score("text")
+    y = F.when(token_count("text") >= 30, 1.0).otherwise(0.0)
+    binned = docs.select(
+        F.least(F.floor(p * 10), F.lit(9)).cast("bigint").alias("bin"),
+        p.alias("p"),
+        y.alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("p"), 6).alias("avg_confidence"),
+        F.round(F.avg("y"), 6).alias("pos_rate"),
+    )
+    return agg.withColumn(
+        "calib_gap",
+        F.round(F.abs(F.col("avg_confidence") - F.col("pos_rate")), 6),
     )

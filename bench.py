@@ -85,9 +85,12 @@ HEADLINE = [
     # retrieval + feature screens (round 5)
     "bm25_search_topk",
     "hard_negative_topk",
+    "hybrid_rrf_topk",
+    "knn_label_disagreement",
     "event_type_time_mutual_info",
     "order_priority_woe_iv",
     "rfm_customer_segments",
+    "classifier_calibration_report",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",

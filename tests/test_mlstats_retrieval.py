@@ -142,3 +142,76 @@ def test_rfm_segments_quartiles(spark):
     assert out[0]["recency_days"] == 1
     assert out[7]["frequency"] == 8
     assert out[7]["monetary"] == pytest.approx(8 * 800.0)
+
+
+def test_rfm_cutpoint_twin_agrees_with_exact(spark):
+    """The approx-cut-point scale twin matches the exact ntile form away
+    from quartile boundaries; with distinct untied values and exact
+    quantiles (accuracy high, n small) it matches everywhere."""
+    import datetime as dt
+
+    from autonomous_orchestrator_ai_spark.operators.mlstats import (
+        rfm_segments_cutpoint,
+    )
+
+    rows = []
+    for i in range(16):
+        for j in range(i + 1):
+            rows.append(
+                Row(
+                    o_custkey=i,
+                    o_orderdate=dt.datetime(2020, 1, 28 - i)
+                    - dt.timedelta(days=j),
+                    o_totalprice=100.0 + 10.0 * i,
+                )
+            )
+    df = spark.createDataFrame(rows)
+    exact = {
+        r["custkey"]: r for r in rfm_segments(df, "2020-01-29").collect()
+    }
+    twin = {
+        r["custkey"]: r
+        for r in rfm_segments_cutpoint(df, "2020-01-29").collect()
+    }
+    assert set(exact) == set(twin)
+    # all three dimensions are strictly monotone in custkey here, so
+    # bucket agreement should be near-total; allow the boundary customer
+    # of each quartile edge to differ by one bucket
+    for dim in ("r", "f", "m"):
+        diffs = [
+            abs(exact[k][dim] - twin[k][dim]) for k in exact
+        ]
+        assert max(diffs) <= 1
+        assert sum(d == 0 for d in diffs) >= 13  # >=13/16 exact agreement
+
+
+def test_rrf_fuse_math_and_missing_legs(spark):
+    from autonomous_orchestrator_ai_spark.operators.retrieval import rrf_fuse
+
+    sparse = spark.createDataFrame(
+        [Row(doc_id=1, rank=1), Row(doc_id=2, rank=2)]
+    )
+    dense = spark.createDataFrame(
+        [Row(doc_id=2, rank=1), Row(doc_id=3, rank=2)]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse(
+            [("sparse", sparse), ("dense", dense)], k=60
+        ).collect()
+    }
+    assert out[2]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[1]["rrf_score"] == pytest.approx(1 / 61)  # missing dense leg
+    assert out[3]["rrf_score"] == pytest.approx(1 / 62)
+    assert out[1]["rank_dense"] is None and out[3]["rank_sparse"] is None
+    with pytest.raises(ValueError):
+        rrf_fuse([("one", sparse)])
+
+
+def test_bm25_accepts_terms_dataframe(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="spark join spark"), Row(doc_id=2, text="sort")]
+    )
+    terms = spark.createDataFrame([Row(token="SPARK")])  # lowercased inside
+    out = bm25_scores(docs, terms).collect()
+    assert [r["doc_id"] for r in out] == [1]

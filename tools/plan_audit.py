@@ -51,6 +51,7 @@ GLOBAL_SORT_OK = {
     "part_type_string_profile",
     "ddsketch_merge_identity",  # cumulative walk over ONE global sketch: <=~2.1k bucket rows at any corpus size (operators/ddsketch.py memory bound)
     "rfm_customer_segments",  # global NTILE anchor over the per-CUSTOMER aggregate (dimension-bounded); scale form assigns against broadcast approx-percentile cut points
+    "hybrid_rrf_topk",  # in-leg row_number ranks a <=100-row post-limit frame (legs cut by TakeOrderedAndProject)
 }
 
 
