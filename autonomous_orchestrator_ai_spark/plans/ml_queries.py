@@ -520,3 +520,169 @@ def classifier_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame
         "calib_gap",
         F.round(F.abs(F.col("avg_confidence") - F.col("pos_rate")), 6),
     )
+
+
+@register(
+    "error_events_value_tier_pit",
+    oracle="""
+    WITH tiered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN value < 50 THEN 'low'
+                  WHEN value < 200 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events),
+    ordered AS (
+      SELECT user_id, ts, event_id, tier,
+             LAG(tier) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_tier
+      FROM tiered),
+    changes AS (
+      SELECT user_id, ts, event_id, tier FROM ordered
+      WHERE prev_tier IS NULL OR tier <> prev_tier),
+    iv AS (
+      SELECT user_id, tier, ts AS vf,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM changes)
+    SELECT iv.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM tiered e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.vf AND (iv.vt IS NULL OR e.ts < iv.vt)
+    WHERE e.event_type = 'error'
+    GROUP BY iv.tier
+    """,
+)
+def error_events_value_tier_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature lookup (the feature-store correctness
+    pattern): build an SCD2 value-tier dimension from each user's event
+    stream (operators.snapshot.scd2_intervals over tier = low/mid/high
+    CASE on value), then join every ERROR event to the tier interval
+    covering its timestamp — 'what state was this user in when the error
+    happened', with no leakage from future state. The join is an equi
+    join on user_id plus the interval predicate, so it sort-merges on
+    the user key and the non-equi filter runs within per-user groups
+    (bounded by that user's change count) — never a global range join.
+    Intervals are half-open [valid_from, valid_to): an event AT a change
+    instant belongs to the interval it starts."""
+    from autonomous_orchestrator_ai_spark.operators.snapshot import (
+        scd2_intervals,
+    )
+
+    events = table(spark, sf_dir, "events")
+    tiered = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("tier"),
+    )
+    iv = scd2_intervals(
+        tiered, ["user_id"], "ts", ["tier"], tie_cols=["event_id"]
+    ).select(
+        F.col("user_id").alias("iv_user"),
+        "tier",
+        "valid_from",
+        "valid_to",
+    )
+    errors = tiered.filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    joined = errors.join(
+        iv,
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    dt AS (SELECT DISTINCT doc_id, token FROM tokens),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM dt),
+    marg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+             FROM dt GROUP BY token),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM dt a JOIN dt b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token),
+    pmi AS (
+      SELECT p.token_a, p.token_b, p.n_both,
+             ROUND(ln((p.n_both * n.n_docs * 1.0)
+                      / (ma.df * mb.df)), 6) AS pmi
+      FROM pairs p
+      JOIN marg ma ON p.token_a = ma.token
+      JOIN marg mb ON p.token_b = mb.token
+      CROSS JOIN n
+      WHERE p.n_both >= 5)
+    SELECT token_a, token_b, n_both, pmi
+    FROM pmi ORDER BY pmi DESC, token_a, token_b LIMIT 15
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 token pairs by document-level pointwise mutual information
+    (PMI = ln(P(a,b) / P(a)P(b)) over document co-occurrence, support
+    >= 5 docs) — the distributional-semantics screen for collocations
+    and template artifacts in a training corpus (a synthetic boilerplate
+    pair lights up with high PMI + high support). The per-doc distinct
+    token self-join is bounded by per-document vocabulary (never corpus
+    size), marginals are one token-keyed count, and the rounded PMI is
+    the sort key with the pair as tie-break."""
+    from autonomous_orchestrator_ai_spark.operators.scoring import (
+        explode_tokens,
+    )
+
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    dt = explode_tokens(docs, "doc_id", "text").distinct()
+    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
+    marg = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.select(F.col("doc_id"), F.col("token").alias("token_a"))
+    b = dt.select(F.col("doc_id"), F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    pmi = (
+        pairs.join(
+            F.broadcast(marg.withColumnRenamed("token", "token_a")
+                        .withColumnRenamed("df", "df_a")),
+            "token_a",
+        )
+        .join(
+            F.broadcast(marg.withColumnRenamed("token", "token_b")
+                        .withColumnRenamed("df", "df_b")),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token_a",
+            "token_b",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n_both") * F.col("n_docs"))
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(
+        F.desc("pmi"), F.asc("token_a"), F.asc("token_b")
+    ).limit(15)

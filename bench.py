@@ -91,6 +91,8 @@ HEADLINE = [
     "order_priority_woe_iv",
     "rfm_customer_segments",
     "classifier_calibration_report",
+    "error_events_value_tier_pit",
+    "token_pmi_pairs",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",

@@ -158,8 +158,32 @@ EVENT_CORES = {
     "user_minmax": ("complete", _user_minmax),
     "ddsketch_build": ("complete", _ddsketch_build),
 }
+def _calibration_bins(df):
+    """Calibration-bin core (classifier_calibration_report): per-row
+    scoring is deterministic and the per-bin state is integer counts
+    (n, n_pos), so the reliability diagram streams as an ordinary
+    incremental agg with bit parity — the avg/gap columns of the batch
+    report derive from these counts."""
+    from autonomous_orchestrator_ai_spark.functions.text import token_count
+    from autonomous_orchestrator_ai_spark.operators.classify import (
+        hashed_linear_score,
+    )
+
+    p = hashed_linear_score("text")
+    y = F.when(token_count("text") >= 30, 1).otherwise(0)
+    return (
+        df.select(
+            F.least(F.floor(p * 10), F.lit(9)).cast("bigint").alias("bin"),
+            y.alias("y"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    )
+
+
 DOC_CORES = {
     "doc_text_stats": ("append", _doc_text_stats),
+    "calibration_bins": ("complete", _calibration_bins),
 }
 
 
