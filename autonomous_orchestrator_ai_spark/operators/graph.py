@@ -520,3 +520,59 @@ def triangle_stats(
         )
         .alias("clustering"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The k-core subgraph: the maximal subgraph where every node has
+    degree >= k, by iterative peeling (Seidman 1983; the distributed
+    peel is Montresor et al.'s one-round-per-wave shape). Cohesion /
+    spam-farm screen: a dense k-core in a co-occurrence graph is either
+    a real community or a template artifact, and either way it's what
+    near-dup clustering and PMI screens should be pointed at first.
+
+    Returns the surviving UNDIRECTED edge list (one row per input edge
+    that connects two surviving nodes). Input edges are deduped and
+    self-loops dropped; degrees count distinct neighbors.
+
+    Each wave is one degree aggregation (union of both endpoints, one
+    shuffle) + two broadcast-able anti-joins removing the sub-k nodes
+    — per-wave cost is O(|remaining edges|), and the wave count is
+    bounded by the peel depth, not the node count (each wave removes
+    EVERY currently-sub-k node at once). State is lineage-checkpointed
+    per wave like the other iterative operators, so the plan never
+    accumulates across waves.
+    """
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        deg = (
+            e.select(F.col("s").alias("n"))
+            .unionAll(e.select(F.col("d").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        weak = deg.filter(F.col("deg") < k).select("n")
+        if weak.limit(1).count() == 0:
+            break
+        e = (
+            e.join(weak.withColumnRenamed("n", "s"), "s", "left_anti")
+            .join(weak.withColumnRenamed("n", "d"), "d", "left_anti")
+            .select("s", "d")
+            .localCheckpoint()
+        )
+    return e.select(F.col("s").alias(src), F.col("d").alias(dst))

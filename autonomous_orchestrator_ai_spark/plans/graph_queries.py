@@ -151,3 +151,106 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_stats(edges)
+
+
+_KCORE_K = 2
+_KCORE_WAVES = 10
+
+
+def _unrolled_kcore_sql(k: int, waves: int) -> str:
+    """Wave-unrolled peel, one CTE trio per wave (the iterative-operator
+    oracle pattern from _unrolled_pagerank_sql): the Spark operator runs
+    with max_iterations == waves, so even a not-yet-converged peel is
+    bit-identical in both engines. MATERIALIZED for the same reason as
+    pagerank: inlining would re-derive the edge join once per level."""
+    ctes = [
+        """
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    """.strip()
+    ]
+    for i in range(1, waves + 1):
+        p = i - 1
+        ctes.append(
+            f"""
+    w{i} AS MATERIALIZED (
+      SELECT n FROM (
+        SELECT n, COUNT(*) AS deg FROM (
+          SELECT s AS n FROM e{p} UNION ALL SELECT d FROM e{p}) u
+        GROUP BY n) dg
+      WHERE deg < {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT s, d FROM e{p}
+      WHERE s NOT IN (SELECT n FROM w{i})
+        AND d NOT IN (SELECT n FROM w{i})
+    )
+    """.strip()
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , deg AS (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT s AS n FROM e{waves} UNION ALL SELECT d FROM e{waves}) u
+      GROUP BY n)
+    SELECT COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM deg), 0) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{waves}) AS n_edges,
+           COALESCE((SELECT CAST(MIN(deg) AS BIGINT) FROM deg), 0) AS min_degree,
+           COALESCE((SELECT CAST(MAX(deg) AS BIGINT) FROM deg), 0) AS max_degree
+    """
+    )
+
+
+@register(
+    "copurchase_kcore_stats",
+    oracle=_unrolled_kcore_sql(_KCORE_K, _KCORE_WAVES),
+)
+def copurchase_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-core of the support-filtered co-purchase graph
+    (operators.graph.k_core): iteratively peel nodes with fewer than 2
+    surviving neighbors until the maximal min-degree->=2 subgraph
+    remains — drops every dangling tree, leaving only the cyclic
+    'community' structure that triangle counts, PMI screens and
+    near-dup clustering should be pointed at. min_degree >= 2 in the
+    output IS the convergence witness (when the peel converged within
+    the wave budget). Same support-filtered edge set as
+    copurchase_triangle_stats; the iterative peel is oracled by wave
+    UNROLLING with the Spark side capped to the same wave count, so the
+    comparison is exact even mid-peel."""
+    from autonomous_orchestrator_ai_spark.operators.graph import k_core
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("src", "dst")
+    )
+    core = k_core(edges, _KCORE_K, max_iterations=_KCORE_WAVES)
+    deg = (
+        core.select(F.col("src").alias("n"))
+        .unionAll(core.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.coalesce(F.min("deg"), F.lit(0)).alias("min_degree"),
+            F.coalesce(F.max("deg"), F.lit(0)).alias("max_degree"),
+        )
+        .crossJoin(core.agg(F.count(F.lit(1)).alias("n_edges")))
+        .select("n_nodes", "n_edges", "min_degree", "max_degree")
+    )

@@ -686,3 +686,87 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi.orderBy(
         F.desc("pmi"), F.asc("token_a"), F.asc("token_b")
     ).limit(15)
+
+
+@register(
+    "embedding_dim_correlation",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    marg AS (
+      SELECT dim, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+      FROM comps GROUP BY dim),
+    pair AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j, SUM(a.v * b.v) AS sxy
+      FROM comps a JOIN comps b
+        ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY a.dim, b.dim),
+    corr AS (
+      SELECT p.dim_i, p.dim_j,
+             ROUND((ma.n * p.sxy - ma.sx * mb.sx)
+                   / sqrt((ma.n * ma.sxx - ma.sx * ma.sx)
+                          * (mb.n * mb.sxx - mb.sx * mb.sx)), 6) AS r
+      FROM pair p
+      JOIN marg ma ON p.dim_i = ma.dim
+      JOIN marg mb ON p.dim_j = mb.dim)
+    SELECT dim_i, dim_j, r AS pearson_r
+    FROM corr ORDER BY ABS(r) DESC, dim_i, dim_j LIMIT 15
+    """,
+)
+def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most-correlated embedding dimension pairs (|Pearson r|) —
+    the redundancy screen next to embedding_dim_profile: strongly
+    correlated dimensions waste index capacity and bias IVF/PQ subspace
+    splits, and are the first thing PCA/whitening would remove. The
+    per-vector pair join multiplies rows by dim*(dim-1)/2 but stays
+    LINEAR in the corpus (pairs of dimensions, never pairs of vectors);
+    marginal moments are one posexplode aggregate broadcast into the
+    bounded (<= d^2/2 rows) pair table. Ranking is on the rounded
+    coefficient with the dim pair as tie-break."""
+    emb = table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v0")
+    ).select("vec_id", "dim", F.col("v0").cast("double").alias("v"))
+    marg = comps.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    a = comps.select("vec_id", F.col("dim").alias("dim_i"), F.col("v").alias("va"))
+    b = comps.select("vec_id", F.col("dim").alias("dim_j"), F.col("v").alias("vb"))
+    pair = (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") < F.col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("sxy"))
+    )
+    ma = marg.select(
+        F.col("dim").alias("dim_i"), F.col("n").alias("n"),
+        F.col("sx").alias("sx_i"), F.col("sxx").alias("sxx_i"),
+    )
+    mb = marg.select(
+        F.col("dim").alias("dim_j"),
+        F.col("sx").alias("sx_j"), F.col("sxx").alias("sxx_j"),
+    )
+    corr = (
+        pair.join(F.broadcast(ma), "dim_i")
+        .join(F.broadcast(mb), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx_i") - F.col("sx_i") * F.col("sx_i"))
+                    * (F.col("n") * F.col("sxx_j") - F.col("sx_j") * F.col("sx_j"))
+                ),
+                6,
+            ).alias("pearson_r"),
+        )
+    )
+    return corr.orderBy(
+        F.desc(F.abs(F.col("pearson_r"))), F.asc("dim_i"), F.asc("dim_j")
+    ).limit(15)

@@ -93,6 +93,8 @@ HEADLINE = [
     "classifier_calibration_report",
     "error_events_value_tier_pit",
     "token_pmi_pairs",
+    "embedding_dim_correlation",
+    "copurchase_kcore_stats",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",

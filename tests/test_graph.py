@@ -272,3 +272,75 @@ def test_star_contraction_empty_and_selfloop_edges(spark):
         for r in connected_components_star(loops).collect()
     }
     assert labels == {4: 4, 7: 4}
+
+
+class TestKCore:
+    def test_peels_trees_keeps_cycles(self, spark):
+        from autonomous_orchestrator_ai_spark.operators.graph import k_core
+
+        # triangle 1-2-3 with a pendant path 3-4-5 and an isolated edge 6-7
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (6, 7)],
+            ["src", "dst"],
+        )
+        core = sorted(
+            (r["src"], r["dst"]) for r in k_core(edges, 2).collect()
+        )
+        # the 2-core is exactly the triangle: the path and the isolated
+        # edge peel away (5 and 7 first, then 4 and 6)
+        assert core == [(1, 2), (1, 3), (2, 3)]
+
+    def test_empty_core_and_validation(self, spark):
+        import pytest as _pytest
+
+        from autonomous_orchestrator_ai_spark.operators.graph import k_core
+
+        # a star graph has no 2-core (every leaf has degree 1; peeling
+        # leaves strips the hub too)
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], ["src", "dst"]
+        )
+        assert k_core(star, 2).count() == 0
+        with _pytest.raises(ValueError):
+            k_core(star, 0)
+
+    def test_wave_cap_matches_reference_peel(self, spark):
+        """Capped peel == reference peel run the same number of waves
+        (the contract the wave-unrolled oracle relies on)."""
+        import random
+
+        from autonomous_orchestrator_ai_spark.operators.graph import k_core
+
+        rng = random.Random(7)
+        pairs = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(60)
+            )
+            if a != b
+        }
+        edges = spark.createDataFrame(
+            sorted(pairs), ["src", "dst"]
+        )
+
+        def ref_peel(E, k, waves):
+            from collections import Counter
+
+            E = set(E)
+            for _ in range(waves):
+                deg = Counter()
+                for a, b in E:
+                    deg[a] += 1
+                    deg[b] += 1
+                weak = {n for n, d in deg.items() if d < k}
+                if not weak:
+                    break
+                E = {(a, b) for a, b in E if a not in weak and b not in weak}
+            return sorted(E)
+
+        for waves in (1, 2, 50):
+            got = sorted(
+                (r["src"], r["dst"])
+                for r in k_core(edges, 3, max_iterations=waves).collect()
+            )
+            assert got == ref_peel(pairs, 3, waves)
