@@ -31,9 +31,10 @@ __all__ = [
 
 
 def _cat(c: str | Column) -> Column:
-    # categories ride through equi-joins, where NULL keys never match —
-    # map NULL to a sentinel so the NULL category survives the marginal
-    # joins (cast to string first: MI only needs category identity)
+    # normalize category identity to a string and make NULL an explicit
+    # category: window/groupBy treat NULL as a group, but any downstream
+    # equi-join on the category (where NULL keys never match) would drop
+    # it silently — the sentinel keeps the contract join-safe
     col = c if isinstance(c, Column) else F.col(c)
     return F.coalesce(col.cast("string"), F.lit("<NULL>"))
 
@@ -71,49 +72,43 @@ def mutual_information_pairs(
     exploded = df.select(F.explode(F.array(*structs)).alias("p")).select(
         "p.*"
     )
+    # marginals via windows over the joint table (bounded by category
+    # cardinalities): nx = sum over (pair, x), ny = sum over (pair, y),
+    # n = sum over pair. Zero joins and zero frame reuse, so the source
+    # is scanned exactly once — deriving marginals by re-aggregating the
+    # joint as separate frames re-derives the whole scan per reference
+    # (measured 18 scans for 2 pairs).
     joint = exploded.groupBy(*key, "__x", "__y").agg(
         F.count(F.lit(1)).alias("nxy")
     )
-    tot = joint.groupBy(*key).agg(F.sum("nxy").alias("n"))
-    px = joint.groupBy(*key, "__x").agg(F.sum("nxy").alias("nx"))
-    py = joint.groupBy(*key, "__y").agg(F.sum("nxy").alias("ny"))
+    wp = Window.partitionBy(*key)
+    wx = Window.partitionBy(*key, "__x")
+    wy = Window.partitionBy(*key, "__y")
+    t = (
+        joint.withColumn("n", F.sum("nxy").over(wp))
+        .withColumn("nx", F.sum("nxy").over(wx))
+        .withColumn("ny", F.sum("nxy").over(wy))
+    )
     nn = F.col("n").cast("double")
-    terms = (
-        joint.join(px, [*key, "__x"])
-        .join(py, [*key, "__y"])
-        .join(F.broadcast(tot), key)
-        .select(
-            *key,
-            (F.col("nxy") / nn * F.log(
-                (F.col("nxy") * nn) / (F.col("nx") * F.col("ny"))
-            )).alias("mi_term"),
-        )
+    px = F.col("nx") / nn
+    py = F.col("ny") / nn
+    pxy = F.col("nxy") / nn
+    # Sigma_y nxy = nx, so Sigma_{x,y} pxy*ln(px) == Sigma_x px*ln(px):
+    # the entropies fall out of the same per-row pass as the MI terms
+    agg = t.groupBy(*key, "n").agg(
+        F.sum(pxy * F.log(pxy / (px * py))).alias("mi"),
+        (-F.sum(pxy * F.log(px))).alias("h_x"),
+        (-F.sum(pxy * F.log(py))).alias("h_y"),
     )
-    hx = (
-        px.join(F.broadcast(tot), key)
-        .groupBy(*key)
-        .agg((-F.sum(F.col("nx") / nn * F.log(F.col("nx") / nn))).alias("h_x"))
-    )
-    hy = (
-        py.join(F.broadcast(tot), key)
-        .groupBy(*key)
-        .agg((-F.sum(F.col("ny") / nn * F.log(F.col("ny") / nn))).alias("h_y"))
-    )
-    mi = terms.groupBy(*key).agg(F.sum("mi_term").alias("mi"))
-    return (
-        tot.join(mi, key)
-        .join(hx, key)
-        .join(hy, key)
-        .select(
-            *key,
-            F.col("n").cast("bigint").alias("n"),
-            F.round("h_x", 6).alias("entropy_x"),
-            F.round("h_y", 6).alias("entropy_y"),
-            F.round("mi", 6).alias("mi_nats"),
-            F.round(
-                F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6
-            ).alias("normalized_mi"),
-        )
+    return agg.select(
+        *key,
+        F.col("n").cast("bigint").alias("n"),
+        F.round("h_x", 6).alias("entropy_x"),
+        F.round("h_y", 6).alias("entropy_y"),
+        F.round("mi", 6).alias("mi_nats"),
+        F.round(
+            F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6
+        ).alias("normalized_mi"),
     )
 
 

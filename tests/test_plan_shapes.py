@@ -254,3 +254,59 @@ def test_mixture_plan_weights_broadcast(spark):
     # the 20-source registered query takes the literal-map path: no
     # weights join should appear in the plan at all
     assert "Join" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_terms_broadcast_and_topk(spark):
+    """The query-term list reaches the token stream as a broadcast join
+    (never shuffling the corpus on token), and the final top-15 is
+    TakeOrderedAndProject, not a global sort."""
+    plan = formatted_plan(spark, "bm25_search_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_legs_cut_before_fusion(spark):
+    """Both retrieval legs are cut to their top-100 by
+    TakeOrderedAndProject BEFORE the RRF full-outer join, so fusion
+    never scales with the corpus."""
+    plan = formatted_plan(spark, "hybrid_rrf_topk")
+    nodes = plan_nodes(plan)
+    assert nodes.count("TakeOrderedAndProject") >= 3  # 2 legs + final
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pit_join_is_keyed_not_cartesian(spark):
+    """The point-in-time join must be an equi join on user_id with the
+    interval predicate as a post-join filter — a range join that lost
+    its equi key would appear as BroadcastNestedLoopJoin/Cartesian."""
+    plan = formatted_plan(spark, "error_events_value_tier_pit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mutual_info_single_source_scan(spark):
+    """mutual_information_pairs computes every pair from ONE scan of the
+    events files (the pair list is exploded inline)."""
+    nodes = plan_nodes(formatted_plan(spark, "event_type_time_mutual_info"))
+    assert nodes.count("Scan") == 1
+
+
+def test_rfm_cutpoint_twin_has_no_global_window(spark):
+    """The scale twin must not contain a single-partition window — that
+    is the whole point of the cut-point design."""
+    from autonomous_orchestrator_ai_spark.operators.mlstats import (
+        rfm_segments_cutpoint,
+    )
+    from autonomous_orchestrator_ai_spark.plans.registry import table
+
+    df = rfm_segments_cutpoint(table(spark, SF, "orders"), "2001-09-01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan.replace(
+        "Exchange SinglePartition", "", 0
+    ) or "Window" not in plan
