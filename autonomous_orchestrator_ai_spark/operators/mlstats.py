@@ -27,6 +27,9 @@ __all__ = [
     "woe_iv",
     "rfm_segments",
     "rfm_segments_cutpoint",
+    "poisson1_draw",
+    "bootstrap_uniform",
+    "poisson_bootstrap_mean",
 ]
 
 
@@ -285,4 +288,108 @@ def rfm_segments_cutpoint(
             ),
         )
         .drop("rc", "fc", "mc")
+    )
+
+
+#: inverse CDF of Poisson(1) at 16-bit-ish resolution: cumulative
+#: probabilities for k = 0..6; u above the last threshold draws 7. The
+#: constants are fixed literals so Spark and a SQL oracle CASE chain
+#: produce the identical draw from the identical uniform.
+_POISSON1_CDF = (
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.9196986029286058, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+    (0.9994058151824183, 5),
+    (0.9999167588507119, 6),
+)
+
+
+def poisson1_draw(u: Column) -> Column:
+    """Poisson(1) variate from a uniform in [0, 1) via the fixed CDF
+    table (capped at 7 — P[k > 7] < 1e-5, far below bootstrap noise)."""
+    expr = F.lit(7)
+    for cdf, k in reversed(_POISSON1_CDF):
+        expr = F.when(u < F.lit(cdf), F.lit(k)).otherwise(expr)
+    return expr
+
+
+def bootstrap_uniform(key: Column, replicate: Column, salt: str = "bs") -> Column:
+    """Deterministic per-(row, replicate) uniform: the first 8 hex chars
+    of md5('<salt><r>:<key>') scaled to [0, 1). Portable — the oracle
+    reproduces the identical draw with string concat + md5."""
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            replicate.cast("string"),
+            F.lit(":"),
+            key.cast("string"),
+        )
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / 4294967296.0
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value: Column,
+    key: Column,
+    group_cols: Sequence[str] = (),
+    n_replicates: int = 20,
+    salt: str = "bs",
+    z: float = 1.96,
+) -> DataFrame:
+    """Bootstrap standard error + normal-approx CI for a mean, the
+    Poisson-bootstrap way (Chamandy et al., Google 2012): instead of R
+    resampling passes, each row draws R independent Poisson(1) weights
+    from md5 — replicate r's mean is sum(w·v)/sum(w) — so the WHOLE
+    bootstrap is one scan, one explode (rows × R+1), one aggregation
+    ladder, and is bit-reproducible on any cluster size.
+
+    Replicate -1 carries weight 1 everywhere = the point estimate, so
+    point and bootstrap replicates come out of the same pass. Returns
+    per group: n_rows, point_mean, boot_se (stddev_pop of replicate
+    means), ci_lo, ci_hi.
+    """
+    if n_replicates < 2:
+        raise ValueError("poisson_bootstrap_mean: need >= 2 replicates")
+    reps = F.array(*[F.lit(r) for r in range(-1, n_replicates)])
+    exploded = df.select(
+        *group_cols,
+        value.alias("__v"),
+        key.alias("__k"),
+        F.explode(reps).alias("__r"),
+    ).select(
+        *group_cols,
+        "__r",
+        "__v",
+        F.when(F.col("__r") == -1, F.lit(1))
+        .otherwise(
+            poisson1_draw(bootstrap_uniform(F.col("__k"), F.col("__r"), salt))
+        )
+        .alias("__w"),
+    )
+    per_rep = exploded.groupBy(*group_cols, "__r").agg(
+        F.sum(F.col("__w") * F.col("__v")).alias("__swv"),
+        F.sum("__w").alias("__sw"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    per_rep = per_rep.withColumn("__mean", F.col("__swv") / F.col("__sw"))
+    point = F.max(F.when(F.col("__r") == -1, F.col("__mean")))
+    boot_mean = F.avg(F.when(F.col("__r") >= 0, F.col("__mean")))
+    boot_sq = F.avg(
+        F.when(F.col("__r") >= 0, F.col("__mean") * F.col("__mean"))
+    )
+    out = per_rep.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("__r") == -1, F.col("__n"))).alias("n_rows"),
+        point.alias("__point"),
+        F.sqrt(boot_sq - boot_mean * boot_mean).alias("__se"),
+    )
+    return out.select(
+        *group_cols,
+        "n_rows",
+        F.round("__point", 6).alias("point_mean"),
+        F.round("__se", 6).alias("boot_se"),
+        F.round(F.col("__point") - z * F.col("__se"), 6).alias("ci_lo"),
+        F.round(F.col("__point") + z * F.col("__se"), 6).alias("ci_hi"),
     )

@@ -1,12 +1,15 @@
 """Retrieval + feature-statistics queries (operators/retrieval.py,
 operators/mlstats.py, similarity.hard_negatives) with DuckDB oracles.
 
-BM25 search, contrastive hard-negative mining, RFM behavioral
-segmentation, cross-column mutual information and WOE/IV feature
-screening — the search/feature-engineering layer next to the dedup and
-scoring families. Extends the reference's per-row quality surface
-(SURVEY.md §2.10) with the corpus-relative statistics a training-data
-pipeline screens features and mixes with.
+BM25 search and hybrid RRF fusion, contrastive hard-negative mining,
+kNN label-noise screening, classifier calibration, RFM behavioral
+segmentation, cross-column mutual information, WOE/IV feature
+screening, point-in-time feature joins, token-PMI collocations and
+embedding-dimension correlation — the search / feature-engineering /
+model-readiness layer next to the dedup and scoring families. Extends
+the reference's per-row quality surface (SURVEY.md §2.10) with the
+corpus-relative statistics a training-data pipeline screens features
+and mixes with.
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.mlstats import (
     mutual_information_pairs,
+    poisson_bootstrap_mean,
     rfm_segments,
     woe_iv,
 )
@@ -770,3 +774,78 @@ def embedding_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr.orderBy(
         F.desc(F.abs(F.col("pearson_r"))), F.asc("dim_i"), F.asc("dim_j")
     ).limit(15)
+
+
+def _poisson_case_sql(u: str) -> str:
+    from autonomous_orchestrator_ai_spark.operators.mlstats import (
+        _POISSON1_CDF,
+    )
+
+    whens = " ".join(
+        f"WHEN {u} < {cdf!r} THEN {k}" for cdf, k in _POISSON1_CDF
+    )
+    return f"(CASE {whens} ELSE 7 END)"
+
+
+_BOOT_U = (
+    "(CAST(('0x' || substr(md5('bs' || r || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) / 4294967296.0)"
+)
+_N_REPS = 20
+
+
+from autonomous_orchestrator_ai_spark.plans.text_queries import (  # noqa: E402
+    _QUALITY,
+)
+
+
+@register(
+    "quality_score_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT r FROM generate_series(-1, {_N_REPS - 1}) t(r)),
+    w AS (
+      SELECT d.source, reps.r, {{Q}} AS v,
+             CASE WHEN reps.r = -1 THEN 1
+                  ELSE {{POIS}} END AS w
+      FROM documents d CROSS JOIN reps),
+    per_rep AS (
+      SELECT source, r,
+             SUM(w * v) / SUM(w) AS mean_v,
+             COUNT(*) AS n
+      FROM w GROUP BY source, r),
+    agg AS (
+      SELECT source,
+             MAX(CASE WHEN r = -1 THEN n END) AS n_rows,
+             MAX(CASE WHEN r = -1 THEN mean_v END) AS point,
+             AVG(CASE WHEN r >= 0 THEN mean_v END) AS bm,
+             AVG(CASE WHEN r >= 0 THEN mean_v * mean_v END) AS bsq
+      FROM per_rep GROUP BY source)
+    SELECT source,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           ROUND(point, 6) AS point_mean,
+           ROUND(sqrt(bsq - bm * bm), 6) AS boot_se,
+           ROUND(point - 1.96 * sqrt(bsq - bm * bm), 6) AS ci_lo,
+           ROUND(point + 1.96 * sqrt(bsq - bm * bm), 6) AS ci_hi
+    FROM agg
+    """.replace("{Q}", _QUALITY).replace("{POIS}", _poisson_case_sql(_BOOT_U)),
+)
+def quality_score_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean quality score
+    per source (operators.mlstats.poisson_bootstrap_mean, Chamandy et
+    al. 2012): every row draws 20 deterministic md5-seeded Poisson(1)
+    weights, so the whole bootstrap — point estimate (replicate -1,
+    weight 1) + 20 replicate means + SE + normal CI — is ONE scan, one
+    explode and one aggregation ladder; no resampling passes, no
+    driver-side randomness, identical draws on any cluster size or
+    engine. THE 'measure, don't guess' primitive: quality-gate deltas
+    between sources are only real when their CIs separate."""
+    from autonomous_orchestrator_ai_spark.functions.text import quality_score
+
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    return poisson_bootstrap_mean(
+        docs,
+        quality_score("text"),
+        F.col("doc_id"),
+        group_cols=("source",),
+        n_replicates=_N_REPS,
+    )

@@ -95,6 +95,7 @@ HEADLINE = [
     "token_pmi_pairs",
     "embedding_dim_correlation",
     "copurchase_kcore_stats",
+    "quality_score_bootstrap_ci",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",

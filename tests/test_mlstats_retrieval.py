@@ -215,3 +215,52 @@ def test_bm25_accepts_terms_dataframe(spark):
     terms = spark.createDataFrame([Row(token="SPARK")])  # lowercased inside
     out = bm25_scores(docs, terms).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_poisson_bootstrap_mean_contract(spark):
+    """Point estimate equals the plain mean; SE is positive and the CI
+    brackets the point; draws are deterministic across invocations."""
+    from autonomous_orchestrator_ai_spark.operators.mlstats import (
+        poisson_bootstrap_mean,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i % 7)) for i in range(200)]
+    )
+    out = poisson_bootstrap_mean(
+        df, F.col("v"), F.col("k"), n_replicates=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    exact = sum(i % 7 for i in range(200)) / 200.0
+    assert r["point_mean"] == pytest.approx(exact, abs=1e-6)
+    assert r["n_rows"] == 200
+    assert r["boot_se"] > 0
+    assert r["ci_lo"] < r["point_mean"] < r["ci_hi"]
+    # determinism: identical second run
+    again = poisson_bootstrap_mean(
+        df, F.col("v"), F.col("k"), n_replicates=10
+    ).collect()[0]
+    assert again == r
+    with pytest.raises(ValueError):
+        poisson_bootstrap_mean(df, F.col("v"), F.col("k"), n_replicates=1)
+
+
+def test_poisson1_draw_distribution(spark):
+    """The md5-uniform -> Poisson(1) draw has the right first moments
+    over many rows (mean ~= 1, var ~= 1)."""
+    from autonomous_orchestrator_ai_spark.operators.mlstats import (
+        bootstrap_uniform,
+        poisson1_draw,
+    )
+
+    df = spark.range(20000).select(
+        poisson1_draw(
+            bootstrap_uniform(F.col("id"), F.lit(0))
+        ).alias("w")
+    )
+    r = df.agg(
+        F.avg("w").alias("m"), F.var_pop("w").alias("v")
+    ).collect()[0]
+    assert r["m"] == pytest.approx(1.0, abs=0.05)
+    assert r["v"] == pytest.approx(1.0, abs=0.1)
