@@ -427,8 +427,8 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its label is a mislabeling suspect. Top-15 most-suspect
     vectors; disagree_rate is an exact multiple of 0.2, so ordering is
     float-hazard-free. Same broadcast-queries / one-scan / per-query
-    window shape as cosine_topk; at corpus scale swap the broadcast
-    cross-join for the LSH-bucketed candidate join."""
+    window shape as cosine_topk; knn_label_disagreement_lsh is the
+    corpus-wide twin (every vector a query, LSH-bucketed candidates)."""
     from autonomous_orchestrator_ai_spark.operators.similarity import (
         cosine_topk,
     )
@@ -849,3 +849,120 @@ def quality_score_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=("source",),
         n_replicates=_N_REPS,
     )
+
+
+def _lsh_disagreement_sql(
+    k: int, n_planes: int, n_tables: int, dim: int, seed: int
+) -> str:
+    """Corpus-wide LSH mislabel screen oracle: same derandomized-LSH
+    unrolling as similarity_queries._lsh_oracle_sql (seeded hyperplane
+    literals -> bucketing, 1-bit multiprobe, bucket equi-join, exact
+    re-rank are plain SQL), but EVERY vector is a query and the ranked
+    neighbors feed the label-disagreement aggregation instead of being
+    returned raw."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            rows.append(f"({t}, {p}, {lit})")
+    flips = ", ".join(f"({f})" for f in [-1, *range(n_planes)])
+    return f"""
+    WITH planes(table_id, plane_id, plane) AS (VALUES {",".join(rows)}),
+    cb AS (
+      SELECT e.vec_id, p.table_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, {dim}+1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+                 THEN CAST(1 << p.plane_id AS BIGINT)
+                 ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.table_id),
+    qp AS (
+      SELECT DISTINCT b.vec_id AS query_id, b.table_id,
+             CASE WHEN f.flip < 0 THEN b.bucket
+                  ELSE xor(b.bucket, CAST(1 << f.flip AS BIGINT))
+             END AS bucket
+      FROM cb b CROSS JOIN (VALUES {flips}) AS f(flip)),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM qp q JOIN cb c
+        ON q.table_id = c.table_id AND q.bucket = c.bucket
+      WHERE c.vec_id <> q.query_id),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             {{COS}} AS sim
+      FROM cand cd
+      JOIN embeddings qe ON qe.vec_id = cd.query_id
+      JOIN embeddings ne ON ne.vec_id = cd.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) rn
+      FROM scored),
+    agg AS (
+      SELECT r.query_id, ql.label AS query_label,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+             ROUND(AVG(CASE WHEN nl.label <> ql.label
+                            THEN 1.0 ELSE 0.0 END), 2) AS disagree_rate
+      FROM ranked r
+      JOIN embeddings ql ON ql.vec_id = r.query_id
+      JOIN embeddings nl ON nl.vec_id = r.neighbor_id
+      WHERE r.rn <= {k}
+      GROUP BY r.query_id, ql.label)
+    SELECT query_id, query_label, n_neighbors, disagree_rate
+    FROM agg ORDER BY disagree_rate DESC, query_id LIMIT 15
+    """.replace("{COS}", _cos_sql("qe.embedding", "ne.embedding"))
+
+
+@register(
+    "knn_label_disagreement_lsh",
+    oracle=_lsh_disagreement_sql(
+        k=5, n_planes=4, n_tables=4, dim=64, seed=42
+    ),
+)
+def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-wide form of knn_label_disagreement: EVERY vector is a
+    query, with candidates restricted to LSH bucket collisions
+    (similarity.lsh_bucketed_topk, seeded hyperplanes) instead of a
+    brute-force scan per query — the shape that screens a full embedding
+    corpus for mislabels at 100 TB. Deterministic end to end (the
+    'approximate' part is a fixed function of corpus + seed), so it
+    carries a real unrolled DuckDB oracle like lsh_ann_topk. Top-15
+    most-suspect vectors; vectors with no bucket collision have no
+    neighbors and drop out, exactly as the index would serve."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    nn = lsh_bucketed_topk(emb, emb, k=5, n_planes=4, n_tables=4, dim=64)
+    labels = emb.select("vec_id", "label")
+    joined = (
+        nn.join(
+            labels.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("label", "query_label"),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "neighbor_label"),
+            "neighbor_id",
+        )
+    )
+    agg = joined.groupBy("query_id", "query_label").agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("neighbor_label") != F.col("query_label"), 1.0
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("disagree_rate"),
+    )
+    return agg.orderBy(
+        F.desc("disagree_rate"), F.asc("query_id")
+    ).limit(15)

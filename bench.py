@@ -96,6 +96,7 @@ HEADLINE = [
     "embedding_dim_correlation",
     "copurchase_kcore_stats",
     "quality_score_bootstrap_ci",
+    "knn_label_disagreement_lsh",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",
