@@ -164,6 +164,13 @@ def signbit_buckets(
     )
 
 
+#: query sets at or under this row count are safely broadcastable as
+#: exploded probes (4096 rows x 4 tables x ~13 probes x 64 doubles is
+#: ~110 MB — inside spark's broadcast comfort zone); bigger sets
+#: shuffle-join on (table, bucket)
+_BROADCAST_Q_MAX = 4096
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -176,6 +183,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     multiprobe_bits: int = 1,
     exclude_self: bool = True,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to LSH bucket collisions.
 
@@ -188,7 +196,21 @@ def lsh_bucketed_topk(
 
     Index cost at scale: the corpus is replicated n_tables times in the
     bucketed index (standard LSH space/recall trade); probe cost per query
-    is n_tables * (1 + n_planes * multiprobe) bucket lookups."""
+    is n_tables * (1 + n_planes * multiprobe) bucket lookups.
+
+    ``broadcast_queries`` picks the bucket-join strategy (result is
+    identical either way): True hints a broadcast of the exploded probe
+    side — right for a SMALL query set against a big corpus (the serving
+    shape); False shuffles both sides on (table, bucket) — REQUIRED when
+    the query set is corpus-scaled (e.g. every-vector-a-query screens),
+    where the probe side is n_queries x n_tables x (1 + n_planes) rows of
+    dim-length arrays and a forced broadcast is a multi-GB driver build
+    that grows with the corpus (measured at sf10: 200k self-queries, 12
+    auto planes -> ~10.4M exploded probe rows; the broadcast plan ran
+    2x slower than the shuffle plan and climbs with n). None (default)
+    decides with a bounded probe: broadcast only when the query count is
+    confirmed <= ``_BROADCAST_Q_MAX`` by a LIMIT-guarded count (never a
+    full count of an unbounded query set)."""
     c_base = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
     )
@@ -201,10 +223,21 @@ def lsh_bucketed_topk(
     # (row, [b_0..b_T]) into (row, table_id, bucket). A union per table
     # would re-scan and re-hash; per-table expressions would re-build the
     # whole driver-side tree per table.
+    #
+    # Vectors travel THROUGH the bucket join so scoring is map-side in
+    # the join stage — no per-pair shuffle ever carries two dim-length
+    # arrays (a dedup-then-refetch shape was tried and spilled ~74 GB of
+    # SMJ sort at sf10: unique pairs x two 64-double vectors is a
+    # corpus-scaled wide shuffle). Norms are HOISTED to one fold per
+    # bucket row before the join — per candidate the only vector fold is
+    # the dot product, and dot/(|q|*|c|) is bit-identical to cosine()
+    # (same operations, same order, just not recomputed per pair); at
+    # sf10 that alone cut the screen's scoring stage ~3x.
     all_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     c = c_base.select(
         "neighbor_id",
         "__cv",
+        norm(F.col("__cv")).alias("__cn"),
         F.posexplode(signbit_buckets(F.col("__cv"), all_planes)).alias(
             "table_id", "bucket"
         ),
@@ -216,6 +249,7 @@ def lsh_bucketed_topk(
     q = q_base.select(
         "query_id",
         "__qv",
+        norm(F.col("__qv")).alias("__qn"),
         F.posexplode(signbit_buckets(F.col("__qv"), all_planes)).alias(
             "table_id", "bucket"
         ),
@@ -231,15 +265,31 @@ def lsh_bucketed_topk(
         q = q.select(
             "query_id",
             "__qv",
+            "__qn",
             "table_id",
             F.explode(probe_arr).alias("bucket"),
         )
 
-    pairs = c.join(F.broadcast(q), ["table_id", "bucket"])
+    if broadcast_queries is None:
+        # bounded probe: LIMIT caps the scan, so deciding never costs a
+        # full pass over a corpus-scaled query set
+        broadcast_queries = (
+            q_base.limit(_BROADCAST_Q_MAX + 1).count() <= _BROADCAST_Q_MAX
+        )
+    pairs = c.join(
+        F.broadcast(q) if broadcast_queries else q, ["table_id", "bucket"]
+    )
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        pairs.select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim"))
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))

@@ -852,7 +852,12 @@ def quality_score_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_disagreement_sql(
-    k: int, n_planes: int, n_tables: int, dim: int, seed: int
+    k: int,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+    multiprobe: bool = True,
 ) -> str:
     """Corpus-wide LSH mislabel screen oracle: same derandomized-LSH
     unrolling as similarity_queries._lsh_oracle_sql (seeded hyperplane
@@ -869,7 +874,9 @@ def _lsh_disagreement_sql(
         for p, plane in enumerate(hyperplanes(dim, n_planes, seed + 1000 * t)):
             lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
             rows.append(f"({t}, {p}, {lit})")
-    flips = ", ".join(f"({f})" for f in [-1, *range(n_planes)])
+    flips = ", ".join(
+        f"({f})" for f in ([-1, *range(n_planes)] if multiprobe else [-1])
+    )
     return f"""
     WITH planes(table_id, plane_id, plane) AS (VALUES {",".join(rows)}),
     cb AS (
@@ -920,7 +927,7 @@ def _lsh_disagreement_sql(
 @register(
     "knn_label_disagreement_lsh",
     oracle=_lsh_disagreement_sql(
-        k=5, n_planes=4, n_tables=4, dim=64, seed=42
+        k=5, n_planes=4, n_tables=4, dim=64, seed=42, multiprobe=False
     ),
 )
 def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,9 +951,19 @@ def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with 9). The floor of 4 equals the oracle's pinned plane count at
     # the comparison scales (<=500 vectors), so the SQL stays exact
     # where the driver checks it and the query stays linear above.
+    # every vector is a query -> the probe side is corpus-scaled: shuffle
+    # the bucket join instead of broadcasting it, and probe the OWN
+    # bucket only (multiprobe_bits=0). With auto_planes holding expected
+    # bucket size constant, own-bucket candidates per query are
+    # corpus-INDEPENDENT (~n_tables x target_bucket) so total screen work
+    # is linear in n; 1-bit multiprobe would multiply candidates by
+    # (1 + n_planes) = O(log n) — measured at sf10 that was the
+    # difference between ~1000 s and ~60 s for identical screen purpose.
+    # Multiprobe stays on for SERVING (small query sets), where recall
+    # per query matters more than corpus-scaled probe fan-out.
     nn = lsh_bucketed_topk(
         emb, emb, k=5, n_planes=auto_planes(emb.count()), n_tables=4,
-        dim=64,
+        dim=64, broadcast_queries=False, multiprobe_bits=0,
     )
     labels = emb.select("vec_id", "label")
     joined = (

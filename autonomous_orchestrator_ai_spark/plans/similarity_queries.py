@@ -260,7 +260,12 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL (see ``_lsh_oracle_sql``) and hash-matches end to end."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64)
+    # 10-query serving shape: broadcasting the probe side is the right
+    # plan and passing it explicitly skips the auto-detect count job
+    return lsh_bucketed_topk(
+        emb, queries, k=5, n_planes=4, n_tables=4, dim=64,
+        broadcast_queries=True,
+    )
 
 
 def _ivf_oracle_sql(k: int, n_probe: int, n_cents: int, dim: int, seed: int) -> str:

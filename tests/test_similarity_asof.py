@@ -127,3 +127,23 @@ def test_centroid_outliers_flags_planted_outlier(spark):
     l1 = sorted(by_label[1], key=lambda r: r.rank)
     assert [r.vec_id for r in l1] == [5, 6]
     assert l1[0].centroid_dist == l1[1].centroid_dist == 1.0
+
+
+def test_auto_planes_bucket_sizing():
+    from autonomous_orchestrator_ai_spark.operators.similarity import auto_planes
+
+    # at or below the target bucket size: the floor (oracle-pinned scales)
+    assert auto_planes(0) == 4
+    assert auto_planes(64) == 4
+    assert auto_planes(500) == 4  # ceil(log2(500/64)) = 3 -> floored to 4
+    # expected bucket size n / 2^planes stays <= target once above the floor
+    for n in (2_000, 20_000, 200_000, 2_000_000, 10**9):
+        p = auto_planes(n)
+        assert n / 2**p <= 64, (n, p)
+        # but not overly aggressive: one fewer plane would exceed the target
+        assert n / 2 ** (p - 1) > 64 or p == 4, (n, p)
+    # monotone non-decreasing in corpus size
+    sizes = [10, 100, 1_000, 10_000, 100_000, 1_000_000]
+    planes = [auto_planes(n) for n in sizes]
+    assert planes == sorted(planes)
+    assert auto_planes(20_000) == 9  # the measured sf1 configuration
