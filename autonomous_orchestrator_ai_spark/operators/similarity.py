@@ -305,28 +305,53 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold),
     LSH-bucketed: near-identical vectors land in the same sign bucket with
-    high probability, so the self-join is per-bucket, not all-pairs."""
+    high probability, so the self-join is per-bucket, not all-pairs.
+
+    ``n_planes=None`` (default) sizes the plane count to the corpus
+    (``auto_planes`` with a floor of 8 — the historical fixed count, so
+    small corpora behave exactly as before; the sizing count() is one
+    cheap extra job). A FIXED plane count makes the per-bucket self-join
+    Σ|b|² ~ n²/2^planes — quadratic in disguise, the same failure mode
+    measured and fixed on the corpus-wide kNN screen (see PERF.md round
+    5 late). Pass an explicit value to pin the bucketing (oracle twins,
+    recall experiments)."""
+    if n_planes is None:
+        n_planes = auto_planes(embeddings.count(), floor=8)
     planes = hyperplanes(dim, n_planes, seed)
+    # norm hoisted to one fold per ROW; the per-pair fold is dot only
+    # (dot/(|a|*|b|) is bit-identical to cosine(), computed once per side)
     e = ensure_min_parallelism(embeddings).select(
         F.col(id_col), _as_double_array(vec_col).alias("__v")
-    ).withColumn("bucket", signbit_bucket(F.col("__v"), planes))
+    ).withColumn("bucket", signbit_bucket(F.col("__v"), planes)).withColumn(
+        "__n", norm(F.col("__v"))
+    )
     a = e.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("va"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+        "bucket",
     )
     b = e.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
