@@ -163,7 +163,15 @@ def build_lsh_index(
     comes from a single fused expression (signbit_buckets) + posexplode.
     The corpus is replicated n_tables× — the standard LSH space/recall
     trade. The hash-family parameters are persisted beside the data and
-    validated by append/query."""
+    validated by append/query.
+
+    Size ``n_planes`` to the corpus with ``similarity.auto_planes(n)``:
+    a plane count that doesn't grow with n leaves expected bucket size
+    n/2^planes growing linearly, so every probe's candidate set — and
+    any self-join over the index — scales with the corpus instead of
+    staying constant (measured consequences in PERF.md round 5 late).
+    The default of 4 matches the pinned oracle configuration at test
+    scales, not a production corpus."""
     # build owns __batch=-1: streaming epoch ids start at 0, so an
     # append can never dynamic-overwrite the base build's partitions
     entries = _index_entries(
