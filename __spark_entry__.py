@@ -33,4 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     registry.load_all()
-    return dict(registry.ORACLES)
+    # the driver compares Spark vs DuckDB at sf0.01; callable oracles
+    # (corpus-adaptive queries, e.g. auto-sized LSH planes) are resolved
+    # at that scale so the returned dict is plain static SQL
+    return {
+        name: registry.resolve_oracle(name, "/root/testdata/sf0.01")
+        for name in registry.ORACLES
+    }

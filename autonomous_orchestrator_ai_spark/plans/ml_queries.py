@@ -924,12 +924,34 @@ def _lsh_disagreement_sql(
     """.replace("{COS}", _cos_sql("qe.embedding", "ne.embedding"))
 
 
-@register(
-    "knn_label_disagreement_lsh",
-    oracle=_lsh_disagreement_sql(
-        k=5, n_planes=4, n_tables=4, dim=64, seed=42, multiprobe=False
-    ),
-)
+def _lsh_disagreement_oracle(sf_dir: str) -> str:
+    """Callable oracle (see registry.resolve_oracle): the screen's plane
+    count is a deterministic function of CORPUS SIZE (auto_planes), so
+    the oracle must derive the same count from the same corpus — a
+    static SQL string would silently pin one scale's configuration and
+    hash-mismatch at every other. DuckDB counts the parquet directly
+    (cheap metadata read); the driver contract still receives plain SQL
+    because __spark_entry__.oracle_sql resolves this at sf0.01."""
+    import duckdb
+
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        auto_planes,
+    )
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    return _lsh_disagreement_sql(
+        k=5,
+        n_planes=auto_planes(n),
+        n_tables=4,
+        dim=64,
+        seed=42,
+        multiprobe=False,
+    )
+
+
+@register("knn_label_disagreement_lsh", oracle=_lsh_disagreement_oracle)
 def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-wide form of knn_label_disagreement: EVERY vector is a
     query, with candidates restricted to LSH bucket collisions

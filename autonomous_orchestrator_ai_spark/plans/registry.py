@@ -36,13 +36,24 @@ def exact_money_sum(expr) -> F.Column:
     return F.round(F.sum(expr.cast("decimal(18,4)")), 2).cast("double")
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+#: str oracles are static SQL; callable oracles are ``fn(sf_dir) -> str``
+#: for queries whose EXACT semantics adapt to corpus size (e.g. the LSH
+#: screen's auto-sized plane count) — resolve with ``resolve_oracle``
+ORACLES: dict[str, str | Callable[[str], str]] = {}
 
 _LOADED = False
 
 
-def register(name: str, oracle: str | None = None):
-    """Register a named query and (optionally) its DuckDB oracle SQL."""
+def register(name: str, oracle: str | Callable[[str], str] | None = None):
+    """Register a named query and (optionally) its DuckDB oracle.
+
+    ``oracle`` is usually a static ANSI-SQL string. It may instead be a
+    callable ``fn(sf_dir) -> str`` when the query's deterministic
+    parameters are a function of the corpus (auto-sized LSH planes): the
+    harness resolves it against the sf directory it is actually checking,
+    so Spark and DuckDB derive the same configuration at EVERY scale.
+    The driver contract (__spark_entry__.oracle_sql) resolves callables
+    at the driver's fixed comparison scale, sf0.01."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -51,6 +62,15 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracle(name: str, sf_dir: str) -> str | None:
+    """The oracle SQL for ``name`` at ``sf_dir`` (callables resolved),
+    or None if the query has no SQL oracle."""
+    o = ORACLES.get(name)
+    if o is None:
+        return None
+    return o(sf_dir) if callable(o) else o
 
 
 def load_all() -> None:

@@ -49,7 +49,15 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # resolve oracles against the sf dir being CHECKED (callable oracles
+    # adapt deterministic parameters — e.g. auto-sized LSH planes — to the
+    # corpus, exactly as the Spark side does); entrymod.oracle_sql() would
+    # pin them to the driver's sf0.01
+    from autonomous_orchestrator_ai_spark.plans import registry as _reg
+
+    oracles = {
+        name: _reg.resolve_oracle(name, sf_dir) for name in _reg.ORACLES
+    }
 
     con = duckdb.connect()
     for t in [

@@ -54,7 +54,13 @@ def main() -> int:
 
     spark = get_spark("oracle-soak")
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # resolve callable oracles against the sf dir being soaked (see
+    # registry.resolve_oracle); oracle_sql() would pin them to sf0.01
+    from autonomous_orchestrator_ai_spark.plans import registry as _reg
+
+    oracles = {
+        name: _reg.resolve_oracle(name, ns.sf_dir) for name in _reg.ORACLES
+    }
 
     t0 = time.time()
     pass1 = run_spark_pass(spark, qs, ns.sf_dir, release_session_storage)
