@@ -306,12 +306,17 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold),
-    LSH-bucketed: near-identical vectors land in the same sign bucket with
-    high probability, so the self-join is per-bucket, not all-pairs.
+    multi-table LSH-bucketed: near-identical vectors land in the same
+    sign bucket with high probability, so the self-join is per-bucket,
+    not all-pairs; ``n_tables`` independent hash tables drive per-pair
+    recall toward 1-(1-p)^L (a single 8-plane table catches a
+    0.95-cosine pair with p≈0.43 — four tables ≈ 0.89) and a pair
+    colliding in several tables is emitted once (dropDuplicates).
 
     ``n_planes=None`` (default) sizes the plane count to the corpus
     (``auto_planes`` with a floor of 8 — the historical fixed count, so
@@ -320,31 +325,44 @@ def embedding_near_duplicates(
     Σ|b|² ~ n²/2^planes — quadratic in disguise, the same failure mode
     measured and fixed on the corpus-wide kNN screen (see PERF.md round
     5 late). Pass an explicit value to pin the bucketing (oracle twins,
-    recall experiments)."""
+    recall experiments). ``n_tables=1`` reproduces the historical
+    single-table behavior exactly (table 0's planes use the base seed)."""
     if n_planes is None:
         n_planes = auto_planes(embeddings.count(), floor=8)
-    planes = hyperplanes(dim, n_planes, seed)
+    all_planes = [
+        hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
     # norm hoisted to one fold per ROW; the per-pair fold is dot only
     # (dot/(|a|*|b|) is bit-identical to cosine(), computed once per side)
-    e = ensure_min_parallelism(embeddings).select(
-        F.col(id_col), _as_double_array(vec_col).alias("__v")
-    ).withColumn("bucket", signbit_bucket(F.col("__v"), planes)).withColumn(
-        "__n", norm(F.col("__v"))
+    e = (
+        ensure_min_parallelism(embeddings)
+        .select(F.col(id_col), _as_double_array(vec_col).alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            id_col,
+            "__v",
+            "__n",
+            F.posexplode(
+                signbit_buckets(F.col("__v"), all_planes)
+            ).alias("table_id", "bucket"),
+        )
     )
     a = e.select(
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("va"),
         F.col("__n").alias("na"),
+        "table_id",
         "bucket",
     )
     b = e.select(
         F.col(id_col).alias("id_b"),
         F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
+        "table_id",
         "bucket",
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

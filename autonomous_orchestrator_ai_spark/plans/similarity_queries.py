@@ -101,6 +101,77 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_lsh_pairs_oracle(sf_dir: str) -> str:
+    """Callable oracle (registry.resolve_oracle) for the corpus-wide
+    LSH near-dup scale path: plane count is auto-sized from the corpus
+    exactly as the Spark side does, then the multi-table bucketing,
+    DISTINCT pair join, and exact cosine re-score are unrolled into
+    plain SQL. Resolving per sf dir keeps the configuration identical
+    at EVERY scale the harness checks."""
+    import duckdb
+
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        auto_planes,
+        hyperplanes,
+    )
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    n_planes, n_tables, dim, seed = auto_planes(n, floor=8), 4, 64, 42
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            rows.append(f"({t}, {p}, {lit})")
+    return f"""
+    WITH planes(table_id, plane_id, plane) AS (VALUES {",".join(rows)}),
+    cb AS (
+      SELECT e.vec_id, p.table_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, {dim}+1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+                 THEN CAST(1 << p.plane_id AS BIGINT)
+                 ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.table_id),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cb a JOIN cb b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT cd.id_a, cd.id_b,
+             ROUND({_cos_sql("ea.embedding", "eb.embedding")}, 6)
+               AS cosine_sim
+      FROM cand cd
+      JOIN embeddings ea ON ea.vec_id = cd.id_a
+      JOIN embeddings eb ON eb.vec_id = cd.id_b)
+    SELECT id_a, id_b, cosine_sim FROM scored
+    WHERE cosine_sim >= 0.4
+    ORDER BY cosine_sim DESC, id_a, id_b LIMIT 50
+    """
+
+
+@register("embedding_near_dup_pairs_lsh", oracle=_embedding_lsh_pairs_oracle)
+def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH twin of embedding_near_dup_pairs: corpus-wide
+    cosine >= 0.4 pairs via multi-table LSH bucketing
+    (operators.similarity.embedding_near_duplicates — auto-sized planes,
+    4 hash tables, per-bucket self-join, never all-pairs), top-50 by
+    similarity with a unique (id_a, id_b) tie-break. Deterministic given
+    corpus + seed, so it carries a real callable DuckDB oracle that
+    re-derives the same auto-sized configuration at whatever sf dir is
+    being checked. The pinned all-pairs baseline stays as the recall
+    anchor; THIS is the query you run on the full corpus."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.4)
+    return pairs.orderBy(F.desc("cosine_sim"), "id_a", "id_b").limit(50)
+
+
 @register(
     "label_centroid_norms",
     oracle="""

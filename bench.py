@@ -97,6 +97,7 @@ HEADLINE = [
     "copurchase_kcore_stats",
     "quality_score_bootstrap_ci",
     "knn_label_disagreement_lsh",
+    "embedding_near_dup_pairs_lsh",
     # reference pipeline surface
     "pipeline_run_report",
     "dq_flag_rates",
