@@ -67,6 +67,43 @@ def test_embedding_near_duplicates(spark):
     assert got == [(0, 1)]
 
 
+def test_embedding_near_duplicates_multitable_superset(spark):
+    """n_tables=1 reproduces the historical single-table bucketing
+    (table 0 uses the base seed); more tables only ADD pairs (recall),
+    never drop or re-score one, and each pair is emitted once."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 8))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # plant near-identical copies of vectors 3 and 11
+    rows += [(100, (base[3] + 1e-4).tolist()), (101, (base[11] - 1e-4).tolist())]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    one = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, n_planes=4, n_tables=1, dim=8
+        ).collect()
+    }
+    four = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, n_planes=4, n_tables=4, dim=8
+        ).collect()
+    }
+    assert one <= four
+    planted = {p[:2] for p in four}
+    assert (3, 100) in planted and (11, 101) in planted
+    # dropDuplicates: each pair once
+    flat = [
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.9, n_planes=4, n_tables=4, dim=8
+        ).collect()
+    ]
+    assert len(flat) == len(set(flat))
+
+
 # -- as-of join -------------------------------------------------------------
 
 
