@@ -491,9 +491,11 @@ def auto_planes(n_rows: int, target_bucket: int = 64, floor: int = 4) -> int:
     are ~n/2^planes per table, so a FIXED plane count makes total
     candidate work grow as n²/2^planes — quadratic in disguise. Measured
     on this host (corpus-wide label screen, 64-dim, sf1): 20k vectors
-    with 4 planes (16 buckets) took 340 s; the same screen with
-    auto_planes(20_000) = 9 planes ran in 45 s and stays bucket-bounded.
-    Fixed plane counts are for pinned-corpus oracle anchors only.
+    with 4 planes (16 buckets) took 340 s; auto_planes(20_000) = 9
+    planes cut that to 45 s, and the full rework (shuffle bucket join,
+    own-bucket probing, hoisted norms — PERF.md round 5 late) to 10.4 s
+    with measured ~linear sf1→sf10 growth. Fixed plane counts are for
+    pinned-corpus oracle anchors only.
     """
     import math
 
