@@ -186,6 +186,21 @@ def build_lsh_index(
     )
 
 
+def load_lsh_index(spark: SparkSession, path: str) -> DataFrame:
+    """One-time handle for a ``build_lsh_index`` table, for SERVING:
+    pass the result to ``query_lsh_index(index_df=...)`` so repeated
+    probes skip partition DISCOVERY. Discovery — listing every
+    table_id=/bucket= directory and inferring the layout — is the
+    dominant probe cost once the index is wide: measured at sf10 (200k
+    vectors, 12 auto planes → 12,456 bucket directories on local FS)
+    discovery is ~35 s while the pruned probe read itself is ~0.4 s.
+    A long-lived server loads once and probes thousands of times; a
+    metastore-cataloged index gets the same effect from the catalog.
+    After ``append_to_lsh_index``, reload — a cached handle's file
+    listing will not see new ``__batch`` directories."""
+    return spark.read.parquet(path)
+
+
 def query_lsh_index(
     spark: SparkSession,
     path: str,
@@ -199,6 +214,7 @@ def query_lsh_index(
     vec_col: str = "embedding",
     multiprobe_bits: int = 1,
     exclude_self: bool = True,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a ``build_lsh_index`` table: compute each query's probe
     buckets, then read ONLY those (table_id, bucket) partitions via an
@@ -208,7 +224,11 @@ def query_lsh_index(
     The probe set is collected driver-side (n_queries × n_tables ×
     (1+n_planes) tiny rows — for a serving path that is the point: the
     index read is driven by literals, so the scan prunes statically).
-    """
+
+    ``index_df``: a handle from ``load_lsh_index`` — repeated probes
+    against the same index MUST pass this to amortize partition
+    discovery (~35 s at 12.5k partitions, vs ~0.4 s per pruned probe;
+    see load_lsh_index). Omitted, each call re-lists the index."""
     _check_meta(
         spark,
         path,
@@ -237,7 +257,7 @@ def query_lsh_index(
         (r.table_id, r.bucket)
         for r in q.select("table_id", "bucket").distinct().collect()
     }
-    index = spark.read.parquet(path)
+    index = index_df if index_df is not None else load_lsh_index(spark, path)
     if not probe_keys:  # empty query batch -> empty result, not a crash
         # id types come from the actual inputs — ids are not always bigint
         qid_type = queries.schema[id_col].dataType.simpleString()

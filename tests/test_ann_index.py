@@ -249,3 +249,33 @@ def test_corrupt_meta_fails_loudly(spark, tmp_path):
         n_tables=2,
         dim=64,
     )
+
+
+def test_preloaded_index_handle_matches_fresh_read(spark, tmp_path):
+    """Serving contract: a load_lsh_index handle passed as index_df gives
+    byte-identical results to a per-call fresh read — the handle exists
+    purely to amortize partition discovery across repeated probes."""
+    from autonomous_orchestrator_ai_spark.operators.ann_index import (
+        load_lsh_index,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, n_planes=4, n_tables=4, dim=64)
+    handle = load_lsh_index(spark, path)
+    preloaded = query_lsh_index(
+        spark, path, queries, k=5, n_planes=4, n_tables=4, dim=64,
+        index_df=handle,
+    )
+    fresh = query_lsh_index(
+        spark, path, queries, k=5, n_planes=4, n_tables=4, dim=64
+    )
+    assert _rows(preloaded) == _rows(fresh)
+    # the handle is reusable across probe batches
+    q2 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    again = query_lsh_index(
+        spark, path, q2, k=3, n_planes=4, n_tables=4, dim=64,
+        index_df=handle,
+    )
+    assert len(_rows(again)) > 0
