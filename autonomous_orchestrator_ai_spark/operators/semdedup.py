@@ -28,7 +28,8 @@ from autonomous_orchestrator_ai_spark.operators.partitioning import (
 )
 from autonomous_orchestrator_ai_spark.operators.similarity import (
     _as_double_array,
-    cosine,
+    dot,
+    norm,
 )
 
 __all__ = ["semantic_dedup_pairs", "semantic_dedup"]
@@ -49,13 +50,29 @@ def semantic_dedup_pairs(
         F.col(block_col).alias("__blk"),
         F.col(id_col),
         _as_double_array(vec_col).alias("__v"),
+    ).withColumn("__n", norm(F.col("__v")))
+    a = e.select(
+        "__blk",
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
-    a = e.select("__blk", F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    b = e.select("__blk", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    b = e.select(
+        "__blk",
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     return (
         a.join(b, "__blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__sim", cosine(F.col("__va"), F.col("__vb")))
+        # norm hoisted to one fold per row; dot/(|a|*|b|) is bit-identical
+        # to per-pair cosine()
+        .withColumn(
+            "__sim",
+            dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("__sim") >= threshold)
         .select(
             F.col("__blk").alias(block_col),

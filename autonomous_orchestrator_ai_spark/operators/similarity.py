@@ -75,19 +75,28 @@ def cosine_topk(
     rank). Ties broken by neighbor id; cosine rounded to 6dp in the output
     (ranking uses the unrounded value)."""
     query_id_col = query_id_col or id_col
+    # norms hoisted to one fold per ROW (bit-identical to per-pair
+    # cosine(): same dot/(|q|*|c|) expression, just not recomputed per
+    # pair — the corpus-side norm folds once per corpus row instead of
+    # once per (corpus row x query))
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
-    )
+        F.col(query_id_col).alias("query_id"),
+        _as_double_array(vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_array(vec_col).alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv")))
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        (
+            dot(F.col("__qv"), F.col("__cv"))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("__sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
