@@ -9,14 +9,27 @@ hundred k rows at ANY corpus size), never over raw text again. At 100 TB
 the corpus pass is one aggregation; the merge loop is driver-paced work
 on a table that fits in one executor's cache.
 
-Symbolization state is a SEPARATOR-DELIMITED STRING (``a␟b␟c␟`` for
-symbols [a, b, c], ␟ = U+001F): applying merge (x, y) is then a single
-literal ``replace('x␟y␟' -> 'xy␟')``. ``replace`` substitutes
-left-to-right over non-overlapping occurrences — exactly BPE's
-within-word merge order (the 'a a a' case merges the leftmost pair) —
-and behaves identically in Spark and DuckDB, which is what makes the
-8-round training loop ORACLE-EXACT (plans/bpe_queries.py unrolls the
-same rounds as chained CTEs) instead of rows-only-checked.
+Symbolization state is a DOUBLE-SEPARATOR-DELIMITED STRING
+(``␟␟a␟␟b␟␟c␟␟`` for symbols [a, b, c], ␟ = U+001F): applying merge
+(x, y) is then a single literal ``replace('␟x␟␟y␟' -> '␟xy␟')``. The
+double separator buys two properties a single-delimiter encoding lacks:
+
+* **Left anchoring.** The pattern starts with ``␟x``, so ``x`` can only
+  match a WHOLE symbol, never the suffix of a longer one (single-sep
+  ``x␟y␟`` would merge across symbol boundaries: state ``b|an|d`` +
+  merge (n, d) -> ``b|and``).
+* **Adjacent-occurrence chaining.** Consecutive matches do not share
+  characters: a match consumes only the SECOND ␟ of the left boundary
+  pair and the FIRST ␟ of the right one, so ``replace``'s
+  continue-after-match scan lands exactly on the leading ␟ of the next
+  occurrence. One pass therefore merges ``a a a a a`` into
+  ``aa aa a`` — Sennrich's leftmost non-overlapping order — with no
+  fixpoint loop.
+
+``replace`` substitutes left-to-right over non-overlapping occurrences
+identically in Spark and DuckDB, which is what makes the 8-round
+training loop ORACLE-EXACT (plans/bpe_queries.py unrolls the same
+rounds as chained CTEs) instead of rows-only-checked.
 
 Vocabulary scope: lowercase whitespace tokens matching ``^[a-z0-9]+$``.
 Normalizing away punctuation/mixed-unicode words keeps the pair alphabet
@@ -36,6 +49,8 @@ from pyspark.sql import functions as F
 
 #: U+001F unit separator: cannot occur in ``^[a-z0-9]+$`` words.
 SEP = "\x1f"
+#: the symbol boundary: two separators (see module docstring).
+DSEP = SEP + SEP
 
 
 def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -54,16 +69,20 @@ def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_initial_state(word_counts: DataFrame) -> DataFrame:
-    """Adds ``seq``: the char-level symbolization ``c1␟c2␟…cn␟``."""
+    """Adds ``seq``: the char-level symbolization ``␟␟c1␟␟c2␟␟…cn␟␟``."""
     return word_counts.withColumn(
-        "seq", F.regexp_replace(F.col("word"), "(.)", "$1" + SEP)
+        "seq",
+        F.concat(
+            F.lit(DSEP), F.regexp_replace(F.col("word"), "(.)", "$1" + DSEP)
+        ),
     )
 
 
 def _symbols(seq: Column) -> Column:
-    """seq -> symbol array (drops the empty element after the trailing ␟)."""
-    arr = F.split(seq, SEP)
-    return F.slice(arr, 1, F.size(arr) - 1)
+    """seq -> symbol array (drops the empty elements around the leading
+    and trailing ``␟␟`` boundaries)."""
+    arr = F.split(seq, DSEP)
+    return F.slice(arr, 2, F.size(arr) - 2)
 
 
 def bpe_pair_counts(state: DataFrame) -> DataFrame:
@@ -84,11 +103,18 @@ def bpe_pair_counts(state: DataFrame) -> DataFrame:
 
 
 def bpe_apply_merge(state: DataFrame, a: str, b: str) -> DataFrame:
-    """One merge as one literal replace: ``a␟b␟`` -> ``ab␟``."""
+    """One merge as one literal replace: ``␟a␟␟b␟`` -> ``␟ab␟``.
+
+    Consumes the inner separator of each boundary pair, leaving the outer
+    ones to re-form ``␟␟`` boundaries with the neighbors — the invariant
+    that makes a single left-to-right ``replace`` exactly Sennrich's
+    leftmost non-overlapping merge order (see module docstring)."""
     return state.withColumn(
         "seq",
         F.replace(
-            F.col("seq"), F.lit(f"{a}{SEP}{b}{SEP}"), F.lit(f"{a}{b}{SEP}")
+            F.col("seq"),
+            F.lit(f"{SEP}{a}{DSEP}{b}{SEP}"),
+            F.lit(f"{SEP}{a}{b}{SEP}"),
         ),
     )
 
@@ -131,7 +157,11 @@ def bpe_segment(
     """Apply learned merges to segment words: adds ``bpe_tokens``
     (array<string>). The merge chain is a fixed expression pipeline —
     pure map-side, no shuffle, codegen-friendly."""
-    seq = F.regexp_replace(F.col(word_col), "(.)", "$1" + SEP)
+    seq = F.concat(
+        F.lit(DSEP), F.regexp_replace(F.col(word_col), "(.)", "$1" + DSEP)
+    )
     for _, a, b, _ in merges:
-        seq = F.replace(seq, F.lit(f"{a}{SEP}{b}{SEP}"), F.lit(f"{a}{b}{SEP}"))
+        seq = F.replace(
+            seq, F.lit(f"{SEP}{a}{DSEP}{b}{SEP}"), F.lit(f"{SEP}{a}{b}{SEP}")
+        )
     return df.withColumn("bpe_tokens", _symbols(seq))

@@ -109,8 +109,15 @@ def mutual_information_pairs(
         F.round("h_x", 6).alias("entropy_x"),
         F.round("h_y", 6).alias("entropy_y"),
         F.round("mi", 6).alias("mi_nats"),
+        # a constant column has entropy 0 -> the ratio is 0/0; define
+        # normalized MI as 0 there (a constant carries no information)
+        # instead of surfacing NULL/NaN
         F.round(
-            F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6
+            F.when(
+                F.col("h_x") * F.col("h_y") > 0,
+                F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")),
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("normalized_mi"),
     )
 
@@ -139,12 +146,19 @@ def woe_iv(
     useless, > 0.5 suspiciously strong — the classical screen for a
     leaky feature). One count shuffle on the feature key; totals are a
     broadcast scalar.
+
+    NULL handling: the feature column goes through the ``_cat`` sentinel
+    (NULL is a real category and must survive downstream equi-joins);
+    NULL targets are counted explicitly as ``n_null_target`` so the
+    per-category counts reconcile (``n = n_event + n_non_event +
+    n_null_target``) — WOE itself is computed over labeled rows only.
     """
     t = target.cast("int")
-    per_cat = df.groupBy(F.col(feature_col).alias("category")).agg(
+    per_cat = df.groupBy(_cat(feature_col).alias("category")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(t).alias("n_event"),
-        F.sum(1 - t).alias("n_non_event"),
+        F.count(F.when(t == 1, 1)).alias("n_event"),
+        F.count(F.when(t == 0, 1)).alias("n_non_event"),
+        F.count(F.when(t.isNull(), 1)).alias("n_null_target"),
     )
     tot = per_cat.agg(
         F.sum("n_event").alias("tot_event"),
@@ -164,6 +178,7 @@ def woe_iv(
             "n",
             "n_event",
             "n_non_event",
+            "n_null_target",
             F.round(F.log(ev / ne), 6).alias("woe"),
             F.round((ev - ne) * F.log(ev / ne), 6).alias("iv_contrib"),
         )

@@ -67,20 +67,26 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _training_ctes(n: int) -> str:
     """state0..state{n-1} + per-round pair counts and top-1 picks, as
-    chained CTEs mirroring bpe_train round for round."""
+    chained CTEs mirroring bpe_train round for round (double-separator
+    symbolization ``␟␟a␟␟b␟␟`` — see operators/bpe.py)."""
     sep = "chr(31)"
+    dsep = f"({sep} || {sep})"
     ctes = [
         _WC,
-        f"state0 AS (SELECT regexp_replace(word, '(.)', '\\1' || {sep}, 'g')"
+        f"state0 AS (SELECT {dsep} || "
+        f"regexp_replace(word, '(.)', '\\1' || {dsep}, 'g')"
         " AS seq, cnt FROM wc)",
     ]
     for i in range(n):
+        # l = ['', s1, ..., sn, '']: symbols at indices 2..len-1, pairs
+        # (l[i], l[i+1]) for i in [2, len-2] (range upper bound exclusive).
         ctes.append(
             f"pc{i} AS ("
             f"SELECT list_extract(l, i) AS a, list_extract(l, i + 1) AS b, "
             f"SUM(cnt) AS cnt "
-            f"FROM (SELECT string_split(seq, {sep}) AS l, cnt FROM state{i}) s, "
-            f"unnest(range(1, len(s.l) - 1)) AS r(i) "
+            f"FROM (SELECT string_split(seq, {dsep}) AS l, cnt "
+            f"FROM state{i}) s, "
+            f"unnest(range(2, len(s.l) - 1)) AS r(i) "
             f"GROUP BY 1, 2)"
         )
         ctes.append(
@@ -90,8 +96,9 @@ def _training_ctes(n: int) -> str:
         if i < n - 1:
             ctes.append(
                 f"state{i + 1} AS ("
-                f"SELECT replace(s.seq, t.a || {sep} || t.b || {sep}, "
-                f"t.a || t.b || {sep}) AS seq, s.cnt "
+                f"SELECT replace(s.seq, "
+                f"{sep} || t.a || {dsep} || t.b || {sep}, "
+                f"{sep} || t.a || t.b || {sep}) AS seq, s.cnt "
                 f"FROM state{i} s, t{i} t)"
             )
     return "WITH " + ",\n".join(ctes)
@@ -124,15 +131,17 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_training_ctes(_N_MERGES)
     + f""",
     final AS (
-      SELECT replace(s.seq, t.a || chr(31) || t.b || chr(31),
-                     t.a || t.b || chr(31)) AS seq, s.cnt
+      SELECT replace(s.seq,
+                     chr(31) || t.a || chr(31) || chr(31) || t.b || chr(31),
+                     chr(31) || t.a || t.b || chr(31)) AS seq, s.cnt
       FROM state{_N_MERGES - 1} s, t{_N_MERGES - 1} t)
     SELECT CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
-           CAST(SUM((len(string_split(seq, chr(31))) - 1) * cnt) AS BIGINT)
-             AS n_tokens_after,
+           CAST(SUM((len(string_split(seq, chr(31) || chr(31))) - 2) * cnt)
+             AS BIGINT) AS n_tokens_after,
            CAST(SUM(len(replace(seq, chr(31), '')) * cnt) AS BIGINT)
              AS n_chars,
-           ROUND(SUM((len(string_split(seq, chr(31))) - 1) * cnt) * 1.0
+           ROUND(SUM((len(string_split(seq, chr(31) || chr(31))) - 2) * cnt)
+                 * 1.0
                  / SUM(len(replace(seq, chr(31), '')) * cnt), 6)
              AS tokens_per_char
     FROM final

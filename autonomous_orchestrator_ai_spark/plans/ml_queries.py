@@ -208,7 +208,8 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.x_col, t.y_col, CAST(t.n AS BIGINT) AS n,
            ROUND(h_x, 6) AS entropy_x, ROUND(h_y, 6) AS entropy_y,
            ROUND(mi.mi, 6) AS mi_nats,
-           ROUND(mi.mi / sqrt(h_x * h_y), 6) AS normalized_mi
+           ROUND(CASE WHEN h_x * h_y > 0 THEN mi.mi / sqrt(h_x * h_y)
+                      ELSE 0.0 END, 6) AS normalized_mi
     FROM tot t JOIN mi USING (x_col, y_col) JOIN hx USING (x_col, y_col)
     JOIN hy USING (x_col, y_col)
     """,
@@ -238,16 +239,19 @@ def event_type_time_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_priority_woe_iv",
     oracle="""
     WITH per_cat AS (
-      SELECT o_orderpriority AS category,
+      SELECT COALESCE(CAST(o_orderpriority AS VARCHAR), '<NULL>')
+               AS category,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)
                   AS BIGINT) AS n_event,
-             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
-                  AS BIGINT) AS n_non_event
-      FROM orders GROUP BY o_orderpriority),
+             CAST(COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END)
+                  AS BIGINT) AS n_non_event,
+             CAST(COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END)
+                  AS BIGINT) AS n_null_target
+      FROM orders GROUP BY 1),
     tot AS (SELECT SUM(n_event) AS te, SUM(n_non_event) AS tne,
                    COUNT(*) AS nc FROM per_cat)
-    SELECT category, n, n_event, n_non_event,
+    SELECT category, n, n_event, n_non_event, n_null_target,
            ROUND(ln(((n_event + 0.5) / (te + 0.5 * nc))
                     / ((n_non_event + 0.5) / (tne + 0.5 * nc))), 6) AS woe,
            ROUND(((n_event + 0.5) / (te + 0.5 * nc)

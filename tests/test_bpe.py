@@ -8,8 +8,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from autonomous_orchestrator_ai_spark.operators.bpe import (
-    SEP,
+    DSEP,
     bpe_apply_merge,
     bpe_initial_state,
     bpe_pair_counts,
@@ -17,6 +20,28 @@ from autonomous_orchestrator_ai_spark.operators.bpe import (
     bpe_train,
     bpe_word_counts,
 )
+
+
+def _seq(*symbols):
+    """Build the double-separator symbolization for a symbol list."""
+    return DSEP + DSEP.join(symbols) + DSEP
+
+
+def _py_bpe_segment(word, merges):
+    """Pure-Python Sennrich reference: apply each merge over the symbol
+    list, leftmost non-overlapping, rescanning after each merged pair."""
+    syms = list(word)
+    for _, a, b, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
 def _docs(spark, texts):
@@ -41,11 +66,32 @@ def test_pair_counts_weighted(spark):
 
 def test_apply_merge_left_to_right_non_overlapping(spark):
     state = spark.createDataFrame(
-        [(f"a{SEP}a{SEP}a{SEP}", 1)], f"seq string, cnt long"
+        [(_seq("a", "a", "a"), 1)], "seq string, cnt long"
     )
     out = bpe_apply_merge(state, "a", "a").collect()[0]["seq"]
     # "aaa" merges the LEFTMOST pair only: [aa, a], never [a, aa]
-    assert out == f"aa{SEP}a{SEP}"
+    assert out == _seq("aa", "a")
+
+
+def test_apply_merge_is_symbol_anchored(spark):
+    # state [b, an, d] + merge (n, d): 'n' is only the SUFFIX of symbol
+    # 'an' — must NOT merge across the boundary into [b, and]
+    state = spark.createDataFrame(
+        [(_seq("b", "an", "d"), 1)], "seq string, cnt long"
+    )
+    out = bpe_apply_merge(state, "n", "d").collect()[0]["seq"]
+    assert out == _seq("b", "an", "d")
+
+
+def test_apply_merge_chains_adjacent_occurrences(spark):
+    # Sennrich order on a run: 'aaaaa' + (a,a) -> [aa, aa, a] in ONE pass
+    # (single-separator encodings miss the occurrence right after a
+    # replaced one and produce [aa, a, aa])
+    state = spark.createDataFrame(
+        [(_seq(*"aaaaa"), 1)], "seq string, cnt long"
+    )
+    out = bpe_apply_merge(state, "a", "a").collect()[0]["seq"]
+    assert out == _seq("aa", "aa", "a")
 
 
 def test_train_pins_known_merges(spark):
@@ -55,7 +101,7 @@ def test_train_pins_known_merges(spark):
     assert merges[0][1:] == ("a", "b", 12)
     # after merging 'ab': "ab|ab" -> pair (ab,ab):5 ; "ab|c" -> (ab,c):2
     assert merges[1][1:] == ("ab", "ab", 5)
-    assert merges[2][1:] == ("abab", "c", 0) or merges[2][1:] == ("ab", "c", 2)
+    assert merges[2][1:] == ("ab", "c", 2)
 
 
 def test_segment_applies_merges_in_order(spark):
@@ -65,6 +111,38 @@ def test_segment_applies_merges_in_order(spark):
            bpe_segment(df, "word", merges).collect()}
     assert got["abcd"] == ["abc", "d"]
     assert got["xaby"] == ["x", "ab", "y"]
+
+
+def test_segment_band_regression(spark):
+    # the ADVICE.md case: 'band' with merges (a,n) then (n,d) must yield
+    # [b, an, d] — the (n,d) merge may not fire inside symbol 'an'
+    merges = [(1, "a", "n", 0), (2, "n", "d", 0)]
+    df = spark.createDataFrame([("band",)], "word string")
+    got = bpe_segment(df, "word", merges).collect()[0]["bpe_tokens"]
+    assert got == ["b", "an", "d"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1, max_size=4,
+    ),
+    merges=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=2),
+            st.text(alphabet="abc", min_size=1, max_size=2),
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_segment_matches_pure_python_sennrich(spark, words, merges):
+    ranked = [(i + 1, a, b, 0) for i, (a, b) in enumerate(merges)]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: r["bpe_tokens"]
+           for r in bpe_segment(df, "word", ranked).collect()}
+    for w in words:
+        assert got[w] == _py_bpe_segment(w, ranked), (w, ranked)
 
 
 def test_train_early_stop_on_single_chars(spark):

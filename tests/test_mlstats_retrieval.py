@@ -114,6 +114,36 @@ def test_woe_iv_directions(spark):
     assert out["lo"]["woe"] == pytest.approx(-math.log(8.5 / 2.5), abs=1e-6)
     assert out["hi"]["iv_contrib"] > 0 and out["lo"]["iv_contrib"] > 0
     assert out["hi"]["n"] == 10 and out["hi"]["n_event"] == 8
+    assert out["hi"]["n_null_target"] == 0
+
+
+def test_mutual_information_constant_column_nmi_zero(spark):
+    # constant X has entropy 0 -> normalized MI is DEFINED as 0, not NaN
+    df = spark.createDataFrame(
+        [Row(x="k", y=v) for v in ["a", "b", "a", "b"]]
+    )
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["entropy_x"] == pytest.approx(0.0, abs=1e-9)
+    assert r["normalized_mi"] == 0.0
+
+
+def test_woe_iv_null_category_and_null_target_reconcile(spark):
+    rows = (
+        [Row(cat="hi", label=True)] * 3
+        + [Row(cat="hi", label=None)] * 2       # unlabeled rows
+        + [Row(cat=None, label=False)] * 4      # NULL feature category
+        + [Row(cat=None, label=True)] * 1
+    )
+    df = spark.createDataFrame(rows, "cat string, label boolean")
+    out = {r["category"]: r for r in woe_iv(df, "cat", F.col("label")).collect()}
+    # NULL category survives as the join-safe sentinel
+    assert set(out) == {"hi", "<NULL>"}
+    # per-category counts reconcile: n = event + non_event + null_target
+    for r in out.values():
+        assert r["n"] == r["n_event"] + r["n_non_event"] + r["n_null_target"]
+    assert out["hi"]["n_null_target"] == 2
+    assert out["hi"]["n_event"] == 3 and out["hi"]["n_non_event"] == 0
+    assert out["<NULL>"]["n_event"] == 1 and out["<NULL>"]["n_non_event"] == 4
 
 
 def test_rfm_segments_quartiles(spark):
