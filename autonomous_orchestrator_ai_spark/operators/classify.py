@@ -44,6 +44,9 @@ __all__ = [
     "hashed_linear_score",
     "frozen_weight_table",
     "score_with_weight_table",
+    "hashed_features",
+    "train_logistic_gd",
+    "score_features",
 ]
 
 #: default feature-space size; 2^18 is fastText's default hash-bucket count.
@@ -142,4 +145,219 @@ def score_with_weight_table(
     logit = F.lit(float(bias)) + F.sum("w") / F.count(F.lit(1))
     return joined.groupBy(id_col).agg(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed training (full-batch logistic-regression gradient descent)
+# ---------------------------------------------------------------------------
+
+#: feature-space size for TRAINING queries. Much smaller than the scoring
+#: default: the weight table must stay a broadcastable model constant, and
+#: the DuckDB oracle replays every GD round as a chained CTE, so the bucket
+#: count is a pinned hyperparameter, not a corpus-scaled quantity.
+TRAIN_BUCKETS = 4096
+
+#: sentinel bucket id carrying the intercept (bias) term. Real buckets are
+#: non-negative (md5 % n_buckets), so -1 can never collide.
+INTERCEPT_BUCKET = -1
+
+#: per-round weight quantum. Both engines snap weights to this decimal grid
+#: after every round, so cross-engine float noise (summation order, last-ulp
+#: exp differences ~1e-15) cannot COMPOUND across rounds — each round starts
+#: from bit-identical weights. The same trick makes the NumPy parity test
+#: exact rather than tolerance-based.
+WEIGHT_DECIMALS = 9
+
+
+def _structural_features(text_col: str):
+    """The CCNet/Gopher-style structural signals, scaled to ~[0, 1] so GD
+    conditioning is sane, keyed by sentinel bucket id. Every value is at
+    most two IEEE ops on exact integer operands — engine-portable."""
+    from autonomous_orchestrator_ai_spark.functions.text import (
+        EN_STOPWORDS,
+        distinct_token_ratio,
+        mean_token_length,
+        punct_ratio,
+        token_count,
+        tokens,
+    )
+
+    toks_l = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks_l)
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks_l, lambda t: t.rlike("[a-z]"))) / n
+    )
+    sw_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks_l),
+            F.array(*[F.lit(w) for w in EN_STOPWORDS]),
+        )
+    )
+    return {
+        -2: token_count(text_col).cast("double") / 100.0,
+        -3: mean_token_length(text_col) / 10.0,
+        -4: punct_ratio(text_col),
+        -5: sw_hits.cast("double") / 10.0,
+        -6: distinct_token_ratio(text_col),
+        -7: alpha_frac,
+    }
+
+
+def hashed_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = TRAIN_BUCKETS,
+) -> DataFrame:
+    """Design matrix for the quality classifier: (id, bucket, x).
+
+    Two feature families per document:
+
+    * hashed bag-of-words, mean-pooled: x[doc, b] = (# tokens hashing to
+      bucket b) / n_tokens — the fastText feature. Tokenization matches
+      :func:`hashed_linear_score` exactly (normalized text split on single
+      spaces), so a model trained here scores identically through
+      :func:`score_with_weight_table`.
+    * structural signals at sentinel buckets (< -1): token count / 100,
+      mean word length / 10, punctuation ratio, distinct-stopword hits /
+      10, distinct-token ratio, alpha-word fraction — the CCNet-style
+      quality features. Mean-pooled BoW alone cannot carry these (its mass
+      always sums to 1, erasing length), and quality gates are largely
+      threshold functions OF these, so without them the model is blind to
+      its own target.
+
+    Plus one intercept row (bucket = -1, x = 1.0) so the bias trains
+    through the same algebra as every other weight.
+
+    One scan + one (id, bucket) aggregation; output is linear in corpus
+    size. At 100 TB persist this bucketed by id so every GD round's
+    residual join reuses the layout (see train_logistic_gd).
+    """
+    toks = docs.select(
+        id_col, F.split(normalized_text(text_col), " ").alias("_toks")
+    ).select(
+        id_col,
+        F.explode("_toks").alias("_tok"),
+        F.size("_toks").alias("_n_tok"),
+    )
+    feats = toks.groupBy(
+        id_col, token_bucket(F.col("_tok"), n_buckets).alias("bucket")
+    ).agg((F.count(F.lit(1)).cast("double") / F.min("_n_tok")).alias("x"))
+    structural = {INTERCEPT_BUCKET: F.lit(1.0)}
+    structural.update(_structural_features(text_col))
+    extra = docs.select(
+        id_col,
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b).cast("bigint") for b in structural]),
+                F.array(
+                    *[F.coalesce(v, F.lit(0.0)) for v in structural.values()]
+                ),
+            )
+        ).alias("bucket", "x"),
+    )
+    return feats.unionByName(extra)
+
+
+def train_logistic_gd(
+    feats: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    rounds: int = 5,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Full-batch logistic-regression GD over sparse hashed features.
+
+    Returns the trained (bucket, weight) table — the model that
+    :func:`score_with_weight_table` and :func:`score_features` consume.
+    ``labels`` is (id, y) with y in {0.0, 1.0} (e.g. an exact rule gate
+    like the Gopher all-pass — a deterministic proxy label any engine can
+    recompute).
+
+    Fixed-iteration structure (the pagerank/k-core unroll pattern): every
+    round is
+
+      1. logits:   join feats with the BROADCAST weight table on bucket,
+                   groupBy(id) sum(x * w)            -> shuffle of doc ids
+      2. residual: sigmoid(logit) - y                 (map-only)
+      3. gradient: join feats with residuals on id,
+                   groupBy(bucket) sum(x * r) / n     -> shuffle of buckets
+      4. update:   w <- round(w - lr * grad, 9), localCheckpoint (the
+                   weight table is bounded by n_buckets, a model constant).
+
+    Per-round distributed cost: one shuffle keyed by id (|feats| rows of
+    (id, x*w) partial sums — map-side combined to |docs| rows) and one
+    keyed by bucket (map-side combined to <= n_buckets rows per task). The
+    residual join is the only join of two corpus-scaled tables; persisting
+    ``feats`` pre-partitioned on id lets AQE reuse that exchange every
+    round so only the (id, r) side — |docs| rows — moves. Weights start at
+    0 for every OBSERVED bucket (untouched buckets stay implicitly 0,
+    matching fastText's zero-initialized rows).
+
+    Weights snap to the 1e-9 decimal grid after each round in BOTH engines
+    (see WEIGHT_DECIMALS) so the chained-CTE DuckDB oracle is hash-exact
+    despite floating-point summation-order differences.
+    """
+    fl = feats.join(labels, id_col)
+    fl = fl.persist()
+    n_docs = float(fl.select(id_col).distinct().count())  # 1-value read
+    w = (
+        feats.select("bucket")
+        .distinct()
+        .select("bucket", F.lit(0.0).alias("weight"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        resid = (
+            fl.join(F.broadcast(w), "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.col("x") * F.col("weight")).alias("logit"),
+                F.min("y").alias("y"),
+            )
+            .select(
+                id_col,
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit")))
+                    - F.col("y")
+                ).alias("r"),
+            )
+        )
+        grad = (
+            fl.join(resid, id_col)
+            .groupBy("bucket")
+            .agg((F.sum(F.col("x") * F.col("r")) / F.lit(n_docs)).alias("g"))
+        )
+        w = (
+            w.join(grad, "bucket")
+            .select(
+                "bucket",
+                F.round(
+                    F.col("weight") - F.lit(float(lr)) * F.col("g"),
+                    WEIGHT_DECIMALS,
+                ).alias("weight"),
+            )
+            .localCheckpoint()  # bounded table; truncates the per-round DAG
+        )
+    fl.unpersist()
+    return w
+
+
+def score_features(
+    feats: DataFrame, weights: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, score) from a design matrix and a trained weight table.
+
+    sum-pooling over the feature values (the intercept row carries the
+    bias), sigmoid-squashed — the exact function the trainer optimized.
+    The weight table is broadcast (bounded by n_buckets by construction).
+    """
+    logit = F.sum(F.col("x") * F.col("weight"))
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score")
+        )
     )

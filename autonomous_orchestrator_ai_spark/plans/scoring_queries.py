@@ -559,3 +559,193 @@ def quality_ranked_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed classifier TRAINING (operators/classify.py train_logistic_gd)
+# ---------------------------------------------------------------------------
+#
+# Full-batch logistic-regression gradient descent over hashed bag-of-words
+# features, labels = the exact Gopher all-pass gate (a deterministic
+# rule-based proxy — the CCNet/fastText bootstrap trick where a cheap exact
+# filter supplies training labels for the learned one). Fixed round count +
+# per-round 1e-9 weight quantization make every round SQL-expressible as a
+# chained CTE, so the DuckDB oracle replays the ENTIRE training run
+# hash-exactly (the BPE-trainer pattern applied to GD).
+
+import functools  # noqa: E402
+import operator as _op  # noqa: E402
+
+from autonomous_orchestrator_ai_spark.functions.text import (  # noqa: E402
+    gopher_rules,
+)
+from autonomous_orchestrator_ai_spark.operators.classify import (  # noqa: E402
+    TRAIN_BUCKETS,
+    hashed_features,
+    score_features,
+    train_logistic_gd,
+)
+from autonomous_orchestrator_ai_spark.plans.text_queries import (  # noqa: E402
+    _ALPHA_FRAC,
+    _DISTINCT_RATIO,
+    _MWL,
+    _PUNCT,
+    _SW_HITS,
+    _TOKEN_COUNT,
+)
+
+_GD_ROUNDS = 24
+_GD_LR = 8.0
+
+#: the Gopher all-pass gate as one SQL predicate — byte-identical pieces to
+#: the oracle of gopher_quality_by_source (plans/text_queries.py), which
+#: pins the Spark<->SQL rule mapping.
+_GATE_SQL = (
+    f"({_TOKEN_COUNT} BETWEEN 50 AND 100000"
+    f" AND {_MWL} >= 3.0 AND {_MWL} <= 10.0"
+    f" AND {_PUNCT} <= 0.1"
+    f" AND {_ALPHA_FRAC} >= 0.8"
+    f" AND {_SW_HITS} >= 2"
+    f" AND {_DISTINCT_RATIO} >= 0.2)"
+)
+
+
+def _train_bucket_sql(tok: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5({tok}), 1, 8)) AS BIGINT)"
+        f" % {TRAIN_BUCKETS})"
+    )
+
+
+def _gd_ctes(rounds: int = _GD_ROUNDS, lr: float = _GD_LR) -> str:
+    """CTE chain replaying hashed_features + train_logistic_gd verbatim:
+    gd_w{rounds} is the trained (bucket, weight) table."""
+    head = f"""
+    gd_toks AS (
+      SELECT doc_id, t AS tok, len(ts) AS n_tok
+      FROM (SELECT doc_id, string_split({NORM_SQL}, ' ') AS ts
+            FROM documents) s, unnest(s.ts) AS u(t)),
+    gd_feats AS (
+      SELECT doc_id, {_train_bucket_sql('tok')} AS bucket,
+             COUNT(*) * 1.0 / MIN(n_tok) AS x
+      FROM gd_toks GROUP BY doc_id, {_train_bucket_sql('tok')}
+      UNION ALL SELECT doc_id, -1 AS bucket, 1.0 AS x FROM documents
+      UNION ALL SELECT doc_id, -2, CAST({_TOKEN_COUNT} AS DOUBLE) / 100.0
+        FROM documents
+      UNION ALL SELECT doc_id, -3, {_MWL} / 10.0 FROM documents
+      UNION ALL SELECT doc_id, -4, {_PUNCT} FROM documents
+      UNION ALL SELECT doc_id, -5, CAST({_SW_HITS} AS DOUBLE) / 10.0
+        FROM documents
+      UNION ALL SELECT doc_id, -6, {_DISTINCT_RATIO} FROM documents
+      UNION ALL SELECT doc_id, -7, {_ALPHA_FRAC} FROM documents),
+    gd_labels AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN {_GATE_SQL} THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    gd_fl AS MATERIALIZED (
+      SELECT f.doc_id, f.bucket, f.x, l.y
+      FROM gd_feats f JOIN gd_labels l USING (doc_id)),
+    gd_n AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM documents),
+    gd_w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS weight FROM gd_feats)"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    gd_rs{t} AS MATERIALIZED (
+      SELECT doc_id, 1.0 / (1.0 + exp(-SUM(x * weight))) - MIN(y) AS r
+      FROM gd_fl JOIN gd_w{t - 1} USING (bucket) GROUP BY doc_id),
+    gd_g{t} AS MATERIALIZED (
+      SELECT bucket, SUM(x * r) / (SELECT n FROM gd_n) AS g
+      FROM gd_fl JOIN gd_rs{t} USING (doc_id) GROUP BY bucket),
+    gd_w{t} AS MATERIALIZED (
+      SELECT w.bucket, ROUND(w.weight - {lr} * g.g, 9) AS weight
+      FROM gd_w{t - 1} w JOIN gd_g{t} g USING (bucket))""")
+    return "".join(parts)
+
+
+def _gopher_labels(docs: DataFrame) -> DataFrame:
+    gate = functools.reduce(_op.and_, gopher_rules("text").values())
+    return docs.select(
+        "doc_id", F.when(gate, 1.0).otherwise(0.0).alias("y")
+    )
+
+
+@register(
+    "quality_classifier_trained_weights",
+    oracle=f"""
+    WITH {_gd_ctes()}
+    SELECT bucket, ROUND(weight, 6) AS weight
+    FROM (SELECT * FROM gd_w{_GD_ROUNDS}
+          ORDER BY abs(weight) DESC, bucket LIMIT 25) t
+    """,
+)
+def quality_classifier_trained_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISTRIBUTED TRAINING of the hashed-feature quality classifier:
+    24 rounds of full-batch logistic-regression GD (lr=8) over 4096-bucket
+    hashed bag-of-words + 6 structural features (length, mean word length,
+    punctuation, stopwords, repetition, alpha fraction — the CCNet signal
+    set), labels = the exact Gopher all-pass gate. Output: the 25 largest
+    trained weights (|w| desc, bucket tiebreak).
+
+    The oracle replays ALL 24 rounds as chained CTEs — training itself is
+    hash-checked, not just the final scoring. Per-round weight quantization
+    to 1e-9 stops cross-engine float noise compounding (see
+    operators/classify.py WEIGHT_DECIMALS). Scale: per round, one shuffle
+    keyed by doc id and one keyed by bucket; the weight table (<= 4103
+    rows, a model constant) is always the broadcast side."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    w = train_logistic_gd(
+        hashed_features(docs), _gopher_labels(docs),
+        rounds=_GD_ROUNDS, lr=_GD_LR,
+    )
+    return (
+        w.orderBy(F.abs(F.col("weight")).desc(), F.col("bucket").asc())
+        .limit(25)
+        .select("bucket", F.round("weight", 6).alias("weight"))
+    )
+
+
+@register(
+    "quality_classifier_trained_eval",
+    oracle=f"""
+    WITH {_gd_ctes()},
+    gd_sc AS MATERIALIZED (
+      SELECT doc_id, MIN(y) AS y,
+             1.0 / (1.0 + exp(-SUM(x * weight))) AS p
+      FROM gd_fl JOIN gd_w{_GD_ROUNDS} USING (bucket) GROUP BY doc_id)
+    SELECT
+      CAST(SUM(CASE WHEN p >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN p >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN p < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN p < 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+      ROUND(AVG(p), 6) AS avg_score,
+      ROUND(-AVG(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss
+    FROM gd_sc
+    """,
+)
+def quality_classifier_trained_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-set evaluation of the GD-trained classifier: confusion
+    matrix against the Gopher proxy labels at threshold 0.5, mean score,
+    and log-loss. Demonstrates the learned model actually separates the
+    gate (vs the frozen-random scorer, whose confusion matrix is a coin
+    flip) while every number stays oracle-replayable."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    feats = hashed_features(docs)
+    labels = _gopher_labels(docs)
+    w = train_logistic_gd(feats, labels, rounds=_GD_ROUNDS, lr=_GD_LR)
+    scored = score_features(feats, w).join(labels, "doc_id")
+    p, y = F.col("score"), F.col("y")
+    hi, lo = p >= 0.5, p < 0.5
+    return scored.agg(
+        F.sum((hi & (y == 1.0)).cast("long")).alias("tp"),
+        F.sum((hi & (y == 0.0)).cast("long")).alias("fp"),
+        F.sum((lo & (y == 1.0)).cast("long")).alias("fn"),
+        F.sum((lo & (y == 0.0)).cast("long")).alias("tn"),
+        F.round(F.avg(p), 6).alias("avg_score"),
+        F.round(
+            -F.avg(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)),
+            6,
+        ).alias("log_loss"),
+    )

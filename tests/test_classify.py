@@ -100,3 +100,125 @@ def test_expression_form_plan_has_no_exchange(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Distributed training (train_logistic_gd)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from autonomous_orchestrator_ai_spark.operators.classify import (  # noqa: E402
+    INTERCEPT_BUCKET,
+    WEIGHT_DECIMALS,
+    hashed_features,
+    score_features,
+    train_logistic_gd,
+)
+
+_FEAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bucket", LongType()),
+        StructField("x", DoubleType()),
+    ]
+)
+
+
+def _synthetic_problem(n_docs=37, n_buckets=12, seed=7):
+    """Deterministic sparse design matrix + linearly-separable-ish labels.
+
+    n_docs is PRIME (not 2/5-smooth): gradients divide by n_docs, and a
+    round count of docs plus short-decimal x values would park raw weights
+    exactly on 1e-9 grid midpoints, where summation order legitimately
+    flips the last digit between engines."""
+    rng = np.random.RandomState(seed)
+    rows, X = [], np.zeros((n_docs, n_buckets + 1))
+    true_w = rng.uniform(-2, 2, n_buckets + 1)
+    for d in range(n_docs):
+        rows.append((d, INTERCEPT_BUCKET, 1.0))
+        X[d, 0] = 1.0
+        for b in rng.choice(n_buckets, size=5, replace=False):
+            x = round(float(rng.uniform(0.05, 0.5)), 6)
+            rows.append((d, int(b), x))
+            X[d, b + 1] = x
+    y = (X @ true_w > 0).astype(float)
+    return rows, X, y
+
+
+def _round_half_up(v, decimals):
+    """Spark/DuckDB ROUND semantics (half away from zero) — np.round is
+    half-to-even and differs on exact grid boundaries."""
+    s = 10.0 ** decimals
+    return np.sign(v) * np.floor(np.abs(v) * s + 0.5) / s
+
+
+def _numpy_gd(X, y, rounds, lr):
+    """Reference trainer: full-batch GD with the SAME per-round 1e-9 weight
+    quantization as train_logistic_gd."""
+    n, w = len(y), np.zeros(X.shape[1])
+    for _ in range(rounds):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = _round_half_up(w - lr * (X.T @ (p - y) / n), WEIGHT_DECIMALS)
+    return w
+
+
+def test_train_logistic_gd_matches_numpy(spark):
+    """Weights parity vs a dense NumPy reference at 1e-9: the per-round
+    quantization snaps both to the same decimal grid, so the distributed
+    trainer must land on the NumPy trainer's exact weights."""
+    rows, X, y = _synthetic_problem()
+    feats = spark.createDataFrame(rows, _FEAT_SCHEMA)
+    labels = spark.createDataFrame(
+        [(int(d), float(v)) for d, v in enumerate(y)], ["doc_id", "y"]
+    )
+    w = train_logistic_gd(feats, labels, rounds=6, lr=2.5)
+    got = {r["bucket"]: r["weight"] for r in w.collect()}
+    ref = _numpy_gd(X, y, rounds=6, lr=2.5)
+    assert set(got) == {INTERCEPT_BUCKET, *range(X.shape[1] - 1)}
+    for b, wv in got.items():
+        col = 0 if b == INTERCEPT_BUCKET else b + 1
+        assert abs(wv - ref[col]) <= 1e-9, (b, wv, ref[col])
+
+
+def test_trained_model_separates_separable_labels(spark):
+    rows, X, y = _synthetic_problem()
+    feats = spark.createDataFrame(rows, _FEAT_SCHEMA)
+    labels = spark.createDataFrame(
+        [(int(d), float(v)) for d, v in enumerate(y)], ["doc_id", "y"]
+    )
+    w = train_logistic_gd(feats, labels, rounds=25, lr=8.0)
+    scored = {
+        r["doc_id"]: r["score"] for r in score_features(feats, w).collect()
+    }
+    acc = np.mean([(scored[d] >= 0.5) == (y[d] == 1.0) for d in scored])
+    assert acc >= 0.8, acc
+
+
+def test_hashed_features_structure(spark):
+    docs = _docs(spark).where(F.col("text").isNotNull())
+    feats = hashed_features(docs, n_buckets=64)
+    rows = feats.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        buckets = {r["bucket"] for r in rs}
+        # intercept + all six structural sentinels present exactly once
+        assert {-1, -2, -3, -4, -5, -6, -7} <= buckets
+        assert len(rs) == len(buckets)
+        # mean-pooled BoW mass sums to 1
+        bow = sum(r["x"] for r in rs if r["bucket"] >= 0)
+        assert abs(bow - 1.0) < 1e-12
+        # intercept is exactly 1
+        assert [r["x"] for r in rs if r["bucket"] == -1] == [1.0]
+        # structural values are finite and non-negative
+        for r in rs:
+            if r["bucket"] < -1:
+                assert r["x"] >= 0.0 and np.isfinite(r["x"])
