@@ -12,12 +12,14 @@ Design for 100 TB multimodal corpora:
 - partitioning: repartition by a size-balanced key before heavy decode so
   one giant video doesn't skew an executor (``repartition_for_decode``).
 
-Codec coverage is tiered: uncompressed 24-bit BMP decodes FOR REAL via the
-vendored pure-Python codec (operators/bmp_codec.py — the avro_codec.py
-vendoring strategy applied to images), so ``use_real_codecs=True`` runs an
-actual pixel pipeline end-to-end in this container; every other format
-still needs PIL/ffmpeg (absent here) and raises a loud NotImplementedError
-rather than faking. The default kernels remain deterministic fakes so the
+Codec coverage is tiered: uncompressed 24-bit BMP (operators/bmp_codec.py)
+and 8-bit RGB/RGBA non-interlaced PNG (operators/png_codec.py, stdlib
+zlib, all five row filters, CRC-verified) decode FOR REAL via vendored
+pure-Python codecs — the avro_codec.py vendoring strategy applied to
+images — so ``use_real_codecs=True`` runs an actual pixel pipeline
+end-to-end in this container on the two formats real corpora mostly
+contain; every other format still needs PIL/ffmpeg (absent here) and
+raises a loud NotImplementedError rather than faking. The default kernels remain deterministic fakes so the
 Spark-side contracts (schemas, UDF signatures, batch iteration,
 partitioning) stay testable on arbitrary blobs (tests/test_multimodal.py).
 """
@@ -76,25 +78,46 @@ def _fake_decode_features(blob: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in h[:dim]]
 
 
+def decode_image(blob: bytes) -> tuple[int, int, bytes]:
+    """Decode any supported REAL image format to (width, height, row-major
+    RGB bytes), dispatching on the file magic: BMP via bmp_codec, PNG
+    (8-bit RGB/RGBA, alpha dropped) via png_codec. Unsupported formats
+    raise NotImplementedError so a real-codec run never silently hashes
+    bytes instead of pixels."""
+    blob = blob or b""
+    if blob[:2] == b"BM":
+        from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
+            decode_bmp,
+        )
+
+        return decode_bmp(blob)
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            decode_png,
+        )
+
+        w, h, channels, px = decode_png(blob)
+        if channels == 4:  # drop alpha: features are over RGB
+            buf = bytearray(px)
+            del buf[3::4]
+            px = bytes(buf)
+        return w, h, px
+    raise NotImplementedError(
+        "real decode supports BMP and 8-bit RGB/RGBA PNG in this "
+        "environment; wire PIL/ffmpeg into this kernel for other formats"
+    )
+
+
 def _real_decode_features(blob: bytes, dim: int = 8) -> list[float]:
     """Real pixel features from a decoded image: per-channel RGB means,
     grayscale std, then a normalized grayscale histogram filling the
-    remaining dims — the classic cheap image descriptor. Decode currently
-    supports BMP (vendored codec); other formats raise NotImplementedError
-    so a real-codec run never silently hashes bytes instead of pixels."""
+    remaining dims — the classic cheap image descriptor. Decode supports
+    BMP and PNG (vendored codecs, see decode_image); other formats raise
+    NotImplementedError so a real-codec run never silently hashes bytes
+    instead of pixels."""
     import numpy as np
 
-    from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
-        decode_bmp,
-    )
-
-    blob = blob or b""
-    if blob[:2] != b"BM":
-        raise NotImplementedError(
-            "real decode supports BMP only in this environment; wire "
-            "PIL/ffmpeg into this kernel for other formats"
-        )
-    w, h, rgb = decode_bmp(blob)
+    w, h, rgb = decode_image(blob)
     px = np.frombuffer(rgb, dtype=np.uint8).reshape(h * w, 3).astype(np.float64)
     gray = px.mean(axis=1)
     feats = [
@@ -123,9 +146,9 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches in/out).
 
-    ``use_real_codecs=True`` runs the REAL pixel path: BMP blobs decode
-    through the vendored pure-Python codec and yield channel-mean /
-    grayscale-histogram features; non-BMP blobs raise NotImplementedError
+    ``use_real_codecs=True`` runs the REAL pixel path: BMP and PNG blobs
+    decode through the vendored pure-Python codecs and yield channel-mean /
+    grayscale-histogram features; other formats raise NotImplementedError
     (PIL/ffmpeg slot). The default fake path hashes bytes — format-blind,
     used to exercise the Spark plumbing on arbitrary blobs."""
     decode = _real_decode_features if use_real_codecs else _fake_decode_features
@@ -382,6 +405,31 @@ def synthetic_bmp_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
                 i,
                 bytearray(encode_bmp(w, h, rgb)),
                 ("image/bmp", w, h, None, "bi_rgb"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synthetic_png_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-format media table: each blob is a valid 8-bit
+    PNG (RGB and RGBA alternating) whose pixels derive from repeated md5
+    bytes — decodable by any PNG reader, not just ours."""
+    from autonomous_orchestrator_ai_spark.operators.png_codec import (
+        encode_png,
+    )
+
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 3) * 4, 6 + (i % 4) * 2
+        channels = 3 if i % 2 == 0 else 4
+        need = channels * w * h
+        raw = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        px = (raw * (need // len(raw) + 1))[:need]
+        rows.append(
+            (
+                i,
+                bytearray(encode_png(w, h, px, channels)),
+                ("image/png", w, h, None, f"png_rgb{'a' if channels == 4 else ''}"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

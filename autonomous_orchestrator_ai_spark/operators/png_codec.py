@@ -1,0 +1,182 @@
+"""Pure-Python PNG codec (stdlib zlib only) — the second REAL image format
+for the multimodal pipeline, alongside operators/bmp_codec.py (same
+vendoring strategy as sources/avro_codec.py: implement the public-spec
+subset the pipeline needs so real corpora formats are testable end-to-end
+in an environment without PIL/ffmpeg).
+
+Implements the PNG spec (RFC 2083 / W3C PNG) subset real corpora mostly
+contain: 8-bit-per-channel truecolor (color type 2, RGB) and truecolor+
+alpha (color type 6, RGBA), non-interlaced, with ALL five per-row filter
+types (None/Sub/Up/Average/Paeth) on decode; the encoder emits filter 0
+rows (always legal). Chunk CRCs are verified on decode, so truncated or
+bit-flipped blobs fail LOUDLY (ValueError) and land in the dead-letter
+path rather than decoding to a silently wrong image. Palette, grayscale,
+16-bit, interlace (Adam7), and ancillary color-management chunks are out
+of scope — a real cluster wires PIL/turbojpeg into the same
+``mapInPandas`` slot (operators/multimodal.py) for those.
+
+Decode cost is one zlib.decompress plus one defilter pass per row — pure
+CPU per blob, so it runs inside Arrow-batched Python workers with memory
+bounded by the batch size.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+_RGB, _RGBA = 2, 6
+_CHANNELS = {_RGB: 3, _RGBA: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """Encode row-major top-down RGB (channels=3) or RGBA (channels=4)
+    bytes as a non-interlaced 8-bit PNG (filter 0 on every row)."""
+    if channels not in (3, 4):
+        raise ValueError(f"channels must be 3 or 4, got {channels}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    if len(pixels) != channels * width * height:
+        raise ValueError(
+            f"need {channels * width * height} bytes for {width}x{height}"
+            f"x{channels}, got {len(pixels)}"
+        )
+    color_type = _RGB if channels == 3 else _RGBA
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = channels * width
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _defilter(
+    raw: bytes, width: int, height: int, channels: int
+) -> bytes:
+    """Reverse the per-row PNG filters. Returns row-major pixel bytes."""
+    stride = channels * width
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"decompressed size {len(raw)} != expected {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    prev_start = -1  # start of previous output row, or -1 for row 0
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        src = y * (stride + 1) + 1
+        dst = y * stride
+        row = raw[src : src + stride]
+        if f == 0:  # None
+            out[dst : dst + stride] = row
+        elif f == 1:  # Sub
+            for i in range(stride):
+                left = out[dst + i - channels] if i >= channels else 0
+                out[dst + i] = (row[i] + left) & 0xFF
+        elif f == 2:  # Up
+            if prev_start < 0:
+                out[dst : dst + stride] = row
+            else:
+                for i in range(stride):
+                    out[dst + i] = (row[i] + out[prev_start + i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = out[dst + i - channels] if i >= channels else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                out[dst + i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = out[dst + i - channels] if i >= channels else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                ul = (
+                    out[prev_start + i - channels]
+                    if (prev_start >= 0 and i >= channels)
+                    else 0
+                )
+                out[dst + i] = (row[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        prev_start = dst
+    return bytes(out)
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG.
+
+    Returns (width, height, channels, row-major top-down pixel bytes).
+    Raises ValueError on anything outside the supported subset, on CRC
+    mismatch, and on truncation — loud, never a silently wrong image."""
+    if blob[: len(_MAGIC)] != _MAGIC:
+        raise ValueError(f"not a PNG (magic {blob[:8]!r})")
+    pos, ihdr, idat, ended = len(_MAGIC), None, bytearray(), False
+    while pos < len(blob):
+        if pos + 8 > len(blob):
+            raise ValueError("truncated PNG: partial chunk header")
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(blob):
+            raise ValueError(f"truncated PNG: chunk {tag!r} overruns blob")
+        payload = blob[pos + 8 : end]
+        (crc,) = struct.unpack_from(">I", blob, end)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            ended = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+        pos = end + 4
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not ended:
+        raise ValueError("truncated PNG: missing IEND")
+    width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or color_type not in _CHANNELS:
+        raise ValueError(
+            f"unsupported PNG variant (bit depth {depth}, color type "
+            f"{color_type}); only 8-bit RGB/RGBA"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported compression/filter method ({comp}/{filt})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    channels = _CHANNELS[color_type]
+    return width, height, channels, _defilter(raw, width, height, channels)

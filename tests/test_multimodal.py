@@ -305,3 +305,192 @@ class TestDeadLetterDecode:
             assert "NotImplementedError" in by_id[i]["error"]
         # hashes are still computed for failed rows (dead-letter forensics)
         assert all(len(r["content_sha256"]) == 64 for r in out)
+
+
+class TestPngCodec:
+    """Vendored pure-Python PNG codec (operators/png_codec.py)."""
+
+    @staticmethod
+    def _filter_rows_numpy(px, w, h, channels, ftype):
+        """Independent NumPy reference for the FORWARD filter pass: builds
+        the raw (filter-byte + filtered-row) stream our decoder must
+        invert. Spec formulas transcribed directly from RFC 2083 §6."""
+        import numpy as np
+
+        img = np.frombuffer(px, dtype=np.uint8).reshape(h, w * channels)
+        img16 = img.astype(np.int16)
+        raw = bytearray()
+        for y in range(h):
+            row = img16[y]
+            left = np.concatenate([np.zeros(channels, np.int16), row[:-channels]])
+            up = img16[y - 1] if y > 0 else np.zeros_like(row)
+            ul = (
+                np.concatenate([np.zeros(channels, np.int16), up[:-channels]])
+                if y > 0
+                else np.zeros_like(row)
+            )
+            if ftype == 0:
+                out = row
+            elif ftype == 1:
+                out = row - left
+            elif ftype == 2:
+                out = row - up
+            elif ftype == 3:
+                out = row - ((left + up) // 2)
+            elif ftype == 4:
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                out = row - pred
+            raw.append(ftype)
+            raw.extend((out % 256).astype(np.uint8).tobytes())
+        return bytes(raw)
+
+    def _hand_built_png(self, w, h, px, channels, ftype):
+        import struct
+        import zlib
+
+        from autonomous_orchestrator_ai_spark.operators.png_codec import _chunk
+
+        color = 2 if channels == 3 else 6
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = self._filter_rows_numpy(px, w, h, channels, ftype)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    def test_roundtrip_rgb_and_rgba(self):
+        import hashlib as _h
+
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            decode_png,
+            encode_png,
+        )
+
+        for w, h, ch in [(1, 1, 3), (3, 2, 3), (7, 5, 4), (16, 16, 3), (5, 9, 4)]:
+            need = ch * w * h
+            raw = _h.md5(f"{w}x{h}x{ch}".encode()).digest()
+            px = (raw * (need // len(raw) + 1))[:need]
+            assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+    def test_decode_inverts_every_filter_type(self):
+        """Decoder inverts all five per-row filters, cross-checked against
+        an independent NumPy forward-filter implementation."""
+        import hashlib as _h
+
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            decode_png,
+        )
+
+        w, h = 9, 7
+        for ch in (3, 4):
+            need = ch * w * h
+            raw = _h.md5(f"filters{ch}".encode()).digest()
+            px = (raw * (need // len(raw) + 1))[:need]
+            for ftype in range(5):
+                blob = self._hand_built_png(w, h, px, ch, ftype)
+                assert decode_png(blob) == (w, h, ch, px), ftype
+
+    def test_ancillary_chunks_skipped(self):
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            _chunk,
+            decode_png,
+            encode_png,
+        )
+
+        blob = encode_png(4, 4, bytes(48), 3)
+        # splice a tEXt chunk between IHDR and IDAT
+        ihdr_end = 8 + 12 + 13
+        spliced = (
+            blob[:ihdr_end] + _chunk(b"tEXt", b"k\x00v") + blob[ihdr_end:]
+        )
+        assert decode_png(spliced) == (4, 4, 3, bytes(48))
+
+    def test_rejects_corruption_and_unsupported(self):
+        import pytest as _pytest
+
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            decode_png,
+            encode_png,
+        )
+
+        good = encode_png(6, 4, bytes(72), 3)
+        with _pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"BM123456")
+        with _pytest.raises(ValueError, match="truncated|overruns"):
+            decode_png(good[:-8])
+        flipped = bytearray(good)
+        flipped[40] ^= 0xFF  # inside IDAT payload -> CRC mismatch
+        with _pytest.raises(ValueError, match="CRC|corrupt"):
+            decode_png(bytes(flipped))
+        # 16-bit depth unsupported: patch IHDR and re-CRC
+        import struct
+        import zlib as _z
+
+        deep = bytearray(good)
+        deep[24] = 16  # bit depth byte in IHDR
+        crc = _z.crc32(bytes(deep[12:29])) & 0xFFFFFFFF
+        deep[29:33] = struct.pack(">I", crc)
+        with _pytest.raises(ValueError, match="unsupported"):
+            decode_png(bytes(deep))
+
+    def test_extract_features_real_pixels_png(self, spark):
+        """Real-codec features over PNG media match NumPy recomputation
+        from independently decoded pixels (alpha dropped for RGBA)."""
+        import numpy as np
+
+        from autonomous_orchestrator_ai_spark.operators.multimodal import (
+            decode_image,
+            extract_features,
+            synthetic_png_media,
+        )
+
+        media = synthetic_png_media(spark, n=8)
+        blobs = {
+            r["media_id"]: bytes(r["content"]) for r in media.collect()
+        }
+        feats = extract_features(media, dim=8, use_real_codecs=True)
+        for r in feats.collect():
+            w, h, rgb = decode_image(blobs[r["media_id"]])
+            px = np.frombuffer(rgb, np.uint8).reshape(h * w, 3).astype(np.float64)
+            gray = px.mean(axis=1)
+            expect = [
+                px[:, 0].mean() / 255.0,
+                px[:, 1].mean() / 255.0,
+                px[:, 2].mean() / 255.0,
+                gray.std() / 255.0,
+            ]
+            hist, _ = np.histogram(gray, bins=4, range=(0.0, 255.0))
+            expect += (hist / len(gray)).tolist()
+            got = r["features"]
+            assert len(got) == 8
+            for a, b in zip(got, expect):
+                assert abs(a - b) < 1e-6
+
+    def test_dead_letter_on_truncated_png(self, spark):
+        """Truncated/corrupt PNGs land in the error column; good rows
+        decode — the mixed-corpus dead-letter contract."""
+        from autonomous_orchestrator_ai_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features_with_errors,
+            synthetic_png_media,
+        )
+
+        good = synthetic_png_media(spark, n=4)
+        rows = [
+            (r["media_id"] + 100, bytearray(bytes(r["content"])[:-9]), r["meta"])
+            for r in good.collect()[:2]
+        ]
+        bad = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = extract_features_with_errors(good.unionByName(bad)).collect()
+        by_id = {r["media_id"]: r for r in out}
+        for i in range(4):
+            assert by_id[i]["error"] is None and by_id[i]["features"] is not None
+        for i in (100, 101):
+            assert by_id[i]["features"] is None
+            assert "truncated" in by_id[i]["error"] or "ValueError" in by_id[i]["error"]
