@@ -51,6 +51,8 @@ __all__ = [
     "duplicate_span_doc_stats",
     "covered_positions",
     "remove_duplicate_spans",
+    "boilerplate_covered_positions",
+    "remove_boilerplate",
 ]
 
 
@@ -242,6 +244,16 @@ def remove_duplicate_spans(
     # once instead of once per consumer (bounded: one row per removed
     # token position of the affected delta, not the corpus)
     covered = covered_positions(docs, k, id_col, text_col, min_docs).persist()
+    return _removal_stats(docs, covered, id_col, text_col)
+
+
+def _removal_stats(
+    docs: DataFrame, covered: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared byte-exact reconstruction: given the (id, pos) token
+    positions to drop, return one row per AFFECTED doc with
+    (tokens_before, tokens_after, clean_text). See remove_duplicate_spans
+    for the scale rationale (delta output, semi-join-bounded re-scan)."""
     toks = docs.select(
         id_col, F.posexplode(_norm_tokens(text_col)).alias("pos", "tok")
     )
@@ -278,3 +290,57 @@ def remove_duplicate_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def boilerplate_covered_positions(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 4,
+) -> DataFrame:
+    """Token positions inside any k-gram shared by >= min_df documents:
+    (id, pos), distinct — NO keeper. Boilerplate (headers, footers,
+    license blurbs, nav text) is noise in every copy, unlike a duplicated
+    passage whose one canonical copy is content, so removal drops ALL
+    occurrences (CCNet's line-hash rule, expressed over word k-grams).
+
+    Same shuffle shape as covered_positions: one groupBy on 16-byte
+    hashes + one hash join + a k-row bounded explode. min_df is the
+    policy knob: df >= min_df across the corpus marks a gram boilerplate.
+    """
+    occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
+        "gram_hash"
+    ).persist()
+    boiler = duplicated_grams(occ, id_col, min_docs=min_df)
+    marked = occ.join(boiler.select("gram_hash"), "gram_hash")
+    return marked.select(
+        id_col,
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 4,
+) -> DataFrame:
+    """Boilerplate removal, composed from the discovery profile
+    (plans/curation_queries.py boilerplate_ngrams finds the grams) and the
+    span-removal machinery: one row per MODIFIED doc with (tokens_before,
+    tokens_after, clean_text), the cleaned text reconstructed
+    byte-exactly in original token order.
+
+    Differs from remove_duplicate_spans in exactly one policy bit: every
+    occurrence is removed (no keeper_doc survives), because boilerplate
+    has no canonical copy worth training on. Output is the affected-docs
+    delta, not a rewritten corpus — the caller left-joins it back.
+    """
+    covered = boilerplate_covered_positions(
+        docs, k, id_col, text_col, min_df
+    ).persist()
+    return _removal_stats(docs, covered, id_col, text_col)

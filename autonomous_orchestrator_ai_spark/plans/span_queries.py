@@ -214,3 +214,83 @@ def top_duplicate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (operators/spandedup.py remove_boilerplate)
+# ---------------------------------------------------------------------------
+
+#: boilerplate grain: word-3-grams (the discovery query
+#: plans/curation_queries.py boilerplate_ngrams profiles the same grain)
+#: shared by >= 4 documents. At sf0.01 that is 615 grams / 2650
+#: occurrences over 27k corpus tokens — real removal, not a no-op.
+BOILER_K = 3
+BOILER_MIN_DF = 4
+
+_BOILER_PRELUDE = f"""
+    WITH elig AS (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS t,
+             len(string_split({NORM_SQL}, ' ')) AS n
+      FROM documents
+      WHERE len(string_split({NORM_SQL}, ' ')) >= {BOILER_K}),
+    starts AS (
+      SELECT doc_id, unnest(range(1, n - {BOILER_K} + 2)) AS i, t FROM elig),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(t[i:i+{BOILER_K - 1}], ' ')) AS gh
+      FROM starts)
+""".strip()
+
+
+@register(
+    "boilerplate_removal_stats",
+    oracle=f"""
+    {_BOILER_PRELUDE},
+    boiler AS (
+      SELECT gh FROM occ GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DF}),
+    cov AS (
+      SELECT DISTINCT occ.doc_id, unnest(range(pos, pos + {BOILER_K})) AS p
+      FROM occ JOIN boiler USING (gh)),
+    rem AS (SELECT doc_id, COUNT(*) AS removed FROM cov GROUP BY doc_id),
+    tokpos AS (
+      SELECT e.doc_id, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id, unnest(range(1, n + 1)) AS i, t FROM elig) e(doc_id, i, t)),
+    kept AS (
+      SELECT tp.doc_id, COUNT(*) AS tokens_after,
+             string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+      FROM tokpos tp
+      JOIN rem USING (doc_id)
+      LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.pos
+      WHERE cov.p IS NULL
+      GROUP BY tp.doc_id)
+    SELECT r.doc_id,
+           CAST(COALESCE(k.tokens_after, 0) + r.removed AS BIGINT) AS tokens_before,
+           CAST(COALESCE(k.tokens_after, 0) AS BIGINT) AS tokens_after,
+           md5(COALESCE(k.clean_text, '')) AS clean_md5
+    FROM rem r LEFT JOIN kept k USING (doc_id)
+    ORDER BY r.doc_id
+    """,
+)
+def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL verified to the byte (operators/spandedup.py
+    remove_boilerplate): every occurrence of a word-3-gram shared by >= 4
+    docs is dropped (no keeper — boilerplate has no canonical copy), and
+    the cleaned text of every modified doc is reconstructed in original
+    token order; the md5 hash-match against the SQL replica proves the
+    reconstruction is character-identical. Composes the discovery profile
+    (boilerplate_ngrams) with the Lee-et-al span-removal machinery —
+    same shuffle shape: hash groupBy + hash join + per-doc bounded
+    windows, nothing all-pairs."""
+    from autonomous_orchestrator_ai_spark.operators.spandedup import (
+        remove_boilerplate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    cleaned = remove_boilerplate(docs, k=BOILER_K, min_df=BOILER_MIN_DF)
+    return cleaned.select(
+        "doc_id",
+        "tokens_before",
+        "tokens_after",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")

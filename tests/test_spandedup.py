@@ -108,3 +108,47 @@ def test_case_and_whitespace_normalize_before_matching(spark):
         (0, 0, 4),
         (1, 0, 4),
     }
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate removal (no-keeper policy)
+# ---------------------------------------------------------------------------
+
+from autonomous_orchestrator_ai_spark.operators.spandedup import (  # noqa: E402
+    remove_boilerplate,
+)
+
+
+def test_boilerplate_removed_from_every_doc_including_the_min_id(spark):
+    """Unlike span dedup, boilerplate removal has NO keeper: the gram
+    disappears from doc 0 too."""
+    footer = "all rights reserved"
+    docs = _docs(
+        spark,
+        f"u0 u1 {footer}",
+        f"v0 {footer} v1",
+        f"{footer} w0 w1",
+        f"x0 x1 {footer}",
+    )
+    out = {
+        r["doc_id"]: r for r in remove_boilerplate(docs, k=3, min_df=4).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for d, r in out.items():
+        assert r["tokens_before"] == 5 and r["tokens_after"] == 2
+        assert footer not in r["clean_text"], d
+    assert out[0]["clean_text"] == "u0 u1"
+    assert out[1]["clean_text"] == "v0 v1"
+
+
+def test_boilerplate_below_min_df_survives(spark):
+    shared = "terms of service"
+    docs = _docs(spark, f"a0 {shared}", f"b0 {shared}", "c0 c1 c2 c3")
+    # df=2 < min_df=4 -> nothing removed, no rows returned (delta output)
+    assert remove_boilerplate(docs, k=3, min_df=4).count() == 0
+    # df=2 >= min_df=2 -> removed everywhere
+    out = {
+        r["doc_id"]: r for r in remove_boilerplate(docs, k=3, min_df=2).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0]["clean_text"] == "a0" and out[1]["clean_text"] == "b0"
