@@ -165,3 +165,86 @@ def bpe_segment(
             seq, F.lit(f"{SEP}{a}{DSEP}{b}{SEP}"), F.lit(f"{SEP}{a}{b}{SEP}")
         )
     return df.withColumn("bpe_tokens", _symbols(seq))
+
+
+#: id of the out-of-vocabulary (non-``^[a-z0-9]+$``) word placeholder.
+UNK_ID = 0
+
+
+def _token_id(tok: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Deterministic token-id scheme shared with the DuckDB oracle:
+    single-char symbols map to their codepoint (base vocabulary), each
+    merge product ``a+b`` to ``256 + merge_rank`` (min rank if two merges
+    ever concat to the same string). Anything else (impossible for
+    replace-chain output) falls back to UNK_ID."""
+    mapping: dict[str, int] = {}
+    for rank, a, b, _ in merges:
+        mapping.setdefault(a + b, 256 + rank)
+    expr = F.when(F.length(tok) == 1, F.ascii(tok))
+    for s, i in sorted(mapping.items()):
+        expr = expr.when(tok == F.lit(s), F.lit(i))
+    return expr.otherwise(F.lit(UNK_ID))
+
+
+def bpe_word_encodings(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The encode TABLE: (word, cnt, n_sub, ids_str) for every distinct
+    in-vocabulary word of the corpus — segmentation and id assignment run
+    ONCE per distinct word (vocabulary-bounded), never per occurrence.
+    ``ids_str`` is the space-joined token-id sequence (engine-portable
+    join/compare key; parse back with split+cast when arrays are needed).
+
+    This is the production encode shape for 100 TB: the corpus pass is
+    one word-count aggregation; applying the tokenizer to every document
+    is then a word-keyed join against this table (see
+    bpe_doc_token_counts), not a per-document replay of the merge chain.
+    """
+    seg = bpe_segment(bpe_word_counts(df, text_col), "word", merges)
+    ids = F.transform(
+        F.col("bpe_tokens"),
+        lambda t: _token_id(t, merges).cast("string"),
+    )
+    return seg.select(
+        "word",
+        "cnt",
+        F.size("bpe_tokens").alias("n_sub"),
+        F.array_join(ids, " ").alias("ids_str"),
+    )
+
+
+def bpe_doc_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT tokenizer-true counts per document: (id, n_words,
+    n_oov_words, n_tokens). In-vocabulary words contribute their BPE
+    subword count; out-of-vocabulary words (punctuation soup, mixed
+    unicode — anything outside ``^[a-z0-9]+$``) contribute one UNK token,
+    the byte-fallback stand-in. ``n_tokens`` is what sequence packing and
+    token budgeting must use — whitespace word counts under-count long
+    words a tokenizer splits.
+
+    Scale shape: one word explode (linear in corpus tokens) + one
+    word-keyed join against the vocabulary-bounded encode table + one
+    per-doc aggregation. No broadcast hint on the encode table: vocabulary
+    grows (slowly) with the corpus, so the planner/AQE decides."""
+    words = docs.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    )
+    enc = bpe_word_encodings(docs, merges, text_col)
+    joined = words.join(enc.select("word", "n_sub"), "word", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("n_sub").isNull().cast("bigint")).alias("n_oov_words"),
+        F.sum(F.coalesce(F.col("n_sub"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

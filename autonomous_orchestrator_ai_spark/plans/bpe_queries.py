@@ -73,7 +73,7 @@ def _training_ctes(n: int) -> str:
     dsep = f"({sep} || {sep})"
     ctes = [
         _WC,
-        f"state0 AS (SELECT {dsep} || "
+        f"state0 AS MATERIALIZED (SELECT {dsep} || "
         f"regexp_replace(word, '(.)', '\\1' || {dsep}, 'g')"
         " AS seq, cnt FROM wc)",
     ]
@@ -81,7 +81,7 @@ def _training_ctes(n: int) -> str:
         # l = ['', s1, ..., sn, '']: symbols at indices 2..len-1, pairs
         # (l[i], l[i+1]) for i in [2, len-2] (range upper bound exclusive).
         ctes.append(
-            f"pc{i} AS ("
+            f"pc{i} AS MATERIALIZED ("
             f"SELECT list_extract(l, i) AS a, list_extract(l, i + 1) AS b, "
             f"SUM(cnt) AS cnt "
             f"FROM (SELECT string_split(seq, {dsep}) AS l, cnt "
@@ -90,12 +90,12 @@ def _training_ctes(n: int) -> str:
             f"GROUP BY 1, 2)"
         )
         ctes.append(
-            f"t{i} AS (SELECT a, b, cnt FROM pc{i} "
+            f"t{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc{i} "
             f"ORDER BY cnt DESC, a, b LIMIT 1)"
         )
         if i < n - 1:
             ctes.append(
-                f"state{i + 1} AS ("
+                f"state{i + 1} AS MATERIALIZED ("
                 f"SELECT replace(s.seq, "
                 f"{sep} || t.a || {dsep} || t.b || {sep}, "
                 f"{sep} || t.a || t.b || {sep}) AS seq, s.cnt "
@@ -170,3 +170,171 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ch").cast("bigint").alias("n_chars"),
         F.round(F.sum("tk") / F.sum("ch"), 6).alias("tokens_per_char"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale tokenizer APPLICATION (operators/bpe.py encode surface)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from autonomous_orchestrator_ai_spark.operators.bpe import (  # noqa: E402
+    bpe_doc_token_counts,
+    bpe_word_encodings,
+)
+
+
+def _encode_ctes(n: int = _N_MERGES) -> str:
+    """_training_ctes + the word-preserving segmentation chain + the
+    token-id vocabulary: ``segw`` is (word, n_sub, ids_str) — the exact
+    mirror of operators.bpe.bpe_word_encodings (codepoint ids for
+    single-char symbols, 256+min(rank) for merge products, OOV words are
+    not in segw and join to NULL)."""
+    sep = "chr(31)"
+    dsep = f"({sep} || {sep})"
+    ctes = [
+        _training_ctes(n).removeprefix("WITH "),
+        f"""seg0 AS (SELECT word, {dsep} ||
+           regexp_replace(word, '(.)', '\\1' || {dsep}, 'g') AS seq FROM wc)""",
+    ]
+    for i in range(n):
+        ctes.append(
+            f"seg{i + 1} AS MATERIALIZED (SELECT word, "
+            f"replace(s.seq, {sep} || t.a || {dsep} || t.b || {sep}, "
+            f"{sep} || t.a || t.b || {sep}) AS seq FROM seg{i} s, t{i} t)"
+        )
+    vocab_union = " UNION ALL ".join(
+        f"SELECT a || b AS tok, 256 + {i + 1} AS id FROM t{i}"
+        for i in range(n)
+    )
+    ctes.append(
+        f"mv AS MATERIALIZED (SELECT tok, MIN(id) AS id "
+        f"FROM ({vocab_union}) GROUP BY tok)"
+    )
+    ctes.append(
+        f"""segt AS (
+        SELECT word, i, list_extract(l, i) AS tok
+        FROM (SELECT word, string_split(seq, {dsep}) AS l FROM seg{n}) s,
+             unnest(range(2, len(s.l))) AS r(i))"""
+    )
+    ctes.append(
+        """segw AS MATERIALIZED (
+        SELECT word, COUNT(*) AS n_sub,
+               string_agg(CAST(CASE WHEN len(segt.tok) = 1 THEN ord(segt.tok)
+                                    ELSE COALESCE(mv.id, 0) END AS VARCHAR),
+                          ' ' ORDER BY segt.i) AS ids_str
+        FROM segt LEFT JOIN mv ON segt.tok = mv.tok GROUP BY word)"""
+    )
+    return ",\n".join(ctes)
+
+
+#: every word occurrence of every doc with its 0-based position (lowercase
+#: whitespace split — the tokenizer's corpus view; OOV words included).
+_DOC_WORDS = """dwords AS (
+      SELECT doc_id, source, i - 1 AS pos, l[i] AS word
+      FROM (SELECT doc_id, source,
+                   string_split_regex(lower(trim(text)), '\\s+') AS l
+            FROM documents) s,
+           unnest(range(1, len(s.l) + 1)) AS r(i))"""
+
+#: per-doc tokenizer-true counts (mirror of bpe_doc_token_counts).
+_DOC_COUNTS = """dcounts AS MATERIALIZED (
+      SELECT doc_id, ANY_VALUE(source) AS source,
+             COUNT(*) AS n_words,
+             SUM(CASE WHEN segw.word IS NULL THEN 1 ELSE 0 END) AS n_oov_words,
+             SUM(COALESCE(segw.n_sub, 1)) AS n_tokens
+      FROM dwords LEFT JOIN segw USING (word)
+      GROUP BY doc_id)"""
+
+
+@register(
+    "bpe_encoded_corpus_stats",
+    oracle=f"""
+    WITH {_encode_ctes()},
+    {_DOC_WORDS},
+    {_DOC_COUNTS}
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_oov_words) AS BIGINT) AS oov_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) * 1.0 / SUM(n_words), 6) AS tokens_per_word
+    FROM dcounts GROUP BY source ORDER BY source
+    """,
+)
+def bpe_encoded_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE tokenizer application: train the 8-merge BPE, encode
+    every document, report exact per-source token economics (total
+    tokenizer-true tokens, OOV word mass, fan-out per word). The encode is
+    a word-keyed join against the vocabulary-bounded segmentation table —
+    the merge chain runs once per DISTINCT word, so applying the tokenizer
+    to 100 TB costs one word explode + one join, not a per-doc replay."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _N_MERGES)
+    counts = bpe_doc_token_counts(docs, merges)
+    joined = docs.select("doc_id", "source").join(counts, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_oov_words").cast("bigint").alias("oov_words"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "bpe_token_id_sequences",
+    oracle=f"""
+    WITH {_encode_ctes()},
+    {_DOC_WORDS},
+    seqs AS (
+      SELECT doc_id,
+             SUM(COALESCE(segw.n_sub, 1)) AS n_tokens,
+             string_agg(COALESCE(segw.ids_str, '0'), ' ' ORDER BY pos)
+               AS ids
+      FROM dwords LEFT JOIN segw USING (word)
+      WHERE doc_id < 40
+      GROUP BY doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           md5(ids) AS ids_md5
+    FROM seqs ORDER BY doc_id
+    """,
+)
+def bpe_token_id_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID SEQUENCES, verified to the byte on a 40-doc slice: each
+    doc's words are replaced by their id sequences (codepoint base vocab,
+    256+rank merge ids, 0 for OOV) in original word order; the md5 of the
+    space-joined ids proves the full sequence — order included — is
+    engine-exact. This is the artifact a training pipeline ships to the
+    data loader."""
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _N_MERGES)
+    enc = bpe_word_encodings(docs, merges)
+    words = docs.where(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "word"),
+    )
+    j = words.join(enc.select("word", "n_sub", "ids_str"), "word", "left")
+    per_doc = j.groupBy("doc_id").agg(
+        F.sum(F.coalesce(F.col("n_sub"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "ids_str"))),
+                lambda s: F.coalesce(s["ids_str"], F.lit("0")),
+            ),
+            " ",
+        ).alias("ids"),
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", F.md5("ids").alias("ids_md5")
+    ).orderBy("doc_id")

@@ -475,10 +475,62 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_packing_stats",
-    oracle=f"""
-    WITH toks AS (
-      SELECT source, doc_id, CAST({_TOKEN_COUNT} AS BIGINT) AS n_tokens
-      FROM documents),
+    oracle=lambda sf_dir: _packing_oracle(),
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order packing of each source's docs into 2048-token
+    training windows (operators.curation.pack_sequences), with
+    TOKENIZER-TRUE lengths: each doc's n_tokens is its exact BPE token
+    count (operators.bpe.bpe_doc_token_counts — in-vocab words contribute
+    their subword counts, OOV words one UNK), not the whitespace word
+    proxy, so the fill stats are what the data loader will actually see.
+    The cumsum is per-source, so the sort parallelizes across sources —
+    the scale-safe form of sequence packing (a GLOBAL cumsum would
+    serialize on one partition)."""
+    from autonomous_orchestrator_ai_spark.operators.bpe import (
+        bpe_doc_token_counts,
+        bpe_train,
+    )
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    raw = table(spark, sf_dir, "documents")
+    merges = bpe_train(raw, "text", 8)
+    docs = raw.select("source", "doc_id").join(
+        bpe_doc_token_counts(raw, merges).select("doc_id", "n_tokens"),
+        "doc_id",
+    )
+    packed = pack_sequences(docs, "n_tokens", 2048, "source", "doc_id")
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    return seqs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        F.max("seq_tokens").alias("max_seq_tokens"),
+        F.round(F.sum("n_docs") / F.count(F.lit(1)), 4).alias("avg_docs_per_seq"),
+    )
+
+
+def _packing_oracle() -> str:
+    """Deferred import: bpe_queries imports curation machinery transitively;
+    building the encode CTE chain lazily avoids a module import cycle."""
+    from autonomous_orchestrator_ai_spark.plans.bpe_queries import (
+        _DOC_COUNTS,
+        _DOC_WORDS,
+        _encode_ctes,
+    )
+
+    return f"""
+    WITH {_encode_ctes()},
+    {_DOC_WORDS},
+    {_DOC_COUNTS},
+    toks AS (
+      SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM dcounts),
     packed AS (
       SELECT source, doc_id, n_tokens,
              COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -496,33 +548,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(seq_tokens) AS BIGINT) AS max_seq_tokens,
            ROUND(SUM(n_docs) * 1.0 / COUNT(*), 4) AS avg_docs_per_seq
     FROM seqs GROUP BY source
-    """,
-)
-def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy in-order packing of each source's docs into 2048-token
-    training windows (operators.curation.pack_sequences): per-source
-    sequence counts and fill stats. The cumsum is per-source, so the sort
-    parallelizes across sources — the scale-safe form of sequence
-    packing (a GLOBAL cumsum would serialize on one partition)."""
-    from autonomous_orchestrator_ai_spark.operators.curation import (
-        pack_sequences,
-    )
-
-    docs = table(spark, sf_dir, "documents").select(
-        "source", "doc_id", token_count("text").alias("n_tokens")
-    )
-    packed = pack_sequences(docs, "n_tokens", 2048, "source", "doc_id")
-    seqs = packed.groupBy("source", "seq_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("seq_tokens"),
-    )
-    return seqs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_seqs"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum("seq_tokens").alias("total_tokens"),
-        F.max("seq_tokens").alias("max_seq_tokens"),
-        F.round(F.sum("n_docs") / F.count(F.lit(1)), 4).alias("avg_docs_per_seq"),
-    )
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -148,3 +148,46 @@ def test_segment_matches_pure_python_sennrich(spark, words, merges):
 def test_train_early_stop_on_single_chars(spark):
     # every word is one char: no pairs -> zero merges, no crash
     assert bpe_train(_docs(spark, ["a b c a"]), "text", 4) == []
+
+
+# ---------------------------------------------------------------------------
+# Corpus encode (bpe_word_encodings / bpe_doc_token_counts)
+# ---------------------------------------------------------------------------
+
+from autonomous_orchestrator_ai_spark.operators.bpe import (  # noqa: E402
+    bpe_doc_token_counts,
+    bpe_word_encodings,
+)
+
+
+def test_encode_table_ids_and_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "abab abab cc"), (1, "abab !! cc")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, "text", n_merges=2)
+    # merge 1: (a, b) cnt 6 -> 'ab' id 257; merge 2 by tie-break (a,b) asc
+    assert (merges[0][1], merges[0][2]) == ("a", "b")
+    enc = {r["word"]: r for r in bpe_word_encodings(docs, merges).collect()}
+    assert set(enc) == {"abab", "cc"}
+    ab_id = 256 + merges[0][0]
+    if (merges[1][1], merges[1][2]) == ("ab", "ab"):
+        abab_id = 256 + merges[1][0]
+        assert enc["abab"]["n_sub"] == 1
+        assert enc["abab"]["ids_str"] == str(abab_id)
+    else:
+        assert enc["abab"]["ids_str"].split() == [str(ab_id)] * 2
+    # single chars are codepoints
+    assert enc["cc"]["ids_str"].split()[0] in (str(ord("c")), str(256 + 2))
+
+
+def test_doc_token_counts_exact_with_unk_fallback(spark):
+    docs = spark.createDataFrame(
+        [(0, "abab abab cc"), (1, "abab !! cc")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, "text", n_merges=2)
+    enc = {r["word"]: r["n_sub"] for r in bpe_word_encodings(docs, merges).collect()}
+    got = {r["doc_id"]: r for r in bpe_doc_token_counts(docs, merges).collect()}
+    assert got[0]["n_words"] == 3 and got[0]["n_oov_words"] == 0
+    assert got[0]["n_tokens"] == 2 * enc["abab"] + enc["cc"]
+    assert got[1]["n_words"] == 3 and got[1]["n_oov_words"] == 1  # '!!'
+    assert got[1]["n_tokens"] == enc["abab"] + 1 + enc["cc"]
