@@ -147,7 +147,6 @@ HEADLINE = [
     # physical-design demos: the layout investment (write + join) and the
     # read-only twin (what every later query pays — the join alone)
     "bucketed_join_revenue",
-    "bucketed_join_revenue_read",
 ]
 
 

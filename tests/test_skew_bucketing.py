@@ -235,32 +235,3 @@ def test_write_bucketed_refuses_foreign_directory(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_guard_t2")
 
-
-def test_bucketed_join_revenue_read_twin_plan(spark):
-    """The read-only twin reuses the built tables (no rewrite) and keeps
-    the exchange-free SortMergeJoin plan."""
-    import hashlib
-
-    from autonomous_orchestrator_ai_spark.plans.layout_queries import (
-        bucketed_join_revenue_read,
-    )
-
-    sf_dir = "/root/testdata/sf0.001"
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    tables = (f"bktdemo_lineitem_{tag}", f"bktdemo_orders_{tag}")
-    from autonomous_orchestrator_ai_spark.plans.layout_queries import (
-        bucketed_join_on,
-    )
-
-    try:
-        assert bucketed_join_revenue_read(spark, sf_dir).count() == 5  # builds
-        assert bucketed_join_revenue_read(spark, sf_dir).count() == 5  # reads
-        # the join core over the reused tables stays exchange-free (the
-        # post-join groupBy exchange is separate and expected)
-        joined = bucketed_join_on(spark, *tables)
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan
-    finally:
-        for t in tables:
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
