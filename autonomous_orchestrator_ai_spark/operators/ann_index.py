@@ -109,6 +109,44 @@ def _check_meta(spark: SparkSession, path: str, params: dict) -> None:
         )
 
 
+#: Bucket manifest: one row per live (table_id, bucket, __batch) partition
+#: with its row count — the metastore-catalog stand-in. Probes resolve
+#: their partition PATHS from this small table instead of listing the
+#: whole index directory tree (measured at sf10: discovery over 12.5k
+#: bucket dirs ~30-35 s, the pruned read itself ~0.4 s). Underscore dir —
+#: invisible to parquet discovery — and itself partitioned by __batch so
+#: the append path updates it with the same idempotent per-batch dynamic
+#: overwrite as the data.
+_MANIFEST_DIR = "_lsh_index_manifest"
+
+
+def _write_manifest(
+    spark: SparkSession, path: str, counts: DataFrame, dynamic: bool
+) -> None:
+    writer = counts.coalesce(1).write.mode("overwrite")
+    if dynamic:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.partitionBy("__batch").parquet(f"{path}/{_MANIFEST_DIR}")
+
+
+def _manifest_counts(entries: DataFrame) -> DataFrame:
+    return entries.groupBy("table_id", "bucket", "__batch").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def read_lsh_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's bucket manifest: (table_id, bucket, n_rows, __batch),
+    one row per live data partition; None for a pre-manifest index
+    (probes then fall back to directory discovery)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/{_MANIFEST_DIR}")
+    except AnalysisException:
+        return None
+
+
 def _index_entries(
     vectors: DataFrame,
     batch_id: int,
@@ -179,10 +217,22 @@ def build_lsh_index(
     )
     spark = corpus.sparkSession
     _write_entries(entries, path, dynamic=False)
+    # bucket manifest: one extra aggregation-only pass over the bucketing
+    # projection (no persist of the n_tables-replicated entries needed);
+    # on a cluster with commit-protocol metadata this would come for free
+    # from the write itself
+    _write_manifest(spark, path, _manifest_counts(entries), dynamic=False)
     _write_meta(
         spark,
         path,
-        {"n_planes": n_planes, "n_tables": n_tables, "dim": dim, "seed": seed},
+        {
+            "n_planes": n_planes,
+            "n_tables": n_tables,
+            "dim": dim,
+            "seed": seed,
+            # for typed empty results when a probe hits no live partition
+            "neighbor_id_type": corpus.schema[id_col].dataType.simpleString(),
+        },
     )
 
 
@@ -225,10 +275,13 @@ def query_lsh_index(
     (1+n_planes) tiny rows — for a serving path that is the point: the
     index read is driven by literals, so the scan prunes statically).
 
-    ``index_df``: a handle from ``load_lsh_index`` — repeated probes
-    against the same index MUST pass this to amortize partition
-    discovery (~35 s at 12.5k partitions, vs ~0.4 s per pruned probe;
-    see load_lsh_index). Omitted, each call re-lists the index."""
+    ``index_df``: a handle from ``load_lsh_index`` — long-lived servers
+    pass this so repeated probes share one resolved file listing.
+    Omitted, a COLD probe resolves the probed buckets' paths from the
+    bucket manifest written at build/append time and reads only those
+    directories — no index-tree discovery at all (pre-manifest indexes
+    fall back to a full listing, ~30-35 s at 12.5k partitions vs ~0.4 s
+    for the pruned read; see load_lsh_index)."""
     _check_meta(
         spark,
         path,
@@ -257,16 +310,45 @@ def query_lsh_index(
         (r.table_id, r.bucket)
         for r in q.select("table_id", "bucket").distinct().collect()
     }
-    index = index_df if index_df is not None else load_lsh_index(spark, path)
-    if not probe_keys:  # empty query batch -> empty result, not a crash
+
+    def _empty_topk() -> DataFrame:
         # id types come from the actual inputs — ids are not always bigint
         qid_type = queries.schema[id_col].dataType.simpleString()
-        nid_type = index.schema["neighbor_id"].dataType.simpleString()
+        stored = read_index_meta(spark, path) or {}
+        nid_type = stored.get("neighbor_id_type") or (
+            load_lsh_index(spark, path).schema["neighbor_id"].dataType
+        ).simpleString()
         return spark.createDataFrame(
             [],
             f"query_id {qid_type}, neighbor_id {nid_type}, "
             "cosine_sim double, rank bigint",
         )
+
+    if not probe_keys:  # empty query batch -> empty result, not a crash
+        return _empty_topk()
+    index = index_df
+    if index is None:
+        manifest = read_lsh_manifest(spark, path)
+        if manifest is not None:
+            # COLD-PROBE FAST PATH: resolve the probed partitions' paths
+            # from the manifest (one small parquet read) and read ONLY
+            # those directories — no discovery of the index tree at all.
+            # basePath keeps (table_id, bucket, __batch) as partition
+            # columns of the sub-scan.
+            live = sorted(
+                (r["table_id"], r["bucket"])
+                for r in manifest.select("table_id", "bucket")
+                .distinct()
+                .collect()
+                if (r["table_id"], r["bucket"]) in probe_keys
+            )
+            if not live:  # every probed bucket is empty in this index
+                return _empty_topk()
+            index = spark.read.option("basePath", path).parquet(
+                *[f"{path}/table_id={t}/bucket={b}" for t, b in live]
+            )
+        else:  # pre-manifest index: full directory discovery
+            index = load_lsh_index(spark, path)
     # partition-literal pruning, grouped per table: (table_id == t) &
     # bucket.isin([...]) gives the same static pruning as one disjunct per
     # (table, bucket) but with O(n_tables) predicate-tree nodes instead of
@@ -344,3 +426,7 @@ def append_to_lsh_index(
         new_vectors, batch_id, n_planes, n_tables, dim, seed, id_col, vec_col
     )
     _write_entries(entries, path, dynamic=True)
+    # manifest rides the same per-batch dynamic overwrite: replaying the
+    # batch rewrites exactly its manifest partition to the same rows, so
+    # data and manifest stay consistent under at-least-once delivery
+    _write_manifest(spark, path, _manifest_counts(entries), dynamic=True)

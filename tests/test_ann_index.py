@@ -279,3 +279,82 @@ def test_preloaded_index_handle_matches_fresh_read(spark, tmp_path):
         index_df=handle,
     )
     assert len(_rows(again)) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bucket manifest (the metastore-catalog stand-in)
+# ---------------------------------------------------------------------------
+
+from autonomous_orchestrator_ai_spark.operators.ann_index import (  # noqa: E402
+    append_to_lsh_index,
+    load_lsh_index,
+    read_lsh_manifest,
+)
+
+
+def _manifest_totals(spark, path):
+    m = read_lsh_manifest(spark, path)
+    assert m is not None
+    return sorted(
+        (r["table_id"], r["bucket"], r["__batch"], r["n_rows"])
+        for r in m.collect()
+    )
+
+
+def test_manifest_matches_data_and_survives_append_replay(spark, tmp_path):
+    emb = table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") < 80)
+    batch = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(base, path, n_planes=4, n_tables=2, dim=64)
+
+    def data_counts():
+        return sorted(
+            (r["table_id"], r["bucket"], r["__batch"], r["n"])
+            for r in load_lsh_index(spark, path)
+            .groupBy("table_id", "bucket", "__batch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    assert _manifest_totals(spark, path) == data_counts()
+    append_to_lsh_index(batch, path, batch_id=0, n_planes=4, n_tables=2, dim=64)
+    after_append = _manifest_totals(spark, path)
+    assert after_append == data_counts()
+    # replaying the same batch leaves data AND manifest identical
+    append_to_lsh_index(batch, path, batch_id=0, n_planes=4, n_tables=2, dim=64)
+    assert _manifest_totals(spark, path) == after_append == data_counts()
+
+
+def test_cold_probe_via_manifest_matches_handle_path(spark, tmp_path):
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, path, n_planes=4, n_tables=2, dim=64)
+    cold = query_lsh_index(  # no index_df -> manifest fast path
+        spark, path, queries, k=4, n_planes=4, n_tables=2, dim=64
+    )
+    handle = query_lsh_index(
+        spark, path, queries, k=4, n_planes=4, n_tables=2, dim=64,
+        index_df=load_lsh_index(spark, path),
+    )
+    assert _rows(cold) == _rows(handle)
+    # and the manifest exists (i.e. the fast path was available)
+    assert read_lsh_manifest(spark, path) is not None
+
+
+def test_probe_of_dead_buckets_returns_typed_empty(spark, tmp_path):
+    emb = table(spark, SF, "embeddings")
+    # index only vec 0; probe with a far-away query whose buckets are
+    # unlikely to all collide -> may hit zero live partitions; either way
+    # the call must not crash and must return the contract schema
+    base = emb.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(base, path, n_planes=8, n_tables=1, dim=64)
+    queries = emb.filter(F.col("vec_id") == 1)
+    out = query_lsh_index(
+        spark, path, queries, k=3, n_planes=8, n_tables=1, dim=64,
+        multiprobe_bits=0,
+    )
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+    out.collect()  # executes without error regardless of bucket overlap
