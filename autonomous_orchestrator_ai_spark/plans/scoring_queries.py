@@ -617,34 +617,43 @@ def _train_bucket_sql(tok: str) -> str:
     )
 
 
-def _gd_ctes(rounds: int = _GD_ROUNDS, lr: float = _GD_LR) -> str:
-    """CTE chain replaying hashed_features + train_logistic_gd verbatim:
-    gd_w{rounds} is the trained (bucket, weight) table."""
-    head = f"""
-    gd_toks AS (
+def _feat_ctes(prefix: str, src: str) -> str:
+    """{prefix}_fl = (doc_id, bucket, x, y) over the ``src`` relation —
+    the SQL mirror of hashed_features + the Gopher proxy labels."""
+    return f"""
+    {prefix}_toks AS (
       SELECT doc_id, t AS tok, len(ts) AS n_tok
       FROM (SELECT doc_id, string_split({NORM_SQL}, ' ') AS ts
-            FROM documents) s, unnest(s.ts) AS u(t)),
-    gd_feats AS (
+            FROM {src}) s, unnest(s.ts) AS u(t)),
+    {prefix}_feats AS (
       SELECT doc_id, {_train_bucket_sql('tok')} AS bucket,
              COUNT(*) * 1.0 / MIN(n_tok) AS x
-      FROM gd_toks GROUP BY doc_id, {_train_bucket_sql('tok')}
-      UNION ALL SELECT doc_id, -1 AS bucket, 1.0 AS x FROM documents
+      FROM {prefix}_toks GROUP BY doc_id, {_train_bucket_sql('tok')}
+      UNION ALL SELECT doc_id, -1 AS bucket, 1.0 AS x FROM {src}
       UNION ALL SELECT doc_id, -2, CAST({_TOKEN_COUNT} AS DOUBLE) / 100.0
-        FROM documents
-      UNION ALL SELECT doc_id, -3, {_MWL} / 10.0 FROM documents
-      UNION ALL SELECT doc_id, -4, {_PUNCT} FROM documents
+        FROM {src}
+      UNION ALL SELECT doc_id, -3, {_MWL} / 10.0 FROM {src}
+      UNION ALL SELECT doc_id, -4, {_PUNCT} FROM {src}
       UNION ALL SELECT doc_id, -5, CAST({_SW_HITS} AS DOUBLE) / 10.0
-        FROM documents
-      UNION ALL SELECT doc_id, -6, {_DISTINCT_RATIO} FROM documents
-      UNION ALL SELECT doc_id, -7, {_ALPHA_FRAC} FROM documents),
-    gd_labels AS MATERIALIZED (
+        FROM {src}
+      UNION ALL SELECT doc_id, -6, {_DISTINCT_RATIO} FROM {src}
+      UNION ALL SELECT doc_id, -7, {_ALPHA_FRAC} FROM {src}),
+    {prefix}_labels AS MATERIALIZED (
       SELECT doc_id, CASE WHEN {_GATE_SQL} THEN 1.0 ELSE 0.0 END AS y
-      FROM documents),
-    gd_fl AS MATERIALIZED (
+      FROM {src}),
+    {prefix}_fl AS MATERIALIZED (
       SELECT f.doc_id, f.bucket, f.x, l.y
-      FROM gd_feats f JOIN gd_labels l USING (doc_id)),
-    gd_n AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM documents),
+      FROM {prefix}_feats f JOIN {prefix}_labels l USING (doc_id))"""
+
+
+def _gd_ctes(
+    rounds: int = _GD_ROUNDS, lr: float = _GD_LR, src: str = "documents"
+) -> str:
+    """CTE chain replaying hashed_features + train_logistic_gd verbatim
+    over the ``src`` relation: gd_w{rounds} is the trained
+    (bucket, weight) table."""
+    head = f"""{_feat_ctes('gd', src)},
+    gd_n AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM {src}),
     gd_w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS weight FROM gd_feats)"""
     parts = [head]
     for t in range(1, rounds + 1):
@@ -748,4 +757,94 @@ def quality_classifier_trained_eval(
             -F.avg(y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)),
             6,
         ).alias("log_loss"),
+    )
+
+
+from autonomous_orchestrator_ai_spark.operators.curation import (  # noqa: E402
+    hex_threshold,
+    sample_predicate,
+)
+
+_SPLIT_SALT = "clf-split"
+_TRAIN_FRAC = 0.8
+_SPLIT_THR = hex_threshold(_TRAIN_FRAC)
+
+#: DuckDB mirror of sample_predicate(_TRAIN_FRAC, "doc_id", _SPLIT_SALT)
+_TRAIN_PRED_SQL = (
+    f"substr(md5('{_SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    f" < '{_SPLIT_THR}'"
+)
+
+
+@register(
+    "quality_classifier_holdout_eval",
+    oracle=f"""
+    WITH gd_src AS MATERIALIZED (
+      SELECT * FROM documents WHERE {_TRAIN_PRED_SQL}),
+    {_gd_ctes(src="gd_src").lstrip()},
+    {_feat_ctes('ev', 'documents').lstrip()},
+    ev_sc AS (
+      SELECT doc_id, MIN(y) AS y,
+             1.0 / (1.0 + exp(-SUM(x * weight))) AS p
+      FROM ev_fl JOIN gd_w{_GD_ROUNDS} USING (bucket) GROUP BY doc_id)
+    SELECT CASE WHEN {_TRAIN_PRED_SQL} THEN 'train' ELSE 'heldout' END
+             AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p >= 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN p < 0.5 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           ROUND(-AVG(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS log_loss
+    FROM ev_sc GROUP BY 1 ORDER BY split
+    """,
+)
+def quality_classifier_holdout_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HELD-OUT evaluation of the GD-trained classifier — the number that
+    actually certifies a quality gate: train on the deterministic 80%
+    md5-draw split, score the WHOLE corpus with the trained weights,
+    report confusion + log-loss per split. Generalization (heldout ~
+    train metrics) falls out of the report instead of being asserted.
+    Unseen held-out buckets contribute weight 0 (the inner join drops
+    them — fastText's zero-initialized rows), and every doc survives via
+    its structural sentinel buckets, which the training split always
+    populates. The oracle replays split draw + 24 GD rounds + corpus
+    scoring end to end."""
+    docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
+    is_train = sample_predicate(_TRAIN_FRAC, "doc_id", _SPLIT_SALT)
+    train = docs.where(is_train)
+    w = train_logistic_gd(
+        hashed_features(train), _gopher_labels(train),
+        rounds=_GD_ROUNDS, lr=_GD_LR,
+    )
+    scored = (
+        score_features(hashed_features(docs), w)
+        .join(_gopher_labels(docs), "doc_id")
+        .join(
+            docs.select(
+                "doc_id",
+                F.when(is_train, "train").otherwise("heldout").alias("split"),
+            ),
+            "doc_id",
+        )
+    )
+    p, y = F.col("score"), F.col("y")
+    hi, lo = p >= 0.5, p < 0.5
+    return (
+        scored.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((hi & (y == 1.0)).cast("long")).alias("tp"),
+            F.sum((hi & (y == 0.0)).cast("long")).alias("fp"),
+            F.sum((lo & (y == 1.0)).cast("long")).alias("fn"),
+            F.sum((lo & (y == 0.0)).cast("long")).alias("tn"),
+            F.round(
+                -F.avg(
+                    y * F.log(p) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)
+                ),
+                6,
+            ).alias("log_loss"),
+        )
+        .orderBy("split")
     )
