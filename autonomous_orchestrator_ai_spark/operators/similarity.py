@@ -193,8 +193,26 @@ def lsh_bucketed_topk(
     multiprobe_bits: int = 1,
     exclude_self: bool = True,
     broadcast_queries: bool | None = None,
+    max_bucket_candidates: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to LSH bucket collisions.
+
+    ``max_bucket_candidates``: HOT-BUCKET GUARD (the similarity twin of
+    dedup.py's ``max_bucket_size``/``max_shingle_df``). auto_planes holds
+    the EXPECTED bucket size constant, but expectation is not a bound:
+    a corpus with mass near-duplication (the realistic 100 TB shape — the
+    sf100 probe's synthetic corpus carries ~1000 near-copies per base
+    vector) concentrates whole duplicate clusters into single buckets,
+    and the bucket join's output grows with the SQUARE of the hot
+    bucket's size (measured: >78 GB of shuffle spill at sf100 with no
+    cap). With a cap, each (table, bucket) keeps a deterministic uniform
+    sample — the ``max_bucket_candidates`` rows with the smallest
+    md5('lshcap:' || id) draw — so join output per query is bounded by
+    n_tables x cap regardless of skew, recall inside a hot bucket
+    degrades gracefully (a uniform subset of near-identical candidates
+    still surfaces the cluster), and the same QUALIFY clause replays in
+    the DuckDB oracle. None = uncapped (serving-sized corpora, pinned
+    oracle anchors).
 
     Classic multi-table LSH: ``n_tables`` independent sets of ``n_planes``
     hyperplanes (few planes per table keeps per-table collision probability
@@ -251,6 +269,20 @@ def lsh_bucketed_topk(
             "table_id", "bucket"
         ),
     )
+    if max_bucket_candidates is not None:
+        # one linear window shuffle on (table_id, bucket) bounds every
+        # bucket BEFORE the join — the quadratic never materializes
+        wcap = Window.partitionBy("table_id", "bucket").orderBy(
+            F.md5(
+                F.concat(F.lit("lshcap:"), F.col("neighbor_id").cast("string"))
+            ),
+            F.col("neighbor_id"),
+        )
+        c = (
+            c.withColumn("__brn", F.row_number().over(wcap))
+            .where(F.col("__brn") <= max_bucket_candidates)
+            .drop("__brn")
+        )
 
     # queries: same one-shot bucket array; probes (own bucket + 1-bit
     # flips) are generated AFTER the explode, where `bucket` is a plain

@@ -862,6 +862,7 @@ def _lsh_disagreement_sql(
     dim: int,
     seed: int,
     multiprobe: bool = True,
+    bucket_cap: int | None = None,
 ) -> str:
     """Corpus-wide LSH mislabel screen oracle: same derandomized-LSH
     unrolling as similarity_queries._lsh_oracle_sql (seeded hyperplane
@@ -897,9 +898,17 @@ def _lsh_disagreement_sql(
                   ELSE xor(b.bucket, CAST(1 << f.flip AS BIGINT))
              END AS bucket
       FROM cb b CROSS JOIN (VALUES {flips}) AS f(flip)),
+    cbc AS (
+      SELECT vec_id, table_id, bucket FROM (
+        SELECT vec_id, table_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY table_id, bucket
+                 ORDER BY md5('lshcap:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 AS brn
+        FROM cb)
+      WHERE brn <= {{CAP}}),
     cand AS (
       SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
-      FROM qp q JOIN cb c
+      FROM qp q JOIN cbc c
         ON q.table_id = c.table_id AND q.bucket = c.bucket
       WHERE c.vec_id <> q.query_id),
     scored AS (
@@ -925,7 +934,18 @@ def _lsh_disagreement_sql(
       GROUP BY r.query_id, ql.label)
     SELECT query_id, query_label, n_neighbors, disagree_rate
     FROM agg ORDER BY disagree_rate DESC, query_id LIMIT 15
-    """.replace("{COS}", _cos_sql("qe.embedding", "ne.embedding"))
+    """.replace("{COS}", _cos_sql("qe.embedding", "ne.embedding")).replace(
+        "{CAP}", str(bucket_cap if bucket_cap is not None else 1 << 62)
+    )
+
+
+#: hot-bucket guard for the corpus-wide screen: auto_planes holds the
+#: EXPECTED bucket at ~64, but a corpus with mass near-duplication packs
+#: whole duplicate clusters into single buckets and the bucket join goes
+#: quadratic in the hot bucket's size (sf100: ~1000 near-copies per base
+#: vector -> >78 GB shuffle spill, found by the round-6 octave probe).
+#: Capping at the expected size means the guard binds ONLY on skew.
+_SCREEN_BUCKET_CAP = 64
 
 
 def _lsh_disagreement_oracle(sf_dir: str) -> str:
@@ -952,6 +972,7 @@ def _lsh_disagreement_oracle(sf_dir: str) -> str:
         dim=64,
         seed=42,
         multiprobe=False,
+        bucket_cap=_SCREEN_BUCKET_CAP,
     )
 
 
@@ -990,6 +1011,7 @@ def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = lsh_bucketed_topk(
         emb, emb, k=5, n_planes=auto_planes(emb.count()), n_tables=4,
         dim=64, broadcast_queries=False, multiprobe_bits=0,
+        max_bucket_candidates=_SCREEN_BUCKET_CAP,
     )
     labels = emb.select("vec_id", "label")
     joined = (

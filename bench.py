@@ -80,6 +80,10 @@ HEADLINE = [
     "cluster_safe_split_report",
     "bpe_top_pairs",
     "bpe_learned_merges",
+    # round 6: corpus-wide tokenizer application + boilerplate removal
+    "bpe_encoded_corpus_stats",
+    "bpe_token_id_sequences",
+    "boilerplate_removal_stats",
     "salted_event_type_stats",
     "revenue_mom_growth",
     # retrieval + feature screens (round 5)
