@@ -857,3 +857,96 @@ def cluster_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(viol))
     )
+
+
+@register(
+    "cluster_safe_split_report_lsh",
+    oracle=f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    sigs AS (SELECT doc_id, sh,
+                    {", ".join(f"{_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
+             FROM docs),
+    banded AS (SELECT doc_id, band_id, {_bands_case_sql()} AS band_key
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT c.id_a, c.id_b
+      FROM cands c JOIN docs da ON c.id_a = da.doc_id
+                   JOIN docs db ON c.id_b = db.doc_id
+      WHERE ROUND(len(list_intersect(da.sh, db.sh)) * 1.0 /
+                  (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))),
+                  6) >= 0.2),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(s, d) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component
+             FROM reach GROUP BY s),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_unit
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    labeled AS (
+      SELECT doc_id, split_unit, {_CSPLIT_SQL} AS split FROM assigned),
+    viol AS (
+      SELECT split_unit FROM labeled
+      GROUP BY split_unit HAVING COUNT(DISTINCT split) > 1)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split_unit) AS BIGINT) AS n_units,
+           CAST((SELECT COUNT(*) FROM viol) AS BIGINT) AS n_violating_units
+    FROM labeled GROUP BY split
+    """,
+)
+def cluster_safe_split_report_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cluster_safe_split_report`` with the near-dup edges generated by
+    MinHash-LSH banding + exact verification on candidates only
+    (operators.dedup.minhash_near_duplicates at the same Jaccard >= 0.2)
+    instead of the full inverted-index self-join — the 100 TB edge path.
+
+    Why this variant exists (round-6 sf100 probe): the exact inverted
+    index is LINEAR in corpus size but with a heavy constant — at this
+    corpus's shingle-df profile it shuffles ~15 KB of candidate pairs per
+    document (sum over shingles of df^2; max df only 25, so no df-guard
+    can cut it), which at 5M docs is ~76 GB of spill — more than this
+    host's disk. Banding prunes candidates to probable-near-dup pairs
+    BEFORE any shuffle materializes, trading a bounded recall loss
+    (pairs that collide in no band) for candidate volume proportional to
+    true near-dups. Both forms are deterministic and oracle-replayed;
+    the edge sets differ only by band recall, so the report columns are
+    directly comparable."""
+    from autonomous_orchestrator_ai_spark.operators.curation import (
+        cluster_safe_split,
+    )
+    from autonomous_orchestrator_ai_spark.operators.graph import (
+        connected_components,
+    )
+
+    full = table(spark, sf_dir, "documents")
+    edges = minhash_near_duplicates(
+        full, "text", "doc_id",
+        num_hashes=NUM_HASHES, bands=BANDS, shingle_k=3,
+        jaccard_threshold=0.2,
+    ).select("id_a", "id_b")
+    comp = connected_components(edges)
+    labeled = cluster_safe_split(full.select("doc_id"), comp)
+    viol = (
+        labeled.groupBy("split_unit")
+        .agg(F.count_distinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violating_units"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("split_unit").cast("bigint").alias("n_units"),
+        )
+        .crossJoin(F.broadcast(viol))
+    )
