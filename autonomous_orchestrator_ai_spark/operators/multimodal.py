@@ -336,29 +336,45 @@ def synthetic_wav_media(spark, n: int = 12, seed: int = 42) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL resize for BMP media: decode -> nearest-neighbor resample ->
-    re-encode, metadata updated to the new dimensions — the executable
-    twin of ``resize_stub`` (which only rewrites metadata). Same
-    mapInPandas slot a PIL Lanczos kernel would occupy on a real cluster;
-    non-BMP content raises loudly rather than passing through unscaled."""
+    """REAL resize for BMP/PNG media: decode -> nearest-neighbor
+    resample -> re-encode IN THE ORIGINAL FORMAT (a resize step must not
+    silently transcode a corpus), metadata updated to the new dimensions
+    — the executable twin of ``resize_stub`` (which only rewrites
+    metadata). Same mapInPandas slot a PIL Lanczos kernel would occupy
+    on a real cluster; unsupported content raises loudly rather than
+    passing through unscaled. PNG alpha is preserved through the resize
+    (RGBA pixels resample as 4-byte units)."""
     from autonomous_orchestrator_ai_spark.operators.bmp_codec import (
         decode_bmp,
         encode_bmp,
         resize_nearest,
     )
+    from autonomous_orchestrator_ai_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+        resize_nearest_px,
+    )
+
+    def _resize_one(blob: bytes) -> bytes:
+        blob = bytes(blob or b"")
+        if blob[:2] == b"BM":
+            w, h, rgb = decode_bmp(blob)
+            return encode_bmp(width, height, resize_nearest(w, h, rgb, width, height))
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, ch, px = decode_png(blob)
+            return encode_png(
+                width, height, resize_nearest_px(w, h, px, width, height, ch), ch
+            )
+        raise NotImplementedError(
+            "resize supports BMP and 8-bit RGB/RGBA PNG in this environment"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             resized = []
             for blob in pdf["content"]:
-                w, h, rgb = decode_bmp(bytes(blob or b""))
-                resized.append(
-                    encode_bmp(
-                        width, height,
-                        resize_nearest(w, h, rgb, width, height),
-                    )
-                )
+                resized.append(_resize_one(blob))
             out["content"] = resized
             out["meta"] = [
                 {

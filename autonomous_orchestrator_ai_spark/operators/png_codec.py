@@ -180,3 +180,35 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     channels = _CHANNELS[color_type]
     return width, height, channels, _defilter(raw, width, height, channels)
+
+
+def resize_nearest_px(
+    width: int,
+    height: int,
+    pixels: bytes,
+    new_width: int,
+    new_height: int,
+    channels: int = 3,
+) -> bytes:
+    """Channel-generic nearest-neighbor resample of row-major pixel bytes
+    (RGBA resamples as whole 4-byte units, so alpha survives). Same
+    center-aligned floor((i + 0.5) * src/dst) mapping as
+    bmp_codec.resize_nearest."""
+    if new_width <= 0 or new_height <= 0:
+        raise ValueError(f"invalid target {new_width}x{new_height}")
+    if len(pixels) != channels * width * height:
+        raise ValueError(
+            f"need {channels * width * height} bytes for "
+            f"{width}x{height}x{channels}, got {len(pixels)}"
+        )
+    out = bytearray(channels * new_width * new_height)
+    for y in range(new_height):
+        sy = min(int((y + 0.5) * height / new_height), height - 1)
+        src_row = channels * width * sy
+        dst_row = channels * new_width * y
+        for x in range(new_width):
+            sx = min(int((x + 0.5) * width / new_width), width - 1)
+            out[dst_row + channels * x : dst_row + channels * (x + 1)] = pixels[
+                src_row + channels * sx : src_row + channels * (sx + 1)
+            ]
+    return bytes(out)

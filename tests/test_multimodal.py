@@ -494,3 +494,62 @@ class TestPngCodec:
         for i in (100, 101):
             assert by_id[i]["features"] is None
             assert "truncated" in by_id[i]["error"] or "ValueError" in by_id[i]["error"]
+
+
+def test_resize_images_png_roundtrip(spark):
+    """PNG media resize: output stays PNG (no silent transcode), alpha
+    survives, pixels match an independent NumPy nearest-neighbor map."""
+    import numpy as np
+
+    from autonomous_orchestrator_ai_spark.operators.multimodal import (
+        resize_images,
+        synthetic_png_media,
+    )
+    from autonomous_orchestrator_ai_spark.operators.png_codec import (
+        decode_png,
+    )
+
+    media = synthetic_png_media(spark, n=6)
+    before = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    out = resize_images(media, 5, 4)
+    for r in out.collect():
+        blob = bytes(r["content"])
+        assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, ch, px = decode_png(blob)
+        assert (w, h) == (5, 4)
+        assert r["meta"]["width"] == 5 and r["meta"]["height"] == 4
+        ow, oh, och, opx = decode_png(before[r["media_id"]])
+        assert ch == och  # RGBA stays RGBA
+        src = np.frombuffer(opx, np.uint8).reshape(oh, ow, och)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+        ys = [min(int((y + 0.5) * oh / h), oh - 1) for y in range(h)]
+        xs = [min(int((x + 0.5) * ow / w), ow - 1) for x in range(w)]
+        assert (got == src[np.ix_(ys, xs)]).all()
+
+
+def test_resize_images_mixed_formats_and_loud_unknown(spark):
+    from autonomous_orchestrator_ai_spark.operators.multimodal import (
+        resize_images,
+        synthetic_bmp_media,
+        synthetic_media,
+        synthetic_png_media,
+    )
+
+    mixed = synthetic_bmp_media(spark, n=2).unionByName(
+        spark.createDataFrame(
+            [
+                (100 + r["media_id"], r["content"], r["meta"])
+                for r in synthetic_png_media(spark, n=2).collect()
+            ],
+            synthetic_png_media(spark, n=1).schema,
+        )
+    )
+    out = resize_images(mixed, 4, 4).collect()
+    assert len(out) == 4
+    magics = {bytes(r["content"])[:2] for r in out}
+    assert magics == {b"BM", b"\x89P"}
+    import pytest as _pytest
+
+    fake = synthetic_media(spark, n=1)  # md5 bytes: neither BMP nor PNG
+    with _pytest.raises(Exception, match="NotImplementedError|resize supports"):
+        resize_images(fake, 4, 4).collect()
