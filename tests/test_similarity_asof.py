@@ -184,3 +184,41 @@ def test_auto_planes_bucket_sizing():
     planes = [auto_planes(n) for n in sizes]
     assert planes == sorted(planes)
     assert auto_planes(20_000) == 9  # the measured sf1 configuration
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates_deterministically(spark):
+    """max_bucket_candidates: a degenerate corpus (all vectors identical
+    -> one bucket per table) must produce at most cap candidates per
+    query, the kept subset must be the deterministic md5-draw sample,
+    and two runs must agree exactly."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    n, cap = 40, 8
+    vec = [1.0] * 8 + [0.0] * 56
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=vec) for i in range(n)]
+    )
+    out = lsh_bucketed_topk(
+        emb, emb.filter("vec_id = 0"), k=50, n_planes=4, n_tables=1,
+        dim=64, multiprobe_bits=0, max_bucket_candidates=cap,
+    ).collect()
+    # every vector collides in the single bucket; the cap keeps 8, and
+    # excluding self leaves 8 or 7 neighbors depending on whether vec 0
+    # survived its own bucket's draw
+    expected_kept = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(f"lshcap:{i}".encode()).hexdigest(), i),
+    )[:cap]
+    expect_neighbors = {i for i in expected_kept if i != 0}
+    assert {r["neighbor_id"] for r in out} == expect_neighbors
+    again = lsh_bucketed_topk(
+        emb, emb.filter("vec_id = 0"), k=50, n_planes=4, n_tables=1,
+        dim=64, multiprobe_bits=0, max_bucket_candidates=cap,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
