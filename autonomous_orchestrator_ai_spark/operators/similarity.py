@@ -543,3 +543,73 @@ def auto_planes(n_rows: int, target_bucket: int = 64, floor: int = 4) -> int:
     if n_rows <= target_bucket:
         return floor
     return max(floor, math.ceil(math.log2(n_rows / target_bucket)))
+
+
+def embedding_near_dup_star_edges(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """LINEAR-volume near-dup edges for CLUSTERING embeddings: in every
+    (table, bucket), each member connects to the bucket's MINIMUM id (the
+    hub), kept iff exact cosine(member, hub) >= threshold. Output
+    (src, dst) with src = hub < dst.
+
+    Why star edges and not pairs: a corpus with duplicate clusters of
+    size B holds B(B-1)/2 true near-dup PAIRS — the pair relation itself
+    is quadratic in cluster size (sf100: ~1000 near-copies per base
+    vector => ~10^9 pairs; no engine choice fixes an output that big).
+    Connected components don't need all pairs: one verified edge per
+    member per table (<= n_tables x n rows total) connects everything a
+    per-bucket clique would, whenever members match their hub. The trade
+    (documented contract, replayed by the oracle): a bucket member
+    similar to OTHER members but not to the hub does not join through
+    this bucket — multi-table probing gives it n_tables hubs to match,
+    so clusters of genuinely near-identical vectors are unaffected.
+    This is the embedding analog of SemDeDup-style centroid grouping.
+    """
+    if n_planes is None:
+        n_planes = auto_planes(embeddings.count(), floor=8)
+    all_planes = [
+        hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    e = (
+        ensure_min_parallelism(embeddings)
+        .select(F.col(id_col), _as_double_array(vec_col).alias("__v"))
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            id_col,
+            "__v",
+            "__n",
+            F.posexplode(
+                signbit_buckets(F.col("__v"), all_planes)
+            ).alias("table_id", "bucket"),
+        )
+    )
+    # hub = min id per (table, bucket), carrying its vector for the
+    # verification — one aggregation, then a bucket-keyed join: both
+    # shuffles are linear in n x n_tables
+    hubs = (
+        e.groupBy("table_id", "bucket")
+        .agg(F.min_by(F.struct(id_col, "__v", "__n"), F.col(id_col)).alias("__h"))
+        .select(
+            "table_id",
+            "bucket",
+            F.col(f"__h.{id_col}").alias("__hub"),
+            F.col("__h.__v").alias("__hv"),
+            F.col("__h.__n").alias("__hn"),
+        )
+    )
+    sim = dot(F.col("__v"), F.col("__hv")) / (F.col("__n") * F.col("__hn"))
+    return (
+        e.join(hubs, ["table_id", "bucket"])
+        .where(F.col(id_col) != F.col("__hub"))
+        .where(F.round(sim, 6) >= threshold)
+        .select(F.col("__hub").alias("src"), F.col(id_col).alias("dst"))
+        .distinct()
+    )

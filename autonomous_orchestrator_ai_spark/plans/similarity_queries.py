@@ -837,3 +837,104 @@ def ivfpq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, cents, cb, k=5, n_probe=3, shortlist=50
     )
+
+
+def _embedding_clusters_oracle(sf_dir: str) -> str:
+    """Callable oracle for the star-edge embedding clustering: same
+    auto-sized plane derivation as the pairs oracle, then hub selection,
+    verified star edges, recursive connected components, and the
+    cluster-size histogram — all replayed in SQL."""
+    import duckdb
+
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        auto_planes,
+        hyperplanes,
+    )
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    n_planes, n_tables, dim, seed = auto_planes(n, floor=8), 4, 64, 42
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ",".join(repr(float(x)) for x in plane) + "]"
+            rows.append(f"({t}, {p}, {lit})")
+    return f"""
+    WITH RECURSIVE
+    planes(table_id, plane_id, plane) AS (VALUES {",".join(rows)}),
+    cb AS MATERIALIZED (
+      SELECT e.vec_id, p.table_id,
+             SUM(CASE WHEN list_sum(list_transform(range(1, {dim}+1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.plane[i])) >= 0
+                 THEN CAST(1 << p.plane_id AS BIGINT)
+                 ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.table_id),
+    hubs AS (SELECT table_id, bucket, MIN(vec_id) AS hub
+             FROM cb GROUP BY table_id, bucket),
+    edges AS (
+      SELECT DISTINCT h.hub AS s, m.vec_id AS d
+      FROM cb m JOIN hubs h
+        ON m.table_id = h.table_id AND m.bucket = h.bucket
+      JOIN embeddings em ON em.vec_id = m.vec_id
+      JOIN embeddings eh ON eh.vec_id = h.hub
+      WHERE m.vec_id <> h.hub
+        AND ROUND({_cos_sql("em.embedding", "eh.embedding")}, 6) >= 0.4),
+    sym AS (SELECT s, d FROM edges UNION SELECT d, s FROM edges),
+    reach(s, d) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s),
+    comp AS (SELECT s AS node, LEAST(s, MIN(d)) AS component
+             FROM reach GROUP BY s),
+    assigned AS (
+      SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS unit
+      FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node),
+    sizes AS (SELECT unit, COUNT(*) AS cluster_size
+              FROM assigned GROUP BY unit)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_vecs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
+
+
+@register("embedding_near_dup_clusters", oracle=_embedding_clusters_oracle)
+def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER census over embeddings — the output shape that
+    survives mass duplication. ``embedding_near_dup_pairs_lsh`` returns
+    the pair relation, which is inherently quadratic in cluster size (a
+    1000-copy cluster holds ~500k pairs; sf100 would emit ~10^9 rows no
+    matter how the join is planned). This query instead builds LINEAR
+    star edges (operators.similarity.embedding_near_dup_star_edges: each
+    bucket member connects to its bucket's min-id hub, exact-cosine
+    verified at 0.4), runs connected components, and reports the
+    cluster-size histogram — per-scale output is bounded by the number
+    of distinct cluster sizes. Deterministic end to end (auto-sized
+    planes re-derived by the callable oracle, recursive-CTE component
+    replay), hash-exact at every checked scale."""
+    from autonomous_orchestrator_ai_spark.operators.graph import (
+        connected_components,
+    )
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        embedding_near_dup_star_edges,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = embedding_near_dup_star_edges(emb, threshold=0.4, n_tables=4)
+    comp = connected_components(edges, src="src", dst="dst")
+    assigned = emb.select("vec_id").join(
+        comp, emb["vec_id"] == comp["node"], "left"
+    ).select(F.coalesce("component", "vec_id").alias("unit"))
+    sizes = assigned.groupBy("unit").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("cluster_size")
+    )
