@@ -107,7 +107,8 @@ def main() -> int:
         "threshold_checks": checks,
         "ok": ok,
     }
-    Path("PIPELINE_TICK_sf1.json").write_text(json.dumps(artifact, indent=1))
+    tag = "sf1" if per_shard * SHARDS == N_DEFAULT else f"{per_shard * SHARDS}ev"
+    Path(f"PIPELINE_TICK_{tag}.json").write_text(json.dumps(artifact, indent=1))
     print(json.dumps({k: artifact[k] for k in (
         "n_events", "tick_sec", "tick_rows_per_sec", "ok")}))
     return 0 if ok else 1
