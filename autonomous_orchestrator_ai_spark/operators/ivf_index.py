@@ -124,7 +124,12 @@ def query_ivf_index(
     centroids' partitions are read via a bucket IN-list on the partition
     column (pruned scan — same contract as ``query_lsh_index``), then
     exact-cosine re-rank. Queries are a serving batch: vectors collect to
-    the driver for the (tiny) centroid dot products."""
+    the driver for the (tiny) centroid dot products.
+
+    No bucket manifest here, deliberately (vs the LSH index, which has
+    one): IVF's partition count is ``n_lists`` x batches — a MODEL
+    constant, not corpus-scaled like LSH's 2^auto_planes x tables — so
+    directory discovery is bounded and cheap at any corpus size."""
     centroids = load_ivf_centroids(spark, path)
     qrows = queries.select(
         F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
