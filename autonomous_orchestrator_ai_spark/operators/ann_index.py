@@ -425,8 +425,15 @@ def append_to_lsh_index(
     entries = _index_entries(
         new_vectors, batch_id, n_planes, n_tables, dim, seed, id_col, vec_col
     )
-    _write_entries(entries, path, dynamic=True)
-    # manifest rides the same per-batch dynamic overwrite: replaying the
-    # batch rewrites exactly its manifest partition to the same rows, so
-    # data and manifest stay consistent under at-least-once delivery
+    # MANIFEST FIRST, entries second (r7, ADVICE): the two writes are not
+    # atomic, and cold probes resolve paths solely from the manifest. With
+    # the old entries-first order, dying between the writes left buckets
+    # newly created by this batch on disk but absent from the manifest —
+    # every later cold probe silently returned incomplete results until a
+    # replay happened to heal it. Manifest-first inverts the failure mode:
+    # a listed-but-missing partition path makes the probe's parquet read
+    # fail LOUDLY (PATH_NOT_FOUND), and replaying the batch heals both
+    # sides via the same per-batch dynamic overwrite (idempotent under
+    # at-least-once delivery). Loud-and-healable beats silent recall loss.
     _write_manifest(spark, path, _manifest_counts(entries), dynamic=True)
+    _write_entries(entries, path, dynamic=True)

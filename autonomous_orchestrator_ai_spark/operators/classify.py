@@ -283,8 +283,11 @@ def train_logistic_gd(
       2. residual: sigmoid(logit) - y                 (map-only)
       3. gradient: join feats with residuals on id,
                    groupBy(bucket) sum(x * r) / n     -> shuffle of buckets
-      4. update:   w <- round(w - lr * grad, 9), localCheckpoint (the
-                   weight table is bounded by n_buckets, a model constant).
+      4. update:   w <- round(w - lr * grad, 9); the updated table — a
+                   MODEL CONSTANT bounded by n_buckets rows — round-trips
+                   through the driver (collect + createDataFrame) and is
+                   rebroadcast next round as a LocalTableScan, so each
+                   round is exactly one Spark action.
 
     Per-round distributed cost: one shuffle keyed by id (|feats| rows of
     (id, x*w) partial sums — map-side combined to |docs| rows) and one
@@ -296,8 +299,14 @@ def train_logistic_gd(
     matching fastText's zero-initialized rows).
 
     Weights snap to the 1e-9 decimal grid after each round in BOTH engines
-    (see WEIGHT_DECIMALS) so the chained-CTE DuckDB oracle is hash-exact
-    despite floating-point summation-order differences.
+    (see WEIGHT_DECIMALS) so the chained-CTE DuckDB oracle stays hash-exact
+    despite floating-point summation-order differences. The snap makes
+    cross-engine divergence extremely UNLIKELY, not impossible: a raw
+    weight landing within float-summation noise of a 0.5e-9 grid midpoint
+    can legitimately round differently per engine (the prime-n_docs note
+    in the parity test acknowledges exactly this) — if an oracle flake
+    ever appears at a new scale, suspect a midpoint hit before suspecting
+    the plan.
     """
     spark = feats.sparkSession
     fl = feats.join(labels, id_col)

@@ -32,6 +32,15 @@ gram table is just a bigger shuffle, exactly what Spark is for.
 Everything is md5-based and positionally deterministic, so the DuckDB
 oracles in plans/span_queries.py replay each step bit-for-bit in SQL.
 
+Caching contract (same as operators/dedup.py): the one-shuffle-two-
+consumers ``persist()`` sites in this module (kgram occurrences, covered
+positions) deliberately leave the blocks cached for the duration of the
+caller's action — a second consumer inside the same plan reuses them.
+Callers that invoke these operators repeatedly in one session (bench
+passes, multi-scale sweeps) must release between invocations via
+``session.release_session_storage(spark)``; otherwise each call pins
+corpus-scale blocks in executor storage for the session lifetime.
+
 Reference parity note: the reference repo (AbdulSohail018/
 Autonomous-Orchestrator-Ai) has no substring dedup — this is part of the
 beyond-reference LLM-training-data surface, alongside operators/dedup.py.

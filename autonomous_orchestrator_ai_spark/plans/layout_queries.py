@@ -123,31 +123,69 @@ def _bucket_demo_base(spark: SparkSession) -> str:
     )
 
 
-def build_bucketed_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+#: demo-table column DDL, used to re-register an ALREADY-WRITTEN layout in
+#: a fresh session's in-memory catalog without re-paying the write (the
+#: files carry the bucket spec in their names; CLUSTERED BY restates it)
+_DEMO_DDL_COLS = {
+    "lineitem": "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+    "orders": "o_orderkey BIGINT, o_orderpriority STRING",
+}
+
+
+def _local_path(uri: str) -> str:
+    """file:/x or file:///x -> /x (warehouse dirs are local in this
+    container; non-file schemes pass through untouched)."""
+    if uri.startswith("file:"):
+        rest = uri[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return uri
+
+
+def _layout_on_disk(base: str, tbl: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(_local_path(base), tbl, "_SUCCESS"))
+
+
+def build_bucketed_layout(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> tuple[str, str]:
     """SETUP FIXTURE — the one-time layout INVESTMENT, deliberately NOT a
     registered query: (re)write lineitem/orders bucketed+sorted on
-    orderkey (8 buckets). ``bucketed_join_revenue`` calls this at most
-    once per session and then measures only the exchange-free join; run
-    it directly to rebuild the layout (e.g. after data refresh). Write
-    cost at sf0.1 is ~0.8 s vs 0.014 s for the join it buys."""
+    orderkey (8 buckets). Idempotent across PROCESSES, not just sessions:
+    when the bucketed files already sit at the demo location (previous
+    run / the bench warm-up / ``entry()``), a fresh session re-registers
+    them with a fast CREATE TABLE ... LOCATION instead of re-paying the
+    write, so no timed pass ever includes the fixture (r6 driver bench
+    showed pass-1 lazily building inside ``bucketed_join_revenue``
+    polluting a mean-of-passes figure). ``force=True`` rebuilds from the
+    source parquet (e.g. after a data refresh). Write cost at sf0.1 is
+    ~0.8 s vs 0.014 s for the join it buys."""
     from autonomous_orchestrator_ai_spark.operators.skew import write_bucketed
 
     li_tbl, ord_tbl = _bucket_demo_names(sf_dir)
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
     base = _bucket_demo_base(spark)
-    write_bucketed(
-        li, li_tbl, "l_orderkey", n_buckets=8, sort_by="l_orderkey",
-        path=f"{base}/{li_tbl}",
-    )
-    write_bucketed(
-        orders, ord_tbl, "o_orderkey", n_buckets=8, sort_by="o_orderkey",
-        path=f"{base}/{ord_tbl}",
-    )
+    for tbl, src in ((li_tbl, "lineitem"), (ord_tbl, "orders")):
+        if (
+            not force
+            and _layout_on_disk(base, tbl)
+            and not spark.catalog.tableExists(tbl)
+        ):
+            spark.sql(
+                f"CREATE TABLE {tbl} ({_DEMO_DDL_COLS[src]}) USING PARQUET "
+                f"CLUSTERED BY ({_DEMO_DDL_COLS[src].split()[0]}) "
+                f"SORTED BY ({_DEMO_DDL_COLS[src].split()[0]}) INTO 8 BUCKETS "
+                f"LOCATION '{base}/{tbl}'"
+            )
+        elif force or not spark.catalog.tableExists(tbl):
+            key = _DEMO_DDL_COLS[src].split()[0]
+            cols = [c.split()[0] for c in _DEMO_DDL_COLS[src].split(", ")]
+            write_bucketed(
+                table(spark, sf_dir, src).select(*cols),
+                tbl, key, n_buckets=8, sort_by=key, path=f"{base}/{tbl}",
+            )
     return li_tbl, ord_tbl
 
 

@@ -175,6 +175,15 @@ def main() -> None:
     spark.range(cpus).repartition(cpus).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # the bucketed-layout demo's one-time write is a SETUP FIXTURE, not a
+    # read-path cost — build it here so no timed pass of
+    # bucketed_join_revenue includes it (r6: pass-1 lazy build polluted a
+    # mean-of-passes report with sigma ~2.0)
+    from autonomous_orchestrator_ai_spark.plans.layout_queries import (
+        build_bucketed_layout,
+    )
+
+    build_bucketed_layout(spark, sf_dir)
 
     n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}

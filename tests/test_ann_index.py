@@ -358,3 +358,57 @@ def test_probe_of_dead_buckets_returns_typed_empty(spark, tmp_path):
     )
     assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
     out.collect()  # executes without error regardless of bucket overlap
+
+
+def test_partial_append_fails_loudly_then_heals_on_replay(spark, tmp_path):
+    """r7 (ADVICE): the append writes MANIFEST first, entries second. If
+    the job dies between the two writes, a bucket newly created by that
+    batch is listed in the manifest but has no data directory — a cold
+    probe of it must fail LOUDLY (listed-but-missing path), never
+    silently return incomplete results; replaying the batch heals both
+    sides."""
+    import pytest
+
+    from autonomous_orchestrator_ai_spark.operators.ann_index import (
+        _index_entries,
+        _manifest_counts,
+        _write_manifest,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "lsh_index")
+    build_lsh_index(base, path, n_planes=8, n_tables=1, dim=64)
+    base_buckets = {
+        (r["table_id"], r["bucket"])
+        for r in load_lsh_index(spark, path).select("table_id", "bucket").collect()
+    }
+    # find a vector whose bucket differs from the base's (deterministic:
+    # computed with the index's own hash family, not assumed)
+    cand = emb.filter(F.col("vec_id") > 0).limit(50)
+    cand_buckets = {
+        r["neighbor_id"]: (r["table_id"], r["bucket"])
+        for r in _index_entries(cand, 0, 8, 1, 64, 42, "vec_id", "embedding")
+        .select("neighbor_id", "table_id", "bucket")
+        .collect()
+    }
+    new_vec_id = next(
+        vid for vid, tb in sorted(cand_buckets.items()) if tb not in base_buckets
+    )
+    batch = emb.filter(F.col("vec_id") == new_vec_id)
+    # simulate dying between the two writes: manifest lands, entries don't
+    entries = _index_entries(batch, 0, 8, 1, 64, 42, "vec_id", "embedding")
+    _write_manifest(spark, path, _manifest_counts(entries), dynamic=True)
+    queries = batch  # probes exactly the new (missing) bucket
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        query_lsh_index(
+            spark, path, queries, k=3, n_planes=8, n_tables=1, dim=64,
+            multiprobe_bits=0, exclude_self=False,
+        ).collect()
+    # replay the batch through the real append: both sides heal
+    append_to_lsh_index(batch, path, batch_id=0, n_planes=8, n_tables=1, dim=64)
+    healed = query_lsh_index(
+        spark, path, queries, k=3, n_planes=8, n_tables=1, dim=64,
+        multiprobe_bits=0, exclude_self=False,
+    )
+    assert new_vec_id in {r["neighbor_id"] for r in healed.collect()}

@@ -120,6 +120,43 @@ def test_bucketed_join_revenue_plan(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bucketed_layout_ddl_reregister_fast_path(spark):
+    """Cross-process idempotence (r7): once the bucketed files exist on
+    disk, a session whose catalog lacks the tables must re-register them
+    via DDL — no rewrite — and the re-registered tables must still join
+    exchange-free with identical results. This is what keeps the setup
+    fixture out of every timed bench pass."""
+    from autonomous_orchestrator_ai_spark.plans.layout_queries import (
+        _bucket_demo_names,
+        _layout_on_disk,
+        _bucket_demo_base,
+        _bucketed_revenue_agg,
+        bucketed_join_on,
+        build_bucketed_layout,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    li, od = _bucket_demo_names(sf_dir)
+    try:
+        build_bucketed_layout(spark, sf_dir)
+        base = _bucket_demo_base(spark)
+        assert _layout_on_disk(base, li) and _layout_on_disk(base, od)
+        before = sorted(map(tuple, _bucketed_revenue_agg(spark, li, od).collect()))
+        # simulate a fresh process: catalog forgets, files stay
+        spark.sql(f"DROP TABLE {li}")
+        spark.sql(f"DROP TABLE {od}")
+        assert _layout_on_disk(base, li)  # DROP TABLE on external keeps files
+        build_bucketed_layout(spark, sf_dir)  # must take the DDL path
+        joined = bucketed_join_on(spark, li, od)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        after = sorted(map(tuple, _bucketed_revenue_agg(spark, li, od).collect()))
+        assert before == after
+    finally:
+        for t in (li, od):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_aqe_skew_join_splits_hot_partition(spark):
     """When AQE suffices vs when salting is required — the guidance a
     100x-scale user needs, asserted on a live plan:

@@ -53,9 +53,12 @@ def main() -> int:
 
     t0 = time.time()
     gen = EventGenerator(seed=11, n_customers=5000, now=NOW, **SCENARIO)
+    # last shard takes the remainder so the requested event count is
+    # honored exactly even when n_events % SHARDS != 0 (ADVICE r6)
     per_shard = n_events // SHARDS
-    for s in range(SHARDS):
-        gen.write_jsonl(indir / f"batch_{s:02d}.jsonl", per_shard)
+    sizes = [per_shard] * (SHARDS - 1) + [per_shard + n_events % SHARDS]
+    for s, size in enumerate(sizes):
+        gen.write_jsonl(indir / f"batch_{s:02d}.jsonl", size)
     gen_sec = time.time() - t0
 
     spark = get_spark("pipeline-tick-sf1")
@@ -76,7 +79,7 @@ def main() -> int:
         "late_rate_observed": rr["late_rate"],
         "late_rate_tripped_threshold": rr["late_rate"] > 0.15,
         "drift_count_observed": rr["schema_drift_count"],
-        "drift_expected": per_shard * SHARDS // SCENARIO["drift_frequency"],
+        "drift_expected": n_events // SCENARIO["drift_frequency"],
         "escalation_required": decision["escalation_required"],
         "tools_invoked": [a["tool"] for a in decision["actions_taken"]],
         "all_actions_succeeded": all(
@@ -84,7 +87,7 @@ def main() -> int:
         ),
     }
     ok = (
-        rr["total_records"] == per_shard * SHARDS
+        rr["total_records"] == n_events
         and checks["late_rate_tripped_threshold"]
         and checks["escalation_required"]
         and checks["drift_count_observed"] == checks["drift_expected"]
@@ -94,11 +97,11 @@ def main() -> int:
     )
 
     artifact = {
-        "n_events": per_shard * SHARDS,
+        "n_events": n_events,
         "scenario": SCENARIO,
         "generate_sec": round(gen_sec, 1),
         "tick_sec": round(tick_sec, 1),
-        "tick_rows_per_sec": round(per_shard * SHARDS / tick_sec, 1),
+        "tick_rows_per_sec": round(n_events / tick_sec, 1),
         "stage_metrics_run_report": rr,
         "ge_summary": result["ge_results_summary"],
         "decision": decision,
@@ -107,7 +110,7 @@ def main() -> int:
         "threshold_checks": checks,
         "ok": ok,
     }
-    tag = "sf1" if per_shard * SHARDS == N_DEFAULT else f"{per_shard * SHARDS}ev"
+    tag = "sf1" if n_events == N_DEFAULT else f"{n_events}ev"
     Path(f"PIPELINE_TICK_{tag}.json").write_text(json.dumps(artifact, indent=1))
     print(json.dumps({k: artifact[k] for k in (
         "n_events", "tick_sec", "tick_rows_per_sec", "ok")}))
