@@ -121,12 +121,16 @@ _MANIFEST_DIR = "_lsh_index_manifest"
 
 
 def _write_manifest(
-    spark: SparkSession, path: str, counts: DataFrame, dynamic: bool
+    spark: SparkSession,
+    path: str,
+    counts: DataFrame,
+    dynamic: bool,
+    manifest_dir: str = _MANIFEST_DIR,
 ) -> None:
     writer = counts.coalesce(1).write.mode("overwrite")
     if dynamic:
         writer = writer.option("partitionOverwriteMode", "dynamic")
-    writer.partitionBy("__batch").parquet(f"{path}/{_MANIFEST_DIR}")
+    writer.partitionBy("__batch").parquet(f"{path}/{manifest_dir}")
 
 
 def _manifest_counts(entries: DataFrame) -> DataFrame:
@@ -135,16 +139,26 @@ def _manifest_counts(entries: DataFrame) -> DataFrame:
     )
 
 
-def read_lsh_manifest(spark: SparkSession, path: str) -> DataFrame | None:
-    """The index's bucket manifest: (table_id, bucket, n_rows, __batch),
-    one row per live data partition; None for a pre-manifest index
-    (probes then fall back to directory discovery)."""
+def read_bucket_manifest(
+    spark: SparkSession, path: str, manifest_dir: str
+) -> DataFrame | None:
+    """A persisted index's bucket manifest (one row per live data
+    partition, with its row count); None for a pre-manifest index (probes
+    then fall back to directory discovery). Shared by the LSH and IVF
+    index layouts — the partition-key columns differ, the contract does
+    not."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(f"{path}/{_MANIFEST_DIR}")
+        return spark.read.parquet(f"{path}/{manifest_dir}")
     except AnalysisException:
         return None
+
+
+def read_lsh_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    """The LSH index's bucket manifest: (table_id, bucket, n_rows,
+    __batch)."""
+    return read_bucket_manifest(spark, path, _MANIFEST_DIR)
 
 
 def _index_entries(

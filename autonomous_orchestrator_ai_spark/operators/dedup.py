@@ -468,6 +468,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_jaccard_cost_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    bytes_per_pair_row: int = 20,
+) -> dict:
+    """Pre-flight cost model for the ``ngram_jaccard_pairs`` inverted-index
+    self-join (r7, VERDICT r6 item 4): the join materializes, per shingle,
+    df x df candidate rows before the ``id_a < id_b`` filter, so its
+    shuffle/spill volume is ~``bytes_per_pair_row x sum-over-shingles(df^2)``
+    — the sizing formula derived in PERF.md after the exact
+    ``cluster_safe_split_report`` hit an honest 76 GB disk bound at sf100
+    (~15 KB of candidate-pair shuffle per doc at that corpus's df
+    profile; max df was only 25, so no hot-key guard could cut it).
+
+    ONE aggregation over the shingle-df profile (the same distinct
+    (doc, shingle) explode the exact path starts with — hashes only, no
+    text), plus a 1-row collect. Returned dict: ``n_docs``,
+    ``n_postings`` (distinct doc-shingle rows), ``sum_df_sq``,
+    ``est_candidate_rows`` (= sum df^2 — what the join materializes),
+    ``est_shuffle_bytes``. Callers compare ``est_shuffle_bytes`` against
+    a spill budget BEFORE launching the join and route to the
+    MinHash-banded variant (or fail fast with the estimate) when it
+    exceeds it — turning a disk-full death hours in into a planned
+    decision (see plans/dedup_queries.cluster_safe_split_report_auto).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    ).distinct()
+    row = (
+        exploded.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum("df").alias("n_postings"),
+            F.sum(F.col("df") * F.col("df")).alias("sum_df_sq"),
+        )
+        .collect()[0]
+    )
+    n_docs = df.select(id_col).distinct().count()
+    sum_df_sq = int(row["sum_df_sq"] or 0)
+    return {
+        "n_docs": int(n_docs),
+        "n_postings": int(row["n_postings"] or 0),
+        "sum_df_sq": sum_df_sq,
+        "est_candidate_rows": sum_df_sq,
+        "est_shuffle_bytes": bytes_per_pair_row * sum_df_sq,
+    }
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

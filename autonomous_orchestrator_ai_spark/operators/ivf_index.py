@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.ann_index import (
+    _write_manifest,
+    read_bucket_manifest,
     read_index_meta,
     write_index_meta,
 )
@@ -42,6 +44,31 @@ from autonomous_orchestrator_ai_spark.operators.similarity import (
 )
 
 _META_DIR = "_ivf_index_meta"
+
+#: Bucket manifest: one row per live (bucket, __batch) partition with its
+#: row count — same metastore-catalog stand-in the LSH index gained in r6
+#: (operators/ann_index.py _MANIFEST_DIR), ported here in r7 (the r6
+#: docstring argued IVF's partition count was bounded by n_lists, a model
+#: constant — true at build, but streaming appends multiply it by the
+#: batch count, so a long-lived index's directory tree grows without
+#: bound and cold-probe discovery grows with it; the LSH measurement was
+#: ~30-35 s discovery vs ~0.4 s pruned read at 12.5k dirs). Cold probes
+#: resolve the probed lists' paths from this small table; warm servers
+#: pass ``index_df`` from ``load_ivf_index`` as before.
+_MANIFEST_DIR = "_ivf_index_manifest"
+
+
+def _manifest_counts(entries: DataFrame) -> DataFrame:
+    return entries.groupBy("bucket", "__batch").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def read_ivf_manifest(spark: SparkSession, path: str) -> DataFrame | None:
+    """The IVF index's bucket manifest: (bucket, n_rows, __batch), one row
+    per live data partition; None for a pre-manifest index (probes then
+    fall back to directory discovery)."""
+    return read_bucket_manifest(spark, path, _MANIFEST_DIR)
 
 
 def _entries(
@@ -83,14 +110,22 @@ def build_ivf_index(
     start at 0, so an append can never dynamic-overwrite build
     partitions)."""
     c = np.ascontiguousarray(centroids, dtype=np.float64)
-    _write(_entries(corpus, c, -1, id_col, vec_col), path, dynamic=False)
+    entries = _entries(corpus, c, -1, id_col, vec_col)
+    spark = corpus.sparkSession
+    _write(entries, path, dynamic=False)
+    _write_manifest(
+        spark, path, _manifest_counts(entries), dynamic=False,
+        manifest_dir=_MANIFEST_DIR,
+    )
     write_index_meta(
-        corpus.sparkSession,
+        spark,
         path,
         {
             "n_lists": int(c.shape[0]),
             "dim": int(c.shape[1]),
             "centroids": json.dumps(c.tolist()),
+            # for typed empty results when a probe hits no live partition
+            "neighbor_id_type": corpus.schema[id_col].dataType.simpleString(),
         },
         meta_dir=_META_DIR,
     )
@@ -110,6 +145,15 @@ def load_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
     return c
 
 
+def load_ivf_index(spark: SparkSession, path: str) -> DataFrame:
+    """One-time full-discovery handle for a ``build_ivf_index`` table, for
+    SERVING: pass it to ``query_ivf_index(index_df=...)`` so repeated
+    probes share one resolved file listing (same contract as
+    ``ann_index.load_lsh_index``). After ``append_to_ivf_index``, reload —
+    a cached handle's listing will not see new ``__batch`` directories."""
+    return spark.read.parquet(path)
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,
@@ -119,6 +163,7 @@ def query_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    index_df: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted index: per query, its ``n_probe`` nearest
     centroids' partitions are read via a bucket IN-list on the partition
@@ -126,23 +171,31 @@ def query_ivf_index(
     exact-cosine re-rank. Queries are a serving batch: vectors collect to
     the driver for the (tiny) centroid dot products.
 
-    No bucket manifest here, deliberately (vs the LSH index, which has
-    one): IVF's partition count is ``n_lists`` x batches — a MODEL
-    constant, not corpus-scaled like LSH's 2^auto_planes x tables — so
-    directory discovery is bounded and cheap at any corpus size."""
+    ``index_df``: a handle from ``load_ivf_index`` — long-lived servers
+    pass this so repeated probes share one resolved file listing.
+    Omitted, a COLD probe resolves the probed lists' paths from the
+    bucket manifest written at build/append time and reads ONLY those
+    directories — no index-tree discovery (r7; pre-manifest indexes fall
+    back to a full listing, which grows with the append count)."""
     centroids = load_ivf_centroids(spark, path)
     qrows = queries.select(
         F.col(id_col).alias("query_id"), _as_double_array(vec_col).alias("__qv")
     ).collect()
-    index = spark.read.parquet(path)
-    if not qrows:
+
+    def _empty_topk() -> DataFrame:
         qid_type = queries.schema[id_col].dataType.simpleString()
-        nid_type = index.schema["neighbor_id"].dataType.simpleString()
+        stored = read_index_meta(spark, path, meta_dir=_META_DIR) or {}
+        nid_type = stored.get("neighbor_id_type") or (
+            load_ivf_index(spark, path).schema["neighbor_id"].dataType
+        ).simpleString()
         return spark.createDataFrame(
             [],
             f"query_id {qid_type}, neighbor_id {nid_type}, "
             "cosine_sim double, rank bigint",
         )
+
+    if not qrows:
+        return _empty_topk()
     qm = np.array([r["__qv"] for r in qrows], dtype=np.float64)
     # SAME scoring as operators.ivf._probe_udf (squared-L2 argmin as
     # argmax of 2xc - |c|^2, stable ties) — a different probe metric here
@@ -161,6 +214,26 @@ def query_ivf_index(
         f"query_id {queries.schema[id_col].dataType.simpleString()}, "
         "__qv array<double>, bucket int",
     )
+    index = index_df
+    if index is None:
+        manifest = read_ivf_manifest(spark, path)
+        if manifest is not None:
+            # COLD-PROBE FAST PATH: resolve the probed lists' paths from
+            # the manifest (one small parquet read) and read ONLY those
+            # directories. basePath keeps (bucket, __batch) as partition
+            # columns of the sub-scan.
+            live = sorted(
+                r["bucket"]
+                for r in manifest.select("bucket").distinct().collect()
+                if r["bucket"] in set(buckets)
+            )
+            if not live:  # every probed list is empty in this index
+                return _empty_topk()
+            index = spark.read.option("basePath", path).parquet(
+                *[f"{path}/bucket={b}" for b in live]
+            )
+        else:  # pre-manifest index: full directory discovery
+            index = load_ivf_index(spark, path)
     pairs = index.filter(F.col("bucket").isin(buckets)).join(
         F.broadcast(q), "bucket"
     )
@@ -196,15 +269,23 @@ def append_to_ivf_index(
     """Assign a batch of NEW vectors with the index's FROZEN centroids and
     dynamic-overwrite exactly this batch's (bucket, batch) partitions —
     replaying a batch (at-least-once foreachBatch) rewrites the same
-    partitions to the same content. No retraining on append, by design."""
+    partitions to the same content. No retraining on append, by design.
+
+    Manifest-first write order, same rationale as ``append_to_lsh_index``
+    (r7): the two writes are not atomic, and cold probes resolve paths
+    solely from the manifest — dying between them must leave a
+    listed-but-missing path that fails LOUDLY and heals on replay, never
+    an on-disk bucket the manifest silently omits."""
     if batch_id < 0:
         raise ValueError(
             f"batch_id must be >= 0 (got {batch_id}); negative ids are "
             "reserved for the base build"
         )
-    centroids = load_ivf_centroids(new_vectors.sparkSession, path)
-    _write(
-        _entries(new_vectors, centroids, batch_id, id_col, vec_col),
-        path,
-        dynamic=True,
+    spark = new_vectors.sparkSession
+    centroids = load_ivf_centroids(spark, path)
+    entries = _entries(new_vectors, centroids, batch_id, id_col, vec_col)
+    _write_manifest(
+        spark, path, _manifest_counts(entries), dynamic=True,
+        manifest_dir=_MANIFEST_DIR,
     )
+    _write(entries, path, dynamic=True)

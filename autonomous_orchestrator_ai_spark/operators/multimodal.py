@@ -13,8 +13,9 @@ Design for 100 TB multimodal corpora:
   one giant video doesn't skew an executor (``repartition_for_decode``).
 
 Codec coverage is tiered: uncompressed 24-bit BMP (operators/bmp_codec.py)
-and 8-bit RGB/RGBA non-interlaced PNG (operators/png_codec.py, stdlib
-zlib, all five row filters, CRC-verified) decode FOR REAL via vendored
+and 8-bit gray/RGB/palette/RGBA non-interlaced PNG (operators/png_codec.py,
+stdlib zlib, all five row filters, CRC-verified, PLTE expanded on decode)
+decode FOR REAL via vendored
 pure-Python codecs — the avro_codec.py vendoring strategy applied to
 images — so ``use_real_codecs=True`` runs an actual pixel pipeline
 end-to-end in this container on the two formats real corpora mostly
@@ -101,10 +102,13 @@ def decode_image(blob: bytes) -> tuple[int, int, bytes]:
             buf = bytearray(px)
             del buf[3::4]
             px = bytes(buf)
+        elif channels == 1:  # grayscale (r7): replicate to RGB
+            px = bytes(b for g in px for b in (g, g, g))
         return w, h, px
     raise NotImplementedError(
-        "real decode supports BMP and 8-bit RGB/RGBA PNG in this "
-        "environment; wire PIL/ffmpeg into this kernel for other formats"
+        "real decode supports BMP and 8-bit gray/RGB/palette/RGBA PNG in "
+        "this environment; wire PIL/ffmpeg into this kernel for other "
+        "formats"
     )
 
 
@@ -427,25 +431,31 @@ def synthetic_bmp_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
 
 
 def synthetic_png_media(spark, n: int = 16, seed: int = 42) -> DataFrame:
-    """Deterministic REAL-format media table: each blob is a valid 8-bit
-    PNG (RGB and RGBA alternating) whose pixels derive from repeated md5
-    bytes — decodable by any PNG reader, not just ours."""
+    """Deterministic REAL-format media table covering every supported PNG
+    color type (r7: gray, RGB, palette, RGBA cycling) — each blob is a
+    valid 8-bit PNG whose pixels derive from repeated md5 bytes, so it is
+    decodable by any PNG reader, not just ours."""
     from autonomous_orchestrator_ai_spark.operators.png_codec import (
         encode_png,
+        encode_png_palette,
     )
 
+    variants = ("png_gray", "png_rgb", "png_palette", "png_rgba")
     rows = []
     for i in range(n):
         w, h = 8 + (i % 3) * 4, 6 + (i % 4) * 2
-        channels = 3 if i % 2 == 0 else 4
-        need = channels * w * h
+        kind = variants[i % 4]
         raw = hashlib.md5(f"{seed}:{i}".encode()).digest()
-        px = (raw * (need // len(raw) + 1))[:need]
-        rows.append(
-            (
-                i,
-                bytearray(encode_png(w, h, px, channels)),
-                ("image/png", w, h, None, f"png_rgb{'a' if channels == 4 else ''}"),
-            )
-        )
+        if kind == "png_palette":
+            # 32-entry palette; indices cycle within range by construction
+            palette = (raw * 6)[: 32 * 3]
+            need = w * h
+            idx = bytes(b % 32 for b in (raw * (need // len(raw) + 1))[:need])
+            blob = encode_png_palette(w, h, idx, palette)
+        else:
+            channels = {"png_gray": 1, "png_rgb": 3, "png_rgba": 4}[kind]
+            need = channels * w * h
+            px = (raw * (need // len(raw) + 1))[:need]
+            blob = encode_png(w, h, px, channels)
+        rows.append((i, bytearray(blob), ("image/png", w, h, None, kind)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

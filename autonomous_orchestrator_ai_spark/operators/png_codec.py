@@ -5,15 +5,19 @@ subset the pipeline needs so real corpora formats are testable end-to-end
 in an environment without PIL/ffmpeg).
 
 Implements the PNG spec (RFC 2083 / W3C PNG) subset real corpora mostly
-contain: 8-bit-per-channel truecolor (color type 2, RGB) and truecolor+
-alpha (color type 6, RGBA), non-interlaced, with ALL five per-row filter
-types (None/Sub/Up/Average/Paeth) on decode; the encoder emits filter 0
-rows (always legal). Chunk CRCs are verified on decode, so truncated or
-bit-flipped blobs fail LOUDLY (ValueError) and land in the dead-letter
-path rather than decoding to a silently wrong image. Palette, grayscale,
-16-bit, interlace (Adam7), and ancillary color-management chunks are out
-of scope — a real cluster wires PIL/turbojpeg into the same
-``mapInPandas`` slot (operators/multimodal.py) for those.
+contain: 8-bit-per-channel truecolor (color type 2, RGB), truecolor+alpha
+(color type 6, RGBA), grayscale (color type 0 — r7), and palette-indexed
+(color type 3 with a PLTE lookup — r7; decode returns the EXPANDED RGB
+pixels, and an index past the palette's end raises — a truncated palette
+is dead-letter data, never a silently black pixel), all non-interlaced,
+with ALL five per-row filter types (None/Sub/Up/Average/Paeth) on decode;
+the encoder emits filter 0 rows (always legal). Chunk CRCs are verified
+on decode, so truncated or bit-flipped blobs fail LOUDLY (ValueError) and
+land in the dead-letter path rather than decoding to a silently wrong
+image. 16-bit, 1/2/4-bit depths, gray+alpha (type 4), interlace (Adam7),
+and ancillary color-management chunks are out of scope — a real cluster
+wires PIL/turbojpeg into the same ``mapInPandas`` slot
+(operators/multimodal.py) for those.
 
 Decode cost is one zlib.decompress plus one defilter pass per row — pure
 CPU per blob, so it runs inside Arrow-batched Python workers with memory
@@ -26,8 +30,10 @@ import struct
 import zlib
 
 _MAGIC = b"\x89PNG\r\n\x1a\n"
-_RGB, _RGBA = 2, 6
-_CHANNELS = {_RGB: 3, _RGBA: 4}
+_GRAY, _RGB, _PALETTE, _RGBA = 0, 2, 3, 6
+#: channels as STORED in the IDAT stream (palette rows store 1 index byte
+#: per pixel; decode expands them to RGB afterwards)
+_CHANNELS = {_GRAY: 1, _RGB: 3, _PALETTE: 1, _RGBA: 4}
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -42,10 +48,11 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 def encode_png(
     width: int, height: int, pixels: bytes, channels: int = 3
 ) -> bytes:
-    """Encode row-major top-down RGB (channels=3) or RGBA (channels=4)
-    bytes as a non-interlaced 8-bit PNG (filter 0 on every row)."""
-    if channels not in (3, 4):
-        raise ValueError(f"channels must be 3 or 4, got {channels}")
+    """Encode row-major top-down grayscale (channels=1), RGB (channels=3)
+    or RGBA (channels=4) bytes as a non-interlaced 8-bit PNG (filter 0 on
+    every row)."""
+    if channels not in (1, 3, 4):
+        raise ValueError(f"channels must be 1, 3 or 4, got {channels}")
     if width <= 0 or height <= 0:
         raise ValueError(f"invalid dimensions {width}x{height}")
     if len(pixels) != channels * width * height:
@@ -53,7 +60,7 @@ def encode_png(
             f"need {channels * width * height} bytes for {width}x{height}"
             f"x{channels}, got {len(pixels)}"
         )
-    color_type = _RGB if channels == 3 else _RGBA
+    color_type = {1: _GRAY, 3: _RGB, 4: _RGBA}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     stride = channels * width
     raw = b"".join(
@@ -62,6 +69,36 @@ def encode_png(
     return (
         _MAGIC
         + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Encode a palette-indexed (color type 3) non-interlaced 8-bit PNG:
+    ``indices`` is one byte per pixel (row-major top-down), ``palette``
+    the PLTE payload — RGB triples, 1..256 entries."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid dimensions {width}x{height}")
+    if len(indices) != width * height:
+        raise ValueError(
+            f"need {width * height} index bytes for {width}x{height}, "
+            f"got {len(indices)}"
+        )
+    if len(palette) % 3 != 0 or not (3 <= len(palette) <= 768):
+        raise ValueError(
+            f"palette must be 1..256 RGB triples, got {len(palette)} bytes"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _PALETTE, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette)
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
@@ -125,14 +162,18 @@ def _defilter(
 
 
 def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit RGB/RGBA non-interlaced PNG.
+    """Decode an 8-bit grayscale/RGB/palette/RGBA non-interlaced PNG.
 
-    Returns (width, height, channels, row-major top-down pixel bytes).
-    Raises ValueError on anything outside the supported subset, on CRC
-    mismatch, and on truncation — loud, never a silently wrong image."""
+    Returns (width, height, channels, row-major top-down pixel bytes) —
+    channels is 1 for grayscale, 3 for RGB AND for palette images (the
+    PLTE lookup is applied here, so callers always get real pixels), 4
+    for RGBA. Raises ValueError on anything outside the supported subset,
+    on CRC mismatch, on truncation, and on a palette index past the
+    palette's end (truncated PLTE) — loud, never a silently wrong
+    image."""
     if blob[: len(_MAGIC)] != _MAGIC:
         raise ValueError(f"not a PNG (magic {blob[:8]!r})")
-    pos, ihdr, idat, ended = len(_MAGIC), None, bytearray(), False
+    pos, ihdr, plte, idat, ended = len(_MAGIC), None, None, bytearray(), False
     while pos < len(blob):
         if pos + 8 > len(blob):
             raise ValueError("truncated PNG: partial chunk header")
@@ -147,6 +188,8 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = payload
+        elif tag == b"PLTE":
+            plte = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -164,7 +207,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     if depth != 8 or color_type not in _CHANNELS:
         raise ValueError(
             f"unsupported PNG variant (bit depth {depth}, color type "
-            f"{color_type}); only 8-bit RGB/RGBA"
+            f"{color_type}); only 8-bit gray/RGB/palette/RGBA"
         )
     if comp != 0 or filt != 0:
         raise ValueError(
@@ -179,7 +222,32 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     channels = _CHANNELS[color_type]
-    return width, height, channels, _defilter(raw, width, height, channels)
+    px = _defilter(raw, width, height, channels)
+    if color_type == _PALETTE:
+        return width, height, 3, _expand_palette(px, plte)
+    return width, height, channels, px
+
+
+def _expand_palette(indices: bytes, plte: bytes | None) -> bytes:
+    """PLTE lookup: one index byte per pixel -> RGB triples. A missing or
+    malformed palette, or an index past its end, is dead-letter data."""
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    if len(plte) % 3 != 0 or not (3 <= len(plte) <= 768):
+        raise ValueError(
+            f"malformed PLTE: {len(plte)} bytes (need 1..256 RGB triples)"
+        )
+    n_entries = len(plte) // 3
+    hi = max(indices) if indices else 0
+    if hi >= n_entries:
+        raise ValueError(
+            f"palette index {hi} out of range (palette has {n_entries} "
+            "entries — truncated palette)"
+        )
+    out = bytearray(3 * len(indices))
+    for i, idx in enumerate(indices):
+        out[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+    return bytes(out)
 
 
 def resize_nearest_px(

@@ -34,6 +34,7 @@ from autonomous_orchestrator_ai_spark.sources.writers import cleanup_old_data
 from autonomous_orchestrator_ai_spark.streaming.pipeline import (
     run_bounded,
     streaming_enrich,
+    with_quality_score,
     with_run_observation,
 )
 
@@ -44,6 +45,8 @@ def run_pipeline_once(
     work_dir: str,
     now: datetime | None = None,
     retention_days: int = 7,
+    quality_weights: dict[int, float] | None = None,
+    quality_text_col: str = "name",
 ) -> dict:
     """One pipeline tick over a JSONL event directory (the broker-less stand
     -in for the Kafka topic). Returns the decision + all stage outputs.
@@ -68,6 +71,12 @@ def run_pipeline_once(
         parsed = parse_kafka_messages(envelope, customer_events_schema(3))
         enriched = streaming_enrich(parsed, processing_time=now_lit)
         observed = with_run_observation(enriched)
+        if quality_weights is not None:
+            # r7: curation scoring in the SAME bounded tick the DQ flags
+            # ride — stateless map stage, model constant embedded in-plan
+            observed = with_quality_score(
+                observed, quality_weights, text_col=quality_text_col
+            )
         totals = run_bounded(
             observed,
             str(work / "curated"),
@@ -76,6 +85,11 @@ def run_pipeline_once(
             timeout_seconds=300,
         )
         run_report = build_run_report(totals, start_time=now.isoformat())
+        if "quality_scored_records" in totals:
+            run_report["quality_scored_records"] = totals["quality_scored_records"]
+            run_report["quality_mean_score"] = round(
+                totals["quality_mean_score"], 6
+            )
         (ops / "run_report.json").write_text(json.dumps(run_report, indent=2))
 
         # ---- C3: declarative DQ over the curated table -------------------

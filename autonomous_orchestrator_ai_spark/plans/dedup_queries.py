@@ -950,3 +950,86 @@ def cluster_safe_split_report_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .crossJoin(F.broadcast(viol))
     )
+
+
+# --- cost-based pre-flight routing for the exact cluster-safe split -------
+
+#: spill budget for the exact inverted-index edge path (bytes). Default 32
+#: GiB — comfortably inside this host's 78 GB scratch disk while leaving
+#: room for the rest of the plan; a cluster deployment sets it from the
+#: executors' aggregate shuffle capacity. The round-6 sf100 probe showed
+#: the exact path needing ~76 GB at 5M docs — a planned routing decision
+#: beats discovering that via a disk-full failure hours in.
+SPILL_BUDGET_ENV = "SPARK_GRAFT_SPILL_BUDGET_BYTES"
+DEFAULT_SPILL_BUDGET_BYTES = 32 * 1024**3
+
+#: bytes per materialized candidate row in the inverted-index self-join
+#: (two 64-bit ids + per-row shuffle overhead — the PERF.md constant).
+PAIR_ROW_BYTES = 20
+
+
+def _spill_budget_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get(SPILL_BUDGET_ENV, str(DEFAULT_SPILL_BUDGET_BYTES))
+    )
+
+
+def _exact_split_route(est_shuffle_bytes: int) -> str:
+    return (
+        "exact" if est_shuffle_bytes <= _spill_budget_bytes() else "lsh"
+    )
+
+
+def _auto_split_oracle(sf_dir: str) -> str:
+    """Callable oracle: replay the SAME pre-flight estimate in DuckDB
+    (identical shingle definition, identical Σ df² integer arithmetic —
+    so the route can never diverge between engines) and return the chosen
+    variant's static oracle."""
+    import duckdb
+
+    from autonomous_orchestrator_ai_spark.plans import registry
+
+    sum_df_sq = duckdb.sql(
+        f"""
+        SELECT COALESCE(SUM(df * df), 0) FROM (
+          SELECT sh, COUNT(*) AS df FROM (
+            SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS sh
+            FROM read_parquet('{sf_dir}/documents.parquet')
+          ) GROUP BY sh)
+        """
+    ).fetchone()[0]
+    name = (
+        "cluster_safe_split_report"
+        if _exact_split_route(PAIR_ROW_BYTES * int(sum_df_sq)) == "exact"
+        else "cluster_safe_split_report_lsh"
+    )
+    return registry.ORACLES[name]
+
+
+@register("cluster_safe_split_report_auto", oracle=_auto_split_oracle)
+def cluster_safe_split_report_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-routed cluster-safe split (r7, VERDICT r6 item 4): run the
+    ``exact_jaccard_cost_profile`` pre-flight (one aggregation over the
+    shingle-df profile — hashes only), then route to the exact
+    inverted-index edge path when its estimated candidate shuffle
+    (~20 B x Σ df², the PERF.md formula validated by the sf100 probe)
+    fits the configured spill budget ($SPARK_GRAFT_SPILL_BUDGET_BYTES,
+    default 32 GiB), and to the MinHash-banded
+    ``cluster_safe_split_report_lsh`` otherwise. At sf100's ~76 GB
+    estimate this turns a disk-full death into a planned fallback; at
+    every oracle-checked sf the estimate is far under budget, so the
+    route is the exact form and the oracle (which replays the identical
+    estimate in DuckDB) resolves to the exact oracle."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        exact_jaccard_cost_profile,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    est = exact_jaccard_cost_profile(
+        docs, "text", "doc_id", shingle_k=3, bytes_per_pair_row=PAIR_ROW_BYTES
+    )
+    if _exact_split_route(est["est_shuffle_bytes"]) == "exact":
+        return cluster_safe_split_report(spark, sf_dir)
+    return cluster_safe_split_report_lsh(spark, sf_dir)

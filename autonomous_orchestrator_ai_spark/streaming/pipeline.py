@@ -30,6 +30,43 @@ from autonomous_orchestrator_ai_spark.operators.transform import enrich_customer
 
 OBSERVATION_NAME = "run_stats"
 
+#: second observation channel: the trained-classifier curation score
+#: (sum + count ride each micro-batch so the cross-batch MEAN is exact)
+QUALITY_OBSERVATION = "quality_stats"
+
+
+def with_quality_score(
+    df: DataFrame,
+    weights: dict[int, float],
+    text_col: str = "name",
+    score_col: str = "quality_score",
+    n_buckets: int | None = None,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Curation-scoring stage for the bounded-stream tick (r7, VERDICT r6
+    item 8): score each record with the trained classifier's weight table
+    via the STATELESS per-row form (operators.classify.trained_score_expr
+    — the model is a bounded constant embedded as array literals, so this
+    is a map-only stage: no shuffle, no state, append-mode-safe, rides
+    the same micro-batch the DQ flags do) and observe (n, score_sum) so
+    the run report carries the exact cross-batch mean."""
+    from autonomous_orchestrator_ai_spark.operators.classify import (
+        TRAIN_BUCKETS,
+        trained_score_expr,
+    )
+
+    scored = df.withColumn(
+        score_col,
+        trained_score_expr(
+            text_col, weights, n_buckets or TRAIN_BUCKETS, bias
+        ),
+    )
+    return scored.observe(
+        QUALITY_OBSERVATION,
+        F.count(score_col).alias("quality_n"),
+        F.sum(score_col).alias("quality_score_sum"),
+    )
+
 
 def streaming_enrich(
     parsed: DataFrame,
@@ -144,13 +181,21 @@ def run_bounded(
     # recentProgress is synchronous post-termination (listener events are
     # delivered on a separate thread and may lag a bounded run's end)
     totals = {k: 0 for k in ("total_records", "late_records", "dq_failures", "schema_drift_count")}
+    qual_n, qual_sum = 0, 0.0
     for progress in query.recentProgress:
         doc = json.loads(progress.json)  # StreamingQueryProgress: attr access is restricted
-        metrics = (doc.get("observedMetrics") or {}).get(OBSERVATION_NAME)
-        if not metrics:
-            continue
-        for k in totals:
-            totals[k] += int(metrics.get(k, 0) or 0)
+        observed = doc.get("observedMetrics") or {}
+        metrics = observed.get(OBSERVATION_NAME)
+        if metrics:
+            for k in totals:
+                totals[k] += int(metrics.get(k, 0) or 0)
+        q = observed.get(QUALITY_OBSERVATION)
+        if q:
+            qual_n += int(q.get("quality_n", 0) or 0)
+            qual_sum += float(q.get("quality_score_sum", 0.0) or 0.0)
+    if qual_n:  # the quality stage is optional — keys appear only when it ran
+        totals["quality_scored_records"] = qual_n
+        totals["quality_mean_score"] = qual_sum / qual_n
     return totals
 
 

@@ -222,3 +222,73 @@ def test_hashed_features_structure(spark):
         for r in rs:
             if r["bucket"] < -1:
                 assert r["x"] >= 0.0 and np.isfinite(r["x"])
+
+
+def test_trained_score_expr_matches_weight_table_path(spark):
+    """r7: the stateless map form (trained_score_expr — the streaming
+    tick's scoring stage) must agree with score_with_weight_table to
+    float-summation noise; only the summation ORDER differs (array fold
+    vs partial aggregates). Missing buckets contribute 0 on both paths,
+    and an empty weight dict scores sigmoid(bias) exactly."""
+    from pyspark.sql import functions as F
+
+    from autonomous_orchestrator_ai_spark.operators.classify import (
+        score_with_weight_table,
+        trained_score_expr,
+        weight_table_as_dict,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "lorem ipsum dolor sit amet consectetur"),
+            (3, ""),
+            (4, "UPPER  case   and\twhitespace normalization"),
+        ],
+        ["doc_id", "text"],
+    )
+    wdf = spark.createDataFrame(
+        [(b, ((b % 13) - 6) / 9.0) for b in range(0, 4096, 3)],
+        "bucket bigint, weight double",
+    )
+    via_table = {
+        r["doc_id"]: r["score"]
+        for r in score_with_weight_table(
+            docs, wdf, n_buckets=4096, bias=0.2
+        ).collect()
+    }
+    wmap = weight_table_as_dict(wdf)
+    via_expr = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", trained_score_expr("text", wmap, 4096, 0.2).alias("s")
+        ).collect()
+    }
+    assert set(via_table) == set(via_expr)
+    for k in via_table:
+        assert abs(via_table[k] - via_expr[k]) < 1e-12
+    # empty model: every doc scores sigmoid(bias)
+    import math
+
+    neutral = docs.select(
+        trained_score_expr("text", {}, 4096, 0.3).alias("s")
+    ).collect()
+    for r in neutral:
+        assert abs(r["s"] - 1.0 / (1.0 + math.exp(-0.3))) < 1e-15
+
+
+def test_trained_score_expr_plan_is_shuffle_free(spark):
+    """The streaming-tick scoring stage must be map-only: no Exchange, no
+    aggregate — the property that lets it ride an append-mode micro-batch
+    without state."""
+    from autonomous_orchestrator_ai_spark.operators.classify import (
+        trained_score_expr,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    scored = docs.select(
+        "doc_id", trained_score_expr("text", {0: 0.5}, 4096).alias("s")
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan

@@ -332,3 +332,66 @@ def test_containment_tie_breaks_on_id(spark):
     r = ngram_containment_pairs(df, threshold=0.9).collect()[0]
     assert (r.contained_id, r.container_id) == (5, 7)
     assert r.containment == 1.0 and r.jaccard == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Exact-Jaccard cost pre-flight + budget routing (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_jaccard_cost_profile_matches_hand_computed_df(spark):
+    """Synthetic corpus with a KNOWN shingle-df profile: 3 docs sharing
+    one 3-gram ('a b c': df=3), plus doc-unique shingles. The estimator's
+    sum_df_sq must equal the hand-computed value exactly — it is integer
+    arithmetic over the same distinct (doc, shingle) explode the exact
+    join starts from."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        exact_jaccard_cost_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x1 y1"),   # shingles: abc, bcx1, cx1y1
+            (2, "a b c x2 y2"),   # shingles: abc, bcx2, cx2y2
+            (3, "a b c x3 y3"),   # shingles: abc, bcx3, cx3y3
+        ],
+        ["doc_id", "text"],
+    )
+    est = exact_jaccard_cost_profile(df, "text", "doc_id", shingle_k=3,
+                                     bytes_per_pair_row=20)
+    # df profile: 'a b c' df=3; six doc-unique shingles df=1 each
+    assert est["n_docs"] == 3
+    assert est["n_postings"] == 9           # 3 shingles per doc, distinct
+    assert est["sum_df_sq"] == 3 * 3 + 6 * 1
+    assert est["est_candidate_rows"] == 15
+    assert est["est_shuffle_bytes"] == 20 * 15
+
+
+def test_cluster_safe_split_auto_routes_by_budget(spark, monkeypatch):
+    """Budget routing both ways at sf0.001: a huge budget picks the exact
+    edge path, a zero budget picks the LSH path — and each route's result
+    equals the corresponding registered variant exactly. The callable
+    oracle replays the SAME decision in DuckDB."""
+    from autonomous_orchestrator_ai_spark.plans import dedup_queries as dq
+    from autonomous_orchestrator_ai_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    monkeypatch.setenv(dq.SPILL_BUDGET_ENV, str(10**15))
+    assert rows(dq.cluster_safe_split_report_auto(spark, sf)) == rows(
+        dq.cluster_safe_split_report(spark, sf)
+    )
+    assert registry.resolve_oracle("cluster_safe_split_report_auto", sf) == (
+        registry.ORACLES["cluster_safe_split_report"]
+    )
+
+    monkeypatch.setenv(dq.SPILL_BUDGET_ENV, "0")
+    assert rows(dq.cluster_safe_split_report_auto(spark, sf)) == rows(
+        dq.cluster_safe_split_report_lsh(spark, sf)
+    )
+    assert registry.resolve_oracle("cluster_safe_split_report_auto", sf) == (
+        registry.ORACLES["cluster_safe_split_report_lsh"]
+    )

@@ -86,3 +86,116 @@ class TestIvfIndex:
             spark, path, emb.filter(F.col("vec_id") < 0), k=3
         )
         assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bucket manifest (r7 — ported from the LSH index)
+# ---------------------------------------------------------------------------
+
+from autonomous_orchestrator_ai_spark.operators.ivf_index import (  # noqa: E402
+    load_ivf_index,
+    read_ivf_manifest,
+)
+
+
+def _manifest_totals(spark, path):
+    m = read_ivf_manifest(spark, path)
+    assert m is not None
+    return sorted(
+        (r["bucket"], r["__batch"], r["n_rows"]) for r in m.collect()
+    )
+
+
+def test_manifest_matches_data_and_survives_append_replay(
+    spark, tmp_path, emb, centroids
+):
+    base = emb.filter(F.col("vec_id") < 80)
+    batch = emb.filter((F.col("vec_id") >= 80) & (F.col("vec_id") < 100))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, centroids)
+
+    def data_counts():
+        return sorted(
+            (r["bucket"], r["__batch"], r["n"])
+            for r in load_ivf_index(spark, path)
+            .groupBy("bucket", "__batch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    assert _manifest_totals(spark, path) == data_counts()
+    append_to_ivf_index(batch, path, batch_id=0)
+    after_append = _manifest_totals(spark, path)
+    assert after_append == data_counts()
+    # replaying the same batch leaves data AND manifest identical
+    append_to_ivf_index(batch, path, batch_id=0)
+    assert _manifest_totals(spark, path) == after_append == data_counts()
+
+
+def test_cold_probe_via_manifest_matches_handle_path(
+    spark, tmp_path, emb, centroids
+):
+    queries = emb.filter(F.col("vec_id") < 6)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, centroids)
+    cold = query_ivf_index(  # no index_df -> manifest fast path
+        spark, path, queries, k=4, n_probe=2
+    )
+    handle = query_ivf_index(
+        spark, path, queries, k=4, n_probe=2,
+        index_df=load_ivf_index(spark, path),
+    )
+    assert _rows(cold) == _rows(handle)
+    assert read_ivf_manifest(spark, path) is not None
+
+
+def test_partial_append_fails_loudly_then_heals_on_replay(
+    spark, tmp_path, emb, centroids
+):
+    """Manifest-first append order (r7): a crash between the manifest and
+    the entries write leaves a listed-but-missing bucket whose cold probe
+    fails LOUDLY; replaying the batch heals both sides."""
+    from autonomous_orchestrator_ai_spark.operators.ann_index import (
+        _write_manifest,
+    )
+    from autonomous_orchestrator_ai_spark.operators.ivf_index import (
+        _MANIFEST_DIR,
+        _entries,
+        _manifest_counts,
+    )
+    import numpy as np
+
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    # base index holds only the vectors of ONE list; another list's
+    # bucket directory therefore does not exist yet
+    assigned = _entries(emb, c, -1, "vec_id", "embedding").select(
+        "neighbor_id", "bucket"
+    )
+    by_bucket = {}
+    for r in assigned.collect():
+        by_bucket.setdefault(r["bucket"], []).append(r["neighbor_id"])
+    buckets = sorted(b for b, ids in by_bucket.items() if len(ids) >= 2)
+    base_bucket, new_bucket = buckets[0], buckets[1]
+    base = emb.filter(F.col("vec_id").isin(by_bucket[base_bucket]))
+    batch_ids = by_bucket[new_bucket][:2]
+    batch = emb.filter(F.col("vec_id").isin(batch_ids))
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, c)
+    # simulate dying between the two writes: manifest lands, entries don't
+    entries = _entries(batch, c, 0, "vec_id", "embedding")
+    _write_manifest(
+        spark, path, _manifest_counts(entries), dynamic=True,
+        manifest_dir=_MANIFEST_DIR,
+    )
+    queries = batch  # n_probe=1 probes exactly the new (missing) list
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        query_ivf_index(
+            spark, path, queries, k=3, n_probe=1, exclude_self=False
+        ).collect()
+    # replay the batch through the real append: both sides heal
+    append_to_ivf_index(batch, path, batch_id=0)
+    healed = query_ivf_index(
+        spark, path, queries, k=3, n_probe=1, exclude_self=False
+    )
+    found = {r["neighbor_id"] for r in healed.collect()}
+    assert set(batch_ids) <= found

@@ -348,13 +348,14 @@ class TestPngCodec:
             raw.extend((out % 256).astype(np.uint8).tobytes())
         return bytes(raw)
 
-    def _hand_built_png(self, w, h, px, channels, ftype):
+    def _hand_built_png(self, w, h, px, channels, ftype, color=None):
         import struct
         import zlib
 
         from autonomous_orchestrator_ai_spark.operators.png_codec import _chunk
 
-        color = 2 if channels == 3 else 6
+        if color is None:
+            color = {1: 0, 3: 2, 4: 6}[channels]
         ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
         raw = self._filter_rows_numpy(px, w, h, channels, ftype)
         return (
@@ -410,6 +411,120 @@ class TestPngCodec:
             blob[:ihdr_end] + _chunk(b"tEXt", b"k\x00v") + blob[ihdr_end:]
         )
         assert decode_png(spliced) == (4, 4, 3, bytes(48))
+
+    def test_roundtrip_grayscale_all_filters(self):
+        """r7: color type 0 (grayscale) — 1-channel stride through the
+        same defilter path, NumPy forward-filter reference per type."""
+        import hashlib
+
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            decode_png,
+            encode_png,
+        )
+
+        w, h = 9, 5
+        px = (hashlib.md5(b"gray").digest() * 4)[: w * h]
+        assert decode_png(encode_png(w, h, px, 1)) == (w, h, 1, px)
+        for ftype in range(5):
+            blob = self._hand_built_png(w, h, px, 1, ftype)
+            assert decode_png(blob) == (w, h, 1, px), ftype
+
+    def test_palette_decode_expands_plte(self):
+        """r7: color type 3 — decode returns the EXPANDED RGB pixels, and
+        the expansion matches an independent NumPy palette take; filtered
+        index rows (1-byte stride) invert correctly too."""
+        import hashlib
+        import zlib as _z
+
+        import numpy as np
+
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            _chunk,
+            decode_png,
+            encode_png_palette,
+        )
+
+        w, h = 7, 6
+        palette = (hashlib.md5(b"plte").digest() * 4)[: 16 * 3]
+        idx = bytes(
+            b % 16 for b in (hashlib.md5(b"idx").digest() * 4)[: w * h]
+        )
+        expect = (
+            np.frombuffer(palette, np.uint8)
+            .reshape(16, 3)[np.frombuffer(idx, np.uint8)]
+            .tobytes()
+        )
+        assert decode_png(encode_png_palette(w, h, idx, palette)) == (
+            w, h, 3, expect,
+        )
+        for ftype in range(5):
+            raw = self._filter_rows_numpy(idx, w, h, 1, ftype)
+            blob = (
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(
+                    b"IHDR",
+                    __import__("struct").pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0),
+                )
+                + _chunk(b"PLTE", palette)
+                + _chunk(b"IDAT", _z.compress(raw))
+                + _chunk(b"IEND", b"")
+            )
+            assert decode_png(blob) == (w, h, 3, expect), ftype
+
+    def test_truncated_palette_is_dead_letter(self):
+        """r7: an index past the palette's end, a missing PLTE, and a
+        malformed PLTE length all raise (dead-letter), never decode to a
+        silently wrong pixel."""
+        import pytest as _pytest
+
+        from autonomous_orchestrator_ai_spark.operators.png_codec import (
+            _chunk,
+            decode_png,
+            encode_png_palette,
+        )
+
+        w, h = 4, 3
+        palette = bytes(range(8 * 3))  # 8 entries
+        idx_ok = bytes(i % 8 for i in range(w * h))
+        good = encode_png_palette(w, h, idx_ok, palette)
+        decode_png(good)  # sanity
+        # index 9 >= 8 entries: truncated palette
+        idx_bad = bytes([9] * (w * h))
+        import struct as _struct
+        import zlib as _z2
+
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        raw = b"".join(
+            b"\x00" + idx_bad[y * w : (y + 1) * w] for y in range(h)
+        )
+        over = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette)
+            + _chunk(b"IDAT", _z2.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="truncated palette"):
+            decode_png(over)
+        # missing PLTE entirely
+        no_plte = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", _z2.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="missing PLTE"):
+            decode_png(no_plte)
+        # malformed PLTE length (not a multiple of 3)
+        mal = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"PLTE", palette + b"\x00")
+            + _chunk(b"IDAT", _z2.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError, match="malformed PLTE"):
+            decode_png(mal)
 
     def test_rejects_corruption_and_unsupported(self):
         import pytest as _pytest

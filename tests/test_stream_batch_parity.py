@@ -181,9 +181,30 @@ def _calibration_bins(df):
     )
 
 
+def _trained_quality_score(df):
+    """Trained-classifier curation scoring core (r7): the bounded weight
+    table embedded as in-plan array literals, scored per row by the
+    stateless fold (operators.classify.trained_score_expr) — the form
+    with_quality_score wires into the pipeline tick. Map-only, so it
+    streams in append mode with bit parity (same expression, same
+    per-row array order on both paths)."""
+    from autonomous_orchestrator_ai_spark.operators.classify import (
+        trained_score_expr,
+    )
+
+    weights = {b: ((b % 11) - 5) / 8.0 for b in range(0, 4096, 7)}
+    return df.select(
+        "doc_id",
+        F.round(
+            trained_score_expr("text", weights, 4096, bias=0.1), 9
+        ).alias("quality_score"),
+    )
+
+
 DOC_CORES = {
     "doc_text_stats": ("append", _doc_text_stats),
     "calibration_bins": ("complete", _calibration_bins),
+    "trained_quality_score": ("append", _trained_quality_score),
 }
 
 

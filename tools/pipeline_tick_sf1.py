@@ -62,9 +62,20 @@ def main() -> int:
     gen_sec = time.time() - t0
 
     spark = get_spark("pipeline-tick-sf1")
+    # r7: curation scoring rides the same bounded tick as the DQ flags —
+    # the weight table is a bounded deterministic model constant (the
+    # frozen md5 table; a train_logistic_gd table is the same shape)
+    from autonomous_orchestrator_ai_spark.operators.classify import (
+        TRAIN_BUCKETS,
+        frozen_weight_table,
+        weight_table_as_dict,
+    )
+
+    qweights = weight_table_as_dict(frozen_weight_table(spark, TRAIN_BUCKETS))
     t0 = time.time()
     result = run_pipeline_once(
-        spark, str(indir), str(work_root / "work"), now=NOW.replace(tzinfo=None)
+        spark, str(indir), str(work_root / "work"),
+        now=NOW.replace(tzinfo=None), quality_weights=qweights,
     )
     tick_sec = time.time() - t0
 
@@ -86,8 +97,11 @@ def main() -> int:
             a["result"]["success"] for a in result["actions_executed"]
         ),
     }
+    checks["quality_scored_records"] = rr.get("quality_scored_records")
+    checks["quality_mean_score"] = rr.get("quality_mean_score")
     ok = (
         rr["total_records"] == n_events
+        and rr.get("quality_scored_records") == n_events
         and checks["late_rate_tripped_threshold"]
         and checks["escalation_required"]
         and checks["drift_count_observed"] == checks["drift_expected"]
