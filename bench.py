@@ -78,6 +78,11 @@ HEADLINE = [
     "kmv_distinct_contract",
     "kmv_token_jaccard_by_source",
     "cluster_safe_split_report",
+    # round 7: the 100 TB split path + its cost-routed front door, and the
+    # linear cluster census that replaced the quadratic pair dump
+    "cluster_safe_split_report_lsh",
+    "cluster_safe_split_report_auto",
+    "embedding_near_dup_clusters",
     "bpe_top_pairs",
     "bpe_learned_merges",
     # round 6: corpus-wide tokenizer application + boilerplate removal
