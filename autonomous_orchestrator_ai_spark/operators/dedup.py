@@ -22,12 +22,15 @@ Four families, each designed for the 100 TB regime:
 
 Embedding-cosine near-dup lives in ``operators.similarity``.
 
-Caching contract: ``lsh_candidate_pairs`` / ``minhash_near_duplicates`` /
-``ngram_jaccard_pairs`` / ``winnowing_near_duplicates`` each ``persist()``
-an internal index frame that BOTH sides of their self-join consume
-(repartitioned on the join key — measured 2x at sf1). The frames are not
-unpersisted on return because the returned DataFrame's lineage still reads
-them; callers running many dedup jobs in one long session should call
+Caching contract: ``lsh_candidate_pairs`` / ``ngram_jaccard_pairs`` /
+``winnowing_near_duplicates`` each ``persist()`` an internal index frame
+that BOTH sides of their self-join consume (repartitioned on the join key
+— measured 2x at sf1); the LSH verify stages additionally persist their
+candidate-pair frame and the candidate-restricted payload frame (both
+pair-scale — corpus-scale payload frames are deliberately NEVER cached,
+see ``_restrict_to_candidates``). The frames are not unpersisted on
+return because the returned DataFrame's lineage still reads them; callers
+running many dedup jobs in one long session should call
 ``session.release_session_storage(spark)`` between independent units of
 work (as ``bench.py`` does) or ``spark.catalog.clearCache()`` if no
 localCheckpoint is live. Leaked cache blocks are evicted LRU under memory
@@ -278,6 +281,42 @@ def lsh_candidate_pairs(
     )
 
 
+def _restrict_to_candidates(
+    source: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Semi-join ``source`` down to rows whose id appears in a candidate
+    pair — the verify-stage input reducer every LSH family shares.
+
+    Why this exists (the round-7 sf100 finding): the verification join
+    consumes per-doc payload arrays (shingle sets, winnowing sketches,
+    truncated text) on BOTH sides, and joining them corpus-wide means the
+    exchange ships every doc's array even though candidates touch a small
+    fraction of the corpus. At sf10 that fat shuffle still fit in memory
+    and the cost hid inside an apparently-linear growth curve; at sf100
+    (5M docs) it became ~40 GB of spill and a 2.9x-over-linear wall time
+    for ``minhash_lsh_near_dups`` (26.5 s -> 776 s for 10x data) and an
+    executor OOM for the winnowing variant. At 100 TB it is THE bottleneck:
+    verify cost must track candidate volume, not corpus volume.
+
+    The candidate-id frame is pair-scale (<= 2 rows per candidate pair,
+    distinct), so AQE plans the semi-join as a broadcast — the reduction
+    happens map-side inside the source scan and no corpus-wide wide-row
+    exchange exists anywhere in the verify plan. Degenerate corpora where
+    nearly every doc is a candidate converge to the old plan's cost (the
+    semi-join keeps everything); they can never exceed it.
+    """
+    ids = (
+        cands.select(F.col(a_col).alias(id_col))
+        .union(cands.select(F.col(b_col).alias(id_col)))
+        .distinct()
+    )
+    return source.join(ids, id_col, "left_semi")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -290,14 +329,19 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     exact Jaccard verification on candidates only -> pairs over threshold.
 
-    Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp."""
-    # Materialize the shingle index once: signatures, both sides of the
-    # band self-join, and both sides of the verification join all reuse it.
-    # (At cluster scale this is the persisted LSH index table.)
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp.
+
+    Scale shape (revised after the round-7 sf100 probe): signatures fuse
+    with the shingle computation in one codegen scan (no corpus-wide
+    cache — at 5M docs the old ``shingles.persist()`` pinned ~15 GB of
+    deserialized arrays and pushed the job into disk spill); the verify
+    stage reads ONLY candidate docs' shingle arrays via
+    ``_restrict_to_candidates``, so its joins are candidate-scale however
+    big the corpus is. Only pair-scale frames are persisted."""
     df = ensure_min_parallelism(df)
     shingles = df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("__shingles")
-    ).persist()
+    )
     sigs = minhash_signatures(
         shingles.withColumnRenamed("__shingles", "__precomputed"),
         text_col="__precomputed",
@@ -306,10 +350,14 @@ def minhash_near_duplicates(
         shingle_k=shingle_k,
         precomputed_shingles=True,
     )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    shingles = shingles.withColumnRenamed("__shingles", "__sh")
-    a = shingles.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = shingles.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    # persisted: consumed by the two id-projections of the semi-join AND
+    # as the verify join's left side (pair-scale rows, bounded)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    cand_sh = _restrict_to_candidates(
+        shingles.withColumnRenamed("__shingles", "__sh"), cands, id_col
+    ).persist()
+    a = cand_sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = cand_sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -354,14 +402,16 @@ def edit_verified_near_duplicates(
     chars (100 TB corpora cap the comparison window; a 2k-char prefix
     decides near-duplicate status for web docs in practice). The compute is
     a single JVM codegen expression (``F.levenshtein``) — no Python in the
-    loop — and the candidate join ships only (id, truncated text) pairs.
+    loop — and the candidate join ships only (id, truncated text) pairs,
+    for CANDIDATE docs only (``_restrict_to_candidates``): at 100 TB the
+    verify exchange must scale with candidate volume, not corpus volume.
     """
     df = ensure_min_parallelism(df)
     prepared = df.select(
         F.col(id_col),
         F.substring(normalized_text(text_col), 1, max_chars).alias("__t"),
         word_shingles(text_col, shingle_k).alias("__precomputed"),
-    ).persist()
+    )
     sigs = minhash_signatures(
         prepared,
         text_col="__precomputed",
@@ -370,9 +420,12 @@ def edit_verified_near_duplicates(
         shingle_k=shingle_k,
         precomputed_shingles=True,
     )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    a = prepared.select(F.col(id_col).alias("id_a"), F.col("__t").alias("t_a"))
-    b = prepared.select(F.col(id_col).alias("id_b"), F.col("__t").alias("t_b"))
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    cand_t = _restrict_to_candidates(
+        prepared.select(F.col(id_col), "__t"), cands, id_col
+    ).persist()
+    a = cand_t.select(F.col(id_col).alias("id_a"), F.col("__t").alias("t_a"))
+    b = cand_t.select(F.col(id_col).alias("id_b"), F.col("__t").alias("t_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -718,13 +771,17 @@ def winnowing_near_duplicates_lsh(
             winnowing_sketch(text_col, k, w), lambda x: x.cast("string")
         ).alias("__sks"),
     )
-    sk = sk.withColumn("__sz", F.size("__sks")).persist()
+    sk = sk.withColumn("__sz", F.size("__sks"))
     sigs = minhash_signatures(
         sk, "__sks", id_col, num_hashes=num_hashes, precomputed_shingles=True
     )
     cands = lsh_candidate_pairs(
         sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
-    )
+    ).persist()
+    # the round-7 sf100 probe: verifying against the corpus-wide persisted
+    # sketch table OOM'd the executor heap at 5M docs (the sketch arrays
+    # are the fat column); candidate-only sketches are pair-scale
+    sk = _restrict_to_candidates(sk, cands, id_col).persist()
     a = sk.select(
         F.col(id_col).alias("id_a"),
         F.col("__sks").alias("__ska"),
