@@ -212,6 +212,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    max_bucket_sample: int | None = None,
 ) -> DataFrame:
     """LSH banding: concat each band's minhashes -> md5 band key -> self-join
     on (band_id, band_key) -> distinct (a, b) candidate pairs with a < b.
@@ -227,7 +228,18 @@ def lsh_candidate_pairs(
     documented and deliberate: docs meeting ONLY inside a dropped bucket
     (e.g. thousands of byte-identical boilerplate docs) lose their pair —
     run exact/fingerprint dedup BEFORE LSH so identical docs never reach
-    the near-dup stage, which is the standard pipeline order."""
+    the near-dup stage, which is the standard pipeline order.
+
+    ``max_bucket_sample`` is the gentler guard (the dedup twin of
+    similarity.py's ``max_bucket_candidates``, born from the round-7 sf100
+    probe): instead of dropping a hot bucket it keeps a DETERMINISTIC
+    uniform sample — the ``max_bucket_sample`` members with the smallest
+    md5('lshcap:' || id) draw, id-tiebroken — so per-bucket pair output is
+    bounded by cap² while pairs between sampled members still surface the
+    bucket's duplicate mass. The same QUALIFY window replays bit-for-bit
+    in a DuckDB oracle. Use when hot buckets carry REAL (mass-duplicated)
+    content whose cluster should stay partially connected; use
+    ``max_bucket_size`` when hot buckets are known junk."""
     rows_per_band = num_hashes // bands
     # ONE pass: explode an array of (band_id, band_key) structs instead of
     # unioning per-band branches (a union would recompute the signature
@@ -255,6 +267,18 @@ def lsh_candidate_pairs(
             .select("band_id", "band_key")
         )
         banded = _drop_hot_keys(banded, hot, ["band_id", "band_key"])
+    if max_bucket_sample is not None:
+        # one linear window shuffle on the band key bounds every bucket
+        # BEFORE the self-join — the bucket-square never materializes
+        wcap = Window.partitionBy("band_id", "band_key").orderBy(
+            F.md5(F.concat(F.lit("lshcap:"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+        banded = (
+            banded.withColumn("__brn", F.row_number().over(wcap))
+            .where(F.col("__brn") <= max_bucket_sample)
+            .drop("__brn")
+        )
 
     # cache hash-partitioned on the join key: without this, BOTH self-join
     # sides recompute the full signature expression tree (8 array_min
@@ -743,6 +767,9 @@ def winnowing_near_duplicates_lsh(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    max_bucket_sample: int | None = None,
+    screen_k: int | None = None,
+    screen_cut: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Scale form of ``winnowing_near_duplicates``: MinHash-LSH over the
     winnowing SKETCH SETS (each doc's sketch hashes, stringified, play the
@@ -754,42 +781,123 @@ def winnowing_near_duplicates_lsh(
     hashes carry the near-dup signal, so df-capping zeroes recall (measured
     on this corpus: cap 20 -> 0 surviving pairs). LSH sidesteps the df
     distribution entirely — the join key is the banded signature of the
-    WHOLE sketch, so candidate volume tracks the number of genuinely
-    similar pairs, not any single hash's popularity. Surviving pairs carry
-    the identical (shared, containment) values the exact form computes.
+    WHOLE sketch, so candidate volume tracks whole-sketch similarity, not
+    any single hash's popularity. Surviving pairs carry the identical
+    (shared, containment) values the exact form computes.
 
-    Recall caveat (documented trade): MinHash estimates JACCARD; a
-    containment-0.6 pair with very unequal sketch sizes has low Jaccard
-    and can be missed. For containment-first use cases, band the smaller
-    doc's sketch only, or lower the band width."""
+    Two scale guards (round-7 sf100 findings — at 5M docs the unguarded
+    form exhausted 78 GB of spill disk even after candidate-restricted
+    verification, because the problem moved UPSTREAM of the verify):
+
+    * ``max_bucket_sample`` — band buckets keyed by minhashes of grams the
+      scale fixture can't diversify (digit runs survive the per-replica
+      letter permutation) grow LINEARLY with corpus size, so their pair
+      output grows with the SQUARE (measured at sf10: 614 buckets > 50
+      docs carried 3.1M of 7.3M candidates; the top bucket alone, 792
+      docs, is ~313k pairs and 100x that one octave up). The cap keeps a
+      deterministic md5-draw sample per bucket (see
+      ``lsh_candidate_pairs``), bounding hot-bucket output at cap².
+    * ``screen_k`` + ``screen_cut`` — even LINEAR candidate volume is
+      fatal when every verify row ships two full sketch arrays (~5 KB a
+      side at this doc length; 43M within-replica candidates x 10 KB
+      >> disk). Before the exact verify, a BOUNDED bottom-``screen_k``
+      sub-sketch (KMV estimator, fixed 8·k bytes per side) estimates
+      containment and discards pairs below ``screen_cut`` (a rational
+      (num, den), e.g. (9, 20) = 0.45); only survivors — true pairs plus
+      a thin borderline band — reach the full-array verify. The estimate
+      is EXACT when |A ∪ B| <= screen_k, and the cut compares pure
+      integer products (num·ik·(sza+szb) vs den·min·(kp+ik)), so the
+      screen replays bit-for-bit in a DuckDB oracle: no float divergence
+      can flip a pair across the screen boundary.
+
+    Recall trades (all documented, none affecting reported values): banded
+    MinHash misses low-Jaccard/high-containment pairs (unequal sizes);
+    bucket sampling loses pairs whose ONLY collision is a hot bucket;
+    the KMV screen mis-drops a borderline pair with probability ~
+    P(est error > cut margin), ~1% at k=64 for a true-0.6 pair against a
+    0.45 cut. Surviving pairs always carry exact (shared, containment)."""
     from autonomous_orchestrator_ai_spark.functions.text import winnowing_sketch
 
     df = ensure_min_parallelism(df)
+    # numeric sketch: verify/screen arithmetic on bigints (array_intersect
+    # counts are identical to the stringified form — the cast is injective
+    # — and the exchange rows are ~25% slimmer); stringified copy only for
+    # the minhash signature, whose md5 contract is over strings
     sk = df.select(
-        F.col(id_col),
-        F.transform(
-            winnowing_sketch(text_col, k, w), lambda x: x.cast("string")
-        ).alias("__sks"),
-    )
-    sk = sk.withColumn("__sz", F.size("__sks"))
+        F.col(id_col), winnowing_sketch(text_col, k, w).alias("__skn")
+    ).withColumn("__sz", F.size("__skn"))
     sigs = minhash_signatures(
-        sk, "__sks", id_col, num_hashes=num_hashes, precomputed_shingles=True
+        sk.select(
+            F.col(id_col),
+            F.transform("__skn", lambda x: x.cast("string")).alias("__sks"),
+        ),
+        "__sks",
+        id_col,
+        num_hashes=num_hashes,
+        precomputed_shingles=True,
     )
     cands = lsh_candidate_pairs(
-        sigs, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+        sigs,
+        id_col,
+        num_hashes,
+        bands,
+        max_bucket_size=max_bucket_size,
+        max_bucket_sample=max_bucket_sample,
     ).persist()
+    if screen_k is not None:
+        num, den = screen_cut if screen_cut is not None else (9, 20)
+        # bounded sub-sketch per CANDIDATE doc: (id, size, bottom-k) is
+        # 8·k bytes of payload however long the document is
+        bk = _restrict_to_candidates(
+            sk.select(
+                F.col(id_col),
+                F.col("__sz"),
+                F.slice(F.array_sort("__skn"), 1, screen_k).alias("__bk"),
+            ),
+            cands,
+            id_col,
+        ).persist()
+        ba = bk.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__bk").alias("__bka"),
+            F.col("__sz").alias("__sza"),
+        )
+        bb = bk.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__bk").alias("__bkb"),
+            F.col("__sz").alias("__szb"),
+        )
+        # k smallest of A∪B (any of them is necessarily inside whichever
+        # side's bottom-k contains it, so the slice of the merged bottom-ks
+        # IS the bottom-k of the union); ik = |union-bottom-k ∩ A ∩ B|
+        uk = F.slice(F.array_sort(F.array_union("__bka", "__bkb")), 1, screen_k)
+        ik = F.size(F.array_intersect(F.array_intersect(uk, F.col("__bka")), F.col("__bkb")))
+        kp = F.size(uk)
+        # containment estimate C = I/min with I = J·(sza+szb)/(1+J),
+        # J = ik/kp  =>  keep iff num·ik·(sza+szb) >= den·min·(kp+ik)
+        # (integer-only — engine-portable with zero float noise)
+        cands = (
+            cands.join(ba, "id_a")
+            .join(bb, "id_b")
+            .filter(
+                F.lit(den) * ik * (F.col("__sza") + F.col("__szb"))
+                >= F.lit(num) * F.least("__sza", "__szb") * (kp + ik)
+            )
+            .select("id_a", "id_b")
+            .persist()
+        )
     # the round-7 sf100 probe: verifying against the corpus-wide persisted
     # sketch table OOM'd the executor heap at 5M docs (the sketch arrays
     # are the fat column); candidate-only sketches are pair-scale
-    sk = _restrict_to_candidates(sk, cands, id_col).persist()
-    a = sk.select(
+    skr = _restrict_to_candidates(sk, cands, id_col).persist()
+    a = skr.select(
         F.col(id_col).alias("id_a"),
-        F.col("__sks").alias("__ska"),
+        F.col("__skn").alias("__ska"),
         F.col("__sz").alias("__sza"),
     )
-    b = sk.select(
+    b = skr.select(
         F.col(id_col).alias("id_b"),
-        F.col("__sks").alias("__skb"),
+        F.col("__skn").alias("__skb"),
         F.col("__sz").alias("__szb"),
     )
     return (

@@ -385,6 +385,15 @@ def _sk_bands_case_sql() -> str:
     return "CASE band_id " + " ".join(cases) + " END"
 
 
+#: winnowing-LSH scale guards (round-7 sf100 probe): deterministic
+#: per-band-bucket sample cap, bottom-k KMV screen size, and the screen's
+#: containment cut as an exact rational (9/20 = 0.45 — threshold 0.6 minus
+#: a 0.15 estimator margin). All three replay bit-for-bit in the oracle.
+_WLSH_CAP = 64
+_WLSH_SCREEN_K = 64
+_WLSH_CUT = (9, 20)
+
+
 @register(
     "winnowing_near_dup_pairs_lsh",
     oracle=f"""
@@ -398,15 +407,31 @@ def _sk_bands_case_sql() -> str:
              FROM m),
     banded AS (SELECT doc_id, band_id, {_sk_bands_case_sql()} AS band_key
                FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+    capped AS (SELECT doc_id, band_id, band_key FROM banded
+               QUALIFY row_number() OVER (
+                   PARTITION BY band_id, band_key
+                   ORDER BY md5('lshcap:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) <= {_WLSH_CAP}),
     cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-              FROM banded a JOIN banded b
+              FROM capped a JOIN capped b
                 ON a.band_id = b.band_id AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id),
+    bk AS (SELECT doc_id, len(sk) AS sz,
+                  list_sort(sk)[1:{_WLSH_SCREEN_K}] AS bks
+           FROM s),
+    scr AS (SELECT c.id_a, c.id_b
+            FROM cands c JOIN bk a ON c.id_a = a.doc_id
+                         JOIN bk b ON c.id_b = b.doc_id,
+            LATERAL (SELECT list_sort(list_distinct(list_concat(a.bks, b.bks)))[1:{_WLSH_SCREEN_K}] AS uk) u,
+            LATERAL (SELECT len(u.uk) AS kp,
+                            len(list_intersect(list_intersect(u.uk, a.bks), b.bks)) AS ik) e
+            WHERE {_WLSH_CUT[1]} * e.ik * (a.sz + b.sz)
+                  >= {_WLSH_CUT[0]} * least(a.sz, b.sz) * (e.kp + e.ik)),
     v AS (SELECT c.id_a, c.id_b,
-                 CAST(len(list_intersect(ma.skm, mb.skm)) AS BIGINT) AS shared,
-                 least(len(ma.skm), len(mb.skm)) AS msz
-          FROM cands c JOIN m ma ON c.id_a = ma.doc_id
-                       JOIN m mb ON c.id_b = mb.doc_id)
+                 CAST(len(list_intersect(sa.sk, sb.sk)) AS BIGINT) AS shared,
+                 least(len(sa.sk), len(sb.sk)) AS msz
+          FROM scr c JOIN s sa ON c.id_a = sa.doc_id
+                     JOIN s sb ON c.id_b = sb.doc_id)
     SELECT id_a, id_b, shared, ROUND(shared * 1.0 / msz, 6) AS containment
     FROM v WHERE shared * 1.0 / msz >= 0.6
     """,
@@ -416,10 +441,14 @@ def winnowing_near_dup_pairs_lsh_q(
 ) -> DataFrame:
     """Scale form of `winnowing_near_dup_pairs`
     (operators.dedup.winnowing_near_duplicates_lsh): MinHash-LSH over the
-    winnowing sketch sets — banded signature join for candidates, exact
-    containment verify on candidates only. Candidate volume tracks the
-    number of similar pairs, not any hot hash's document frequency, which
-    is what the sf1 sweep showed killing the exact form."""
+    winnowing sketch sets — banded signature join for candidates, a
+    deterministic hot-bucket sample cap (digit-gram band keys grow with
+    corpus size on the scale fixture, so uncapped hot buckets square), a
+    bounded bottom-k KMV containment screen (fixed bytes per candidate
+    side — full sketch arrays never ride the candidate-scale exchange),
+    then exact containment verify of screen survivors only. Every stage —
+    banding, cap window, integer-compare screen, verify — replays
+    bit-for-bit in the oracle."""
     from autonomous_orchestrator_ai_spark.operators.dedup import (
         winnowing_near_duplicates_lsh,
     )
@@ -428,6 +457,8 @@ def winnowing_near_dup_pairs_lsh_q(
     return winnowing_near_duplicates_lsh(
         docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6,
         num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket_sample=_WLSH_CAP, screen_k=_WLSH_SCREEN_K,
+        screen_cut=_WLSH_CUT,
     )
 
 

@@ -395,3 +395,95 @@ def test_cluster_safe_split_auto_routes_by_budget(spark, monkeypatch):
     assert registry.resolve_oracle("cluster_safe_split_report_auto", sf) == (
         registry.ORACLES["cluster_safe_split_report_lsh"]
     )
+
+
+def test_lsh_bucket_sample_bounds_and_determinism(spark):
+    """max_bucket_sample keeps each band bucket's contribution bounded at
+    cap*(cap-1)/2 pairs, deterministically (same md5 draw both runs), and
+    the sampled candidate set is a subset of the uncapped one."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    # 40 docs with IDENTICAL text -> identical signatures -> one bucket
+    # per band; plus two normal docs
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(40)]
+    rows += [(100, DOC_A), (101, DOC_A_NEAR)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, shingle_k=3)
+    uncapped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    cap = 5
+    run1 = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, max_bucket_sample=cap).collect()
+    }
+    run2 = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, max_bucket_sample=cap).collect()
+    }
+    assert run1 == run2                      # deterministic md5 draw
+    assert run1 <= uncapped
+    # the 40-dup bucket collapses to <= cap members -> <= C(cap,2) pairs
+    dup_pairs = {p for p in run1 if p[0] < 40 and p[1] < 40}
+    assert 0 < len(dup_pairs) <= cap * (cap - 1) // 2
+    # the normal near-dup pair is in a cold bucket and survives untouched
+    assert (100, 101) in run1
+
+
+def test_winnowing_lsh_screen_no_loss_in_exact_regime(spark):
+    """The bottom-k KMV screen is EXACT when |A ∪ B| <= screen_k, so with
+    a large screen_k the guarded form returns the identical pair set and
+    scores as the unguarded form (verified corpus-wide at sf0.001)."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates_lsh,
+    )
+    from autonomous_orchestrator_ai_spark.plans.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    base = {
+        (r.id_a, r.id_b): (r.shared, r.containment)
+        for r in winnowing_near_duplicates_lsh(docs, containment=0.6).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b): (r.shared, r.containment)
+        for r in winnowing_near_duplicates_lsh(
+            docs,
+            containment=0.6,
+            max_bucket_sample=10_000,   # never binds at this scale
+            screen_k=100_000,           # |A ∪ B| <= k everywhere -> exact
+            screen_cut=(9, 20),
+        ).collect()
+    }
+    assert guarded == base
+
+
+def test_winnowing_lsh_screen_drops_only_below_cut(spark):
+    """With a tiny screen_k the estimate has variance, but pairs it keeps
+    always carry exact verify scores (screen affects RECALL, never
+    values), and a cut above 1.0 empties the output."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates_lsh,
+    )
+    from autonomous_orchestrator_ai_spark.plans.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    base = {
+        (r.id_a, r.id_b): (r.shared, r.containment)
+        for r in winnowing_near_duplicates_lsh(docs, containment=0.6).collect()
+    }
+    screened = {
+        (r.id_a, r.id_b): (r.shared, r.containment)
+        for r in winnowing_near_duplicates_lsh(
+            docs, containment=0.6, screen_k=8, screen_cut=(9, 20)
+        ).collect()
+    }
+    assert set(screened) <= set(base)
+    for pair, scores in screened.items():
+        assert scores == base[pair]
+    # an impossible cut (num/den = 2.0) screens everything out
+    assert (
+        winnowing_near_duplicates_lsh(
+            docs, containment=0.6, screen_k=64, screen_cut=(2, 1)
+        ).count()
+        == 0
+    )
