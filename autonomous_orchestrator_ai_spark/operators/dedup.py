@@ -206,6 +206,66 @@ def minhash_signatures(
     return prepared.select(F.col(id_col), *cols)
 
 
+def lsh_band_cost_profile(
+    banded: DataFrame, bytes_per_candidate_row: int = 20
+) -> dict:
+    """Pre-flight cost model for the LSH band-bucket self-join (r8, VERDICT
+    r7 item 1): the join materializes, per (band, band_key) bucket of n
+    members, n·(n-1)/2 candidate rows before the distinct, so its
+    shuffle/spill volume is ~``bytes_per_candidate_row × Σ n·(n-1)/2`` —
+    the banding analog of ``exact_jaccard_cost_profile``'s Σ df² formula.
+    Calibrated against the round-7 fourth octave: minhash at sf1000
+    measured ~48 GB of transient spill from the band join, the same
+    mechanism (cross-replica digit-shingle buckets growing linearly with
+    the corpus, hence pair output quadratically) that exhausted the disk
+    for the winnowing family one octave earlier.
+
+    ONE aggregation over the already-persisted banded index (hash keys
+    only — no text, no arrays) plus a 1-row collect. n·(n-1) is always
+    even, so ``DIV 2`` is exact and the whole estimate is bigint
+    arithmetic a DuckDB oracle replays bit-for-bit — the routing decision
+    (enable the hot-bucket sample cap iff the estimate exceeds the spill
+    budget) can never diverge between engines."""
+    row = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand_rows"))
+        .collect()[0]
+    )
+    cand_rows = int(row["cand_rows"] or 0)
+    return {
+        "est_candidate_rows": cand_rows,
+        "est_shuffle_bytes": bytes_per_candidate_row * cand_rows,
+    }
+
+
+def _bucket_sample_cap(banded: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Deterministic per-bucket sample: keep the ``cap`` members of each
+    (band_id, band_key) bucket with the smallest salted md5 draw. The draw
+    is salted with the BUCKET key (r8, ADVICE r7): an unsalted
+    md5('lshcap:' || id) is perfectly correlated across buckets, so a doc
+    with one unlucky draw would be evicted from EVERY hot bucket it
+    occupies — a systematic recall bias. Salting makes the draws
+    independent per bucket, so an evicted doc likely survives in another
+    bucket. Same QUALIFY window, same salt, in the DuckDB oracles."""
+    wcap = Window.partitionBy("band_id", "band_key").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.concat(F.lit("lshcap:"), F.col("band_id").cast("string")),
+                F.col("band_key"),
+                F.col(id_col).cast("string"),
+            )
+        ),
+        F.col(id_col),
+    )
+    return (
+        banded.withColumn("__brn", F.row_number().over(wcap))
+        .where(F.col("__brn") <= cap)
+        .drop("__brn")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -213,6 +273,9 @@ def lsh_candidate_pairs(
     bands: int = 4,
     max_bucket_size: int | None = None,
     max_bucket_sample: int | None = None,
+    sample_budget_bytes: int | None = None,
+    bytes_per_candidate_row: int = 20,
+    guard_decision: dict | None = None,
 ) -> DataFrame:
     """LSH banding: concat each band's minhashes -> md5 band key -> self-join
     on (band_id, band_key) -> distinct (a, b) candidate pairs with a < b.
@@ -233,13 +296,25 @@ def lsh_candidate_pairs(
     ``max_bucket_sample`` is the gentler guard (the dedup twin of
     similarity.py's ``max_bucket_candidates``, born from the round-7 sf100
     probe): instead of dropping a hot bucket it keeps a DETERMINISTIC
-    uniform sample — the ``max_bucket_sample`` members with the smallest
-    md5('lshcap:' || id) draw, id-tiebroken — so per-bucket pair output is
-    bounded by cap² while pairs between sampled members still surface the
-    bucket's duplicate mass. The same QUALIFY window replays bit-for-bit
-    in a DuckDB oracle. Use when hot buckets carry REAL (mass-duplicated)
-    content whose cluster should stay partially connected; use
-    ``max_bucket_size`` when hot buckets are known junk."""
+    per-bucket sample — the ``max_bucket_sample`` members with the
+    smallest bucket-salted md5 draw, id-tiebroken (``_bucket_sample_cap``)
+    — so per-bucket pair output is bounded by cap² while pairs between
+    sampled members still surface the bucket's duplicate mass. The same
+    QUALIFY window replays bit-for-bit in a DuckDB oracle. Use when hot
+    buckets carry REAL (mass-duplicated) content whose cluster should stay
+    partially connected; use ``max_bucket_size`` when hot buckets are
+    known junk.
+
+    ``sample_budget_bytes`` (r8, VERDICT r7 item 1) turns the sample cap
+    into a COST-ROUTED guard: when set (together with
+    ``max_bucket_sample``), a one-aggregation pre-flight over the banded
+    index (``lsh_band_cost_profile``) estimates the band join's candidate
+    shuffle and enables the cap ONLY when the estimate exceeds the budget
+    — below the crossover the plan is bit-identical to the unguarded form
+    (no window, no sort, zero overhead beyond the 1-row profile collect).
+    ``guard_decision`` (optional dict) receives the estimate, budget and
+    routing outcome for callers/oracles that need to replay the decision.
+    """
     rows_per_band = num_hashes // bands
     # ONE pass: explode an array of (band_id, band_key) structs instead of
     # unioning per-band branches (a union would recompute the signature
@@ -267,26 +342,36 @@ def lsh_candidate_pairs(
             .select("band_id", "band_key")
         )
         banded = _drop_hot_keys(banded, hot, ["band_id", "band_key"])
-    if max_bucket_sample is not None:
-        # one linear window shuffle on the band key bounds every bucket
-        # BEFORE the self-join — the bucket-square never materializes
-        wcap = Window.partitionBy("band_id", "band_key").orderBy(
-            F.md5(F.concat(F.lit("lshcap:"), F.col(id_col).cast("string"))),
-            F.col(id_col),
-        )
-        banded = (
-            banded.withColumn("__brn", F.row_number().over(wcap))
-            .where(F.col("__brn") <= max_bucket_sample)
-            .drop("__brn")
-        )
-
-    # cache hash-partitioned on the join key: without this, BOTH self-join
-    # sides recompute the full signature expression tree (8 array_min
-    # folds over per-shingle double-md5 digests — the expensive part) AND
-    # re-shuffle it; with it, signatures compute once and the join reads
-    # the cache with its distribution requirement satisfied (same measured
-    # pattern as the ngram/winnowing inverted-index caches).
-    banded = banded.repartition("band_id", "band_key").persist()
+    if sample_budget_bytes is not None and max_bucket_sample is not None:
+        # cost-routed guard: persist the banded index FIRST (the profile
+        # aggregation and both self-join sides all read the same cache,
+        # hash-partitioned on the join key — see the comment below), run
+        # the one-aggregation pre-flight, and cap only past the budget.
+        # The cap window's partitioning matches the cache distribution,
+        # so enabling it adds a per-partition sort but no extra exchange.
+        banded = banded.repartition("band_id", "band_key").persist()
+        profile = lsh_band_cost_profile(banded, bytes_per_candidate_row)
+        enabled = profile["est_shuffle_bytes"] > sample_budget_bytes
+        if guard_decision is not None:
+            guard_decision.update(profile)
+            guard_decision["budget_bytes"] = sample_budget_bytes
+            guard_decision["cap_enabled"] = enabled
+        if enabled:
+            banded = _bucket_sample_cap(banded, id_col, max_bucket_sample)
+    else:
+        if max_bucket_sample is not None:
+            # unconditional cap: one linear window shuffle on the band key
+            # bounds every bucket BEFORE the self-join — the bucket-square
+            # never materializes
+            banded = _bucket_sample_cap(banded, id_col, max_bucket_sample)
+        # cache hash-partitioned on the join key: without this, BOTH
+        # self-join sides recompute the full signature expression tree (8
+        # array_min folds over per-shingle double-md5 digests — the
+        # expensive part) AND re-shuffle it; with it, signatures compute
+        # once and the join reads the cache with its distribution
+        # requirement satisfied (same measured pattern as the
+        # ngram/winnowing inverted-index caches).
+        banded = banded.repartition("band_id", "band_key").persist()
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -349,6 +434,10 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_sample: int | None = None,
+    sample_budget_bytes: int | None = None,
+    bytes_per_candidate_row: int = 20,
+    guard_decision: dict | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     exact Jaccard verification on candidates only -> pairs over threshold.
@@ -361,7 +450,16 @@ def minhash_near_duplicates(
     deserialized arrays and pushed the job into disk spill); the verify
     stage reads ONLY candidate docs' shingle arrays via
     ``_restrict_to_candidates``, so its joins are candidate-scale however
-    big the corpus is. Only pair-scale frames are persisted."""
+    big the corpus is. Only pair-scale frames are persisted.
+
+    ``max_bucket_sample`` + ``sample_budget_bytes`` wire the cost-routed
+    hot-bucket guard through to ``lsh_candidate_pairs`` (r8 — the fourth
+    octave's early warning: the unguarded band join's transient spill
+    grew super-linearly, ~5 GB at sf100 -> ~48 GB at sf1000, as
+    cross-replica digit-shingle buckets fatten; the cap flips on exactly
+    when the replayable pre-flight estimate crosses the budget, so the
+    guarded route engages BEFORE the spill disk would bind instead of
+    paying the cap's recall trade at every scale)."""
     df = ensure_min_parallelism(df)
     shingles = df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("__shingles")
@@ -376,7 +474,16 @@ def minhash_near_duplicates(
     )
     # persisted: consumed by the two id-projections of the semi-join AND
     # as the verify join's left side (pair-scale rows, bounded)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    cands = lsh_candidate_pairs(
+        sigs,
+        id_col,
+        num_hashes,
+        bands,
+        max_bucket_sample=max_bucket_sample,
+        sample_budget_bytes=sample_budget_bytes,
+        bytes_per_candidate_row=bytes_per_candidate_row,
+        guard_decision=guard_decision,
+    ).persist()
     cand_sh = _restrict_to_candidates(
         shingles.withColumnRenamed("__shingles", "__sh"), cands, id_col
     ).persist()
@@ -770,6 +877,9 @@ def winnowing_near_duplicates_lsh(
     max_bucket_sample: int | None = None,
     screen_k: int | None = None,
     screen_cut: tuple[int, int] | None = None,
+    guard_budget_bytes: int | None = None,
+    guard_row_bytes: int = 10_000,
+    guard_decision: dict | None = None,
 ) -> DataFrame:
     """Scale form of ``winnowing_near_duplicates``: MinHash-LSH over the
     winnowing SKETCH SETS (each doc's sketch hashes, stringified, play the
@@ -806,9 +916,22 @@ def winnowing_near_duplicates_lsh(
       (num, den), e.g. (9, 20) = 0.45); only survivors — true pairs plus
       a thin borderline band — reach the full-array verify. The estimate
       is EXACT when |A ∪ B| <= screen_k, and the cut compares pure
-      integer products (num·ik·(sza+szb) vs den·min·(kp+ik)), so the
-      screen replays bit-for-bit in a DuckDB oracle: no float divergence
-      can flip a pair across the screen boundary.
+      integer products (keep iff den·ik·(sza+szb) >= num·min·(kp+ik),
+      all in bigint), so the screen replays bit-for-bit in a DuckDB
+      oracle: no float divergence or 32-bit wrap can flip a pair across
+      the screen boundary.
+
+    ``guard_budget_bytes`` (r8, VERDICT r7 item 2) cost-routes BOTH
+    guards with the ``lsh_band_cost_profile`` pre-flight: below the
+    budget the cap and the screen are pure overhead (measured +36% at
+    sf0.1, where zero hot buckets exist) and are skipped — the plan is
+    bit-identical to the unguarded form; past the budget both engage
+    exactly as before (the sf100 completion path). ``guard_row_bytes``
+    prices the UNGUARDED plan's verify rows (~2 sketch arrays x ~5 KB at
+    this corpus's doc length — the PERF.md sf100 constant), which is what
+    the routing decision is deciding against. The identical integer
+    estimate replays in the DuckDB oracle, so the route can never
+    diverge. ``guard_decision`` receives the estimate and outcome.
 
     Recall trades (all documented, none affecting reported values): banded
     MinHash misses low-Jaccard/high-containment pairs (unequal sizes);
@@ -836,6 +959,7 @@ def winnowing_near_duplicates_lsh(
         num_hashes=num_hashes,
         precomputed_shingles=True,
     )
+    decision: dict = guard_decision if guard_decision is not None else {}
     cands = lsh_candidate_pairs(
         sigs,
         id_col,
@@ -843,8 +967,17 @@ def winnowing_near_duplicates_lsh(
         bands,
         max_bucket_size=max_bucket_size,
         max_bucket_sample=max_bucket_sample,
+        sample_budget_bytes=guard_budget_bytes,
+        bytes_per_candidate_row=guard_row_bytes,
+        guard_decision=decision,
     ).persist()
-    if screen_k is not None:
+    # one pre-flight, one routing decision, BOTH guards: the estimate
+    # prices the unguarded verify's candidate volume, which is exactly
+    # what the cap bounds upstream and the screen bounds downstream
+    screen_on = screen_k is not None and (
+        guard_budget_bytes is None or decision.get("cap_enabled", False)
+    )
+    if screen_on:
         num, den = screen_cut if screen_cut is not None else (9, 20)
         # bounded sub-sketch per CANDIDATE doc: (id, size, bottom-k) is
         # 8·k bytes of payload however long the document is
@@ -874,18 +1007,35 @@ def winnowing_near_duplicates_lsh(
         ik = F.size(F.array_intersect(F.array_intersect(uk, F.col("__bka")), F.col("__bkb")))
         kp = F.size(uk)
         # containment estimate C = I/min with I = J·(sza+szb)/(1+J),
-        # J = ik/kp  =>  keep iff num·ik·(sza+szb) >= den·min·(kp+ik)
-        # (integer-only — engine-portable with zero float noise)
+        # J = ik/kp  =>  keep iff den·ik·(sza+szb) >= num·min·(kp+ik).
+        # All operands cast to bigint BEFORE multiplying (r8, ADVICE r7):
+        # F.size yields 32-bit ints, and in non-ANSI Spark an int·int
+        # product silently wraps once den·ik·(sza+szb) exceeds 2^31
+        # (multi-MB documents) while the DuckDB oracle computes int64 —
+        # a wrap would break the bit-for-bit replay and could flip the
+        # screen decision. (Integer-only either way: zero float noise.)
+        pre_screen = cands
         cands = (
-            cands.join(ba, "id_a")
+            pre_screen.join(ba, "id_a")
             .join(bb, "id_b")
             .filter(
-                F.lit(den) * ik * (F.col("__sza") + F.col("__szb"))
-                >= F.lit(num) * F.least("__sza", "__szb") * (kp + ik)
+                F.lit(den).cast("long")
+                * ik.cast("long")
+                * (F.col("__sza") + F.col("__szb")).cast("long")
+                >= F.lit(num).cast("long")
+                * F.least("__sza", "__szb").cast("long")
+                * (kp + ik).cast("long")
             )
             .select("id_a", "id_b")
             .persist()
         )
+        # materialize the screened frame, then release the superseded
+        # caches (r8, ADVICE r7): without this the pre-screen candidate
+        # frame and the bottom-k table stay pinned for the session even
+        # though only the screened frame is read downstream
+        cands.count()
+        pre_screen.unpersist()
+        bk.unpersist()
     # the round-7 sf100 probe: verifying against the corpus-wide persisted
     # sketch table OOM'd the executor heap at 5M docs (the sketch arrays
     # are the fat column); candidate-only sketches are pair-scale

@@ -205,9 +205,12 @@ def lsh_bucketed_topk(
     vector) concentrates whole duplicate clusters into single buckets,
     and the bucket join's output grows with the SQUARE of the hot
     bucket's size (measured: >78 GB of shuffle spill at sf100 with no
-    cap). With a cap, each (table, bucket) keeps a deterministic uniform
-    sample — the ``max_bucket_candidates`` rows with the smallest
-    md5('lshcap:' || id) draw — so join output per query is bounded by
+    cap). With a cap, each (table, bucket) keeps a deterministic
+    per-bucket sample — the ``max_bucket_candidates`` rows with the
+    smallest md5('lshcap:' || table || '|' || bucket || '|' || id) draw
+    (bucket-salted, r8: an unsalted draw is perfectly correlated across
+    buckets, so one unlucky doc would be evicted from EVERY hot bucket
+    it occupies) — so join output per query is bounded by
     n_tables x cap regardless of skew, recall inside a hot bucket
     degrades gracefully (a uniform subset of near-identical candidates
     still surfaces the cluster), and the same QUALIFY clause replays in
@@ -274,7 +277,12 @@ def lsh_bucketed_topk(
         # bucket BEFORE the join — the quadratic never materializes
         wcap = Window.partitionBy("table_id", "bucket").orderBy(
             F.md5(
-                F.concat(F.lit("lshcap:"), F.col("neighbor_id").cast("string"))
+                F.concat_ws(
+                    "|",
+                    F.concat(F.lit("lshcap:"), F.col("table_id").cast("string")),
+                    F.col("bucket").cast("string"),
+                    F.col("neighbor_id").cast("string"),
+                )
             ),
             F.col("neighbor_id"),
         )

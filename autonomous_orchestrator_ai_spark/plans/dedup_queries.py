@@ -39,6 +39,57 @@ NUM_HASHES = 8
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
+# --- cost-routed LSH hot-bucket guards (r8, VERDICT r7 items 1-2) ----------
+
+#: spill budget for the UNGUARDED LSH band join + verify (bytes). Separate
+#: knob from the exact-Jaccard budget because it prices a different plan
+#: (band-bucket self-join + candidate-restricted verify, not the
+#: inverted-index join). Default 64 GiB — calibrated against the round-7
+#: fourth octave on this host's 78 GB scratch disk: minhash at sf1000
+#: measured ~48 GB of transient spill and completed (the guard must stay
+#: OFF there — it loses zero pairs and the unguarded form is faster),
+#: while the projected sf3000 spill exhausts the disk (the guard must be
+#: ON before then). A cluster deployment sets it from the executors'
+#: aggregate shuffle capacity.
+LSH_SPILL_BUDGET_ENV = "SPARK_GRAFT_LSH_SPILL_BUDGET_BYTES"
+DEFAULT_LSH_SPILL_BUDGET_BYTES = 64 * 1024**3
+
+#: bytes per pre-distinct band-join candidate row for the minhash family
+#: (two ids + shuffle overhead — the verify is candidate-restricted and
+#: distinct'd, so the band join dominates its spill; the PERF.md constant).
+MINHASH_CAND_ROW_BYTES = 20
+
+#: bytes per candidate row for the winnowing family: its unguarded verify
+#: ships two full sketch arrays (~5 KB a side at this corpus's doc
+#: length) per candidate — the PERF.md sf100 constant (43M candidates x
+#: ~10 KB >> disk). The estimate prices the plan being routed AWAY from,
+#: so the crossover lands where the unguarded form actually dies.
+WINNOW_CAND_ROW_BYTES = 10_000
+
+#: deterministic per-bucket sample size when a guard engages (the r7 cap).
+_MLSH_CAP = 64
+
+
+def _lsh_budget_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get(LSH_SPILL_BUDGET_ENV, str(DEFAULT_LSH_SPILL_BUDGET_BYTES))
+    )
+
+
+def _duckdb_docs_view(sf_dir: str):
+    """A DuckDB connection with ``documents`` registered, for profile
+    replays inside callable oracles."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
 
 def _minhash_sql(j: int) -> str:
     # hash family j = hex chars [8j, 8j+8) of the combined 64-hex digest
@@ -101,17 +152,41 @@ def _bands_case_sql() -> str:
     return "CASE band_id " + " ".join(cases) + " END"
 
 
-@register(
-    "minhash_lsh_near_dups",
-    oracle=f"""
-    WITH docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+_MLSH_PREFIX = f"""
+    docs AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
     sigs AS (SELECT doc_id, sh,
                     {", ".join(f"{_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
              FROM docs),
     banded AS (SELECT doc_id, band_id, {_bands_case_sql()} AS band_key
-               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id))
+""".strip()
+
+#: bucket-salted deterministic sample draw (r8, ADVICE r7: an unsalted
+#: per-id draw is perfectly correlated across buckets — one unlucky doc
+#: would be evicted from EVERY hot bucket it occupies). Mirrors
+#: operators.dedup._bucket_sample_cap exactly.
+_SALTED_DRAW = (
+    "md5('lshcap:' || CAST(band_id AS VARCHAR) || '|' || band_key"
+    " || '|' || CAST(doc_id AS VARCHAR))"
+)
+
+
+def _mlsh_sql(capped: bool) -> str:
+    cap_cte = (
+        f""",
+    capped AS (SELECT doc_id, band_id, band_key FROM banded
+               QUALIFY row_number() OVER (
+                   PARTITION BY band_id, band_key
+                   ORDER BY {_SALTED_DRAW}, doc_id
+               ) <= {_MLSH_CAP})"""
+        if capped
+        else ""
+    )
+    src = "capped" if capped else "banded"
+    return f"""
+    WITH {_MLSH_PREFIX}{cap_cte},
     cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-              FROM banded a JOIN banded b
+              FROM {src} a JOIN {src} b
                 ON a.band_id = b.band_id AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id),
     verified AS (
@@ -121,15 +196,68 @@ def _bands_case_sql() -> str:
       FROM cands c JOIN docs da ON c.id_a = da.doc_id
                    JOIN docs db ON c.id_b = db.doc_id)
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
-    """,
-)
+    """
+
+
+def _mlsh_cand_rows(sf_dir: str) -> int:
+    """Replay the Spark pre-flight's Σ n·(n-1)/2 over band buckets in
+    DuckDB — identical banding, identical bigint arithmetic, so the route
+    can never diverge between engines."""
+    con = _duckdb_docs_view(sf_dir)
+    total = con.execute(
+        f"""
+        WITH {_MLSH_PREFIX},
+        b AS (SELECT COUNT(*) AS n FROM banded GROUP BY band_id, band_key)
+        SELECT COALESCE(SUM(n * (n - 1)), 0) FROM b
+        """
+    ).fetchone()[0]
+    con.close()
+    return int(total) // 2
+
+
+def _mlsh_oracle(sf_dir: str) -> str:
+    est = MINHASH_CAND_ROW_BYTES * _mlsh_cand_rows(sf_dir)
+    return _mlsh_sql(capped=est > _lsh_budget_bytes())
+
+
+@register("minhash_lsh_near_dups", oracle=_mlsh_oracle)
 def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 hashes) + LSH(4 bands) near-dup pairs, Jaccard-verified at
-    0.5 (operators.dedup.minhash_near_duplicates)."""
+    0.5 (operators.dedup.minhash_near_duplicates), with the cost-routed
+    hot-bucket guard (r8, VERDICT r7 item 1): a one-aggregation pre-flight
+    over the banded index estimates the band join's candidate shuffle
+    (~20 B x Σ n·(n-1)/2 — the formula the fourth octave validated:
+    ~48 GB measured transient spill at sf1000) and enables the
+    deterministic per-bucket sample cap only past
+    $SPARK_GRAFT_LSH_SPILL_BUDGET_BYTES (default 64 GiB). Below the
+    crossover — every scale measured through sf1000 — the plan is
+    bit-identical to the unguarded form and loses zero pairs; past it,
+    hot-bucket pair output is bounded at cap² before the disk binds. The
+    oracle replays the identical estimate, so both branches stay
+    hash-exact."""
     docs = table(spark, sf_dir, "documents")
     return minhash_near_duplicates(
         docs, "text", "doc_id",
         num_hashes=NUM_HASHES, bands=BANDS, shingle_k=3, jaccard_threshold=0.5,
+        max_bucket_sample=_MLSH_CAP,
+        sample_budget_bytes=_lsh_budget_bytes(),
+        bytes_per_candidate_row=MINHASH_CAND_ROW_BYTES,
+    )
+
+
+@register("minhash_lsh_near_dups_capped", oracle=_mlsh_sql(capped=True))
+def minhash_lsh_near_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned always-capped twin of ``minhash_lsh_near_dups``: the guard's
+    ON branch (bucket-salted deterministic sample, cap {_MLSH_CAP}) held
+    hash-exact against its static QUALIFY oracle at every checked scale
+    regardless of where the auto route lands — so the branch the big
+    corpora will take is oracle-anchored at the scales DuckDB can
+    check."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id",
+        num_hashes=NUM_HASHES, bands=BANDS, shingle_k=3, jaccard_threshold=0.5,
+        max_bucket_sample=_MLSH_CAP,
     )
 
 
@@ -394,10 +522,8 @@ _WLSH_SCREEN_K = 64
 _WLSH_CUT = (9, 20)
 
 
-@register(
-    "winnowing_near_dup_pairs_lsh",
-    oracle=f"""
-    WITH d AS ({_NORM_CTE}),
+_WLSH_PREFIX = f"""
+    d AS ({_NORM_CTE}),
     g AS (SELECT doc_id, {_GRAM_HASHES} AS h FROM d),
     s AS (SELECT doc_id, {_SKETCH} AS sk FROM g),
     m AS (SELECT doc_id, list_transform(sk, x -> CAST(x AS VARCHAR)) AS skm
@@ -406,11 +532,17 @@ _WLSH_CUT = (9, 20)
                     {", ".join(f"{_sk_minhash_sql(j)} AS m{j}" for j in range(NUM_HASHES))}
              FROM m),
     banded AS (SELECT doc_id, band_id, {_sk_bands_case_sql()} AS band_key
-               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id)),
+               FROM sigs CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) t(band_id))
+""".strip()
+
+
+def _wlsh_sql(guarded: bool) -> str:
+    if guarded:
+        mid = f""",
     capped AS (SELECT doc_id, band_id, band_key FROM banded
                QUALIFY row_number() OVER (
                    PARTITION BY band_id, band_key
-                   ORDER BY md5('lshcap:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ORDER BY {_SALTED_DRAW}, doc_id
                ) <= {_WLSH_CAP}),
     cands AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
               FROM capped a JOIN capped b
@@ -425,30 +557,90 @@ _WLSH_CUT = (9, 20)
             LATERAL (SELECT list_sort(list_distinct(list_concat(a.bks, b.bks)))[1:{_WLSH_SCREEN_K}] AS uk) u,
             LATERAL (SELECT len(u.uk) AS kp,
                             len(list_intersect(list_intersect(u.uk, a.bks), b.bks)) AS ik) e
-            WHERE {_WLSH_CUT[1]} * e.ik * (a.sz + b.sz)
-                  >= {_WLSH_CUT[0]} * least(a.sz, b.sz) * (e.kp + e.ik)),
+            WHERE CAST({_WLSH_CUT[1]} AS BIGINT) * e.ik * (a.sz + b.sz)
+                  >= CAST({_WLSH_CUT[0]} AS BIGINT) * least(a.sz, b.sz) * (e.kp + e.ik))"""
+        verify_src = "scr"
+    else:
+        mid = """,
+    scr AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)"""
+        verify_src = "scr"
+    return f"""
+    WITH {_WLSH_PREFIX}{mid},
     v AS (SELECT c.id_a, c.id_b,
                  CAST(len(list_intersect(sa.sk, sb.sk)) AS BIGINT) AS shared,
                  least(len(sa.sk), len(sb.sk)) AS msz
-          FROM scr c JOIN s sa ON c.id_a = sa.doc_id
+          FROM {verify_src} c JOIN s sa ON c.id_a = sa.doc_id
                      JOIN s sb ON c.id_b = sb.doc_id)
     SELECT id_a, id_b, shared, ROUND(shared * 1.0 / msz, 6) AS containment
     FROM v WHERE shared * 1.0 / msz >= 0.6
-    """,
-)
+    """
+
+
+def _wlsh_cand_rows(sf_dir: str) -> int:
+    """DuckDB replay of the winnowing pre-flight's Σ n·(n-1)/2 over the
+    sketch-set band buckets — same CTEs as the oracle itself."""
+    con = _duckdb_docs_view(sf_dir)
+    total = con.execute(
+        f"""
+        WITH {_WLSH_PREFIX},
+        b AS (SELECT COUNT(*) AS n FROM banded GROUP BY band_id, band_key)
+        SELECT COALESCE(SUM(n * (n - 1)), 0) FROM b
+        """
+    ).fetchone()[0]
+    con.close()
+    return int(total) // 2
+
+
+def _wlsh_oracle(sf_dir: str) -> str:
+    est = WINNOW_CAND_ROW_BYTES * _wlsh_cand_rows(sf_dir)
+    return _wlsh_sql(guarded=est > _lsh_budget_bytes())
+
+
+@register("winnowing_near_dup_pairs_lsh", oracle=_wlsh_oracle)
 def winnowing_near_dup_pairs_lsh_q(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Scale form of `winnowing_near_dup_pairs`
     (operators.dedup.winnowing_near_duplicates_lsh): MinHash-LSH over the
-    winnowing sketch sets — banded signature join for candidates, a
-    deterministic hot-bucket sample cap (digit-gram band keys grow with
-    corpus size on the scale fixture, so uncapped hot buckets square), a
-    bounded bottom-k KMV containment screen (fixed bytes per candidate
-    side — full sketch arrays never ride the candidate-scale exchange),
-    then exact containment verify of screen survivors only. Every stage —
-    banding, cap window, integer-compare screen, verify — replays
-    bit-for-bit in the oracle."""
+    winnowing sketch sets — banded signature join for candidates, then
+    exact containment verify of candidates only. The round-7 scale guards
+    (deterministic hot-bucket sample cap + bounded bottom-k KMV
+    containment screen) are COST-ROUTED as of r8 (VERDICT r7 item 2):
+    always-on they completed sf100 where the unguarded form exhausted the
+    disk, but cost +36% at sf0.1 where zero hot buckets exist. A
+    one-aggregation pre-flight estimates the unguarded verify volume
+    (~10 KB x Σ n·(n-1)/2 — two ~5 KB sketch arrays per candidate, the
+    PERF.md sf100 constant) and engages BOTH guards only past
+    $SPARK_GRAFT_LSH_SPILL_BUDGET_BYTES. The oracle replays the identical
+    estimate and serves the matching branch — banding, cap window,
+    integer-compare screen, and verify all replay bit-for-bit either
+    way."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates_lsh,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return winnowing_near_duplicates_lsh(
+        docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6,
+        num_hashes=NUM_HASHES, bands=BANDS,
+        max_bucket_sample=_WLSH_CAP, screen_k=_WLSH_SCREEN_K,
+        screen_cut=_WLSH_CUT,
+        guard_budget_bytes=_lsh_budget_bytes(),
+        guard_row_bytes=WINNOW_CAND_ROW_BYTES,
+    )
+
+
+@register("winnowing_near_dup_pairs_lsh_guarded", oracle=_wlsh_sql(guarded=True))
+def winnowing_near_dup_pairs_lsh_guarded_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pinned always-guarded twin of ``winnowing_near_dup_pairs_lsh``: the
+    cap + KMV screen branch (the one sf100+ takes) held hash-exact against
+    its static oracle at every checked scale regardless of where the auto
+    route lands."""
     from autonomous_orchestrator_ai_spark.operators.dedup import (
         winnowing_near_duplicates_lsh,
     )

@@ -902,7 +902,9 @@ def _lsh_disagreement_sql(
       SELECT vec_id, table_id, bucket FROM (
         SELECT vec_id, table_id, bucket,
                ROW_NUMBER() OVER (PARTITION BY table_id, bucket
-                 ORDER BY md5('lshcap:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 ORDER BY md5('lshcap:' || CAST(table_id AS VARCHAR) || '|'
+                              || CAST(bucket AS VARCHAR) || '|'
+                              || CAST(vec_id AS VARCHAR)), vec_id)
                  AS brn
         FROM cb)
       WHERE brn <= {{CAP}}),

@@ -66,6 +66,10 @@ HEADLINE = [
     "mixture_epoch_plan",
     "ngram_jaccard_pairs_guarded",
     "winnowing_near_dup_pairs_lsh",
+    # round 8: pinned guard-ON twins of the two cost-routed LSH families
+    # (the branch big corpora take, oracle-anchored at bench scale too)
+    "winnowing_near_dup_pairs_lsh_guarded",
+    "minhash_lsh_near_dups_capped",
     "value_equidepth_histogram",
     "value_equidepth_histogram_approx",
     "equidepth_approx_contract",

@@ -423,11 +423,124 @@ def test_lsh_bucket_sample_bounds_and_determinism(spark):
     }
     assert run1 == run2                      # deterministic md5 draw
     assert run1 <= uncapped
-    # the 40-dup bucket collapses to <= cap members -> <= C(cap,2) pairs
+    # each band's bucket collapses to <= cap members. The draw is salted
+    # per (band, bucket) — r8 — so each of the 4 bands keeps an
+    # INDEPENDENT sample (the recall upside: one unlucky draw no longer
+    # evicts a doc from every band), bounding distinct dup pairs at
+    # bands * C(cap,2) instead of a single shared C(cap,2).
     dup_pairs = {p for p in run1 if p[0] < 40 and p[1] < 40}
-    assert 0 < len(dup_pairs) <= cap * (cap - 1) // 2
+    assert 0 < len(dup_pairs) <= 4 * (cap * (cap - 1) // 2)
     # the normal near-dup pair is in a cold bucket and survives untouched
     assert (100, 101) in run1
+
+
+def test_lsh_sample_cap_cost_route_flips_on_hot_bucket(spark):
+    """The band-join pre-flight (lsh_band_cost_profile) enables the
+    sample cap exactly when the estimated candidate shuffle crosses the
+    budget: a synthetic hot-bucket corpus flips the route under a tiny
+    budget, stays unguarded (bit-identical pairs) under a huge one."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(40)]
+    rows += [(100, DOC_A), (101, DOC_A_NEAR)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, shingle_k=3)
+    uncapped = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+
+    # huge budget: route stays unguarded — identical candidate set
+    dec_off: dict = {}
+    off = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, max_bucket_sample=5, sample_budget_bytes=10**15,
+            guard_decision=dec_off,
+        ).collect()
+    }
+    assert dec_off["cap_enabled"] is False
+    assert dec_off["est_shuffle_bytes"] == 20 * dec_off["est_candidate_rows"]
+    # 40 identical docs -> one 40-bucket per band: ≥ 4 * C(40,2) pre-distinct
+    assert dec_off["est_candidate_rows"] >= 4 * (40 * 39 // 2)
+    assert off == uncapped
+
+    # zero budget: the hot bucket trips the guard -> bounded pairs
+    dec_on: dict = {}
+    on = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, max_bucket_sample=5, sample_budget_bytes=0,
+            guard_decision=dec_on,
+        ).collect()
+    }
+    assert dec_on["cap_enabled"] is True
+    assert on <= uncapped
+    # per-band independent samples (salted draw): <= bands * C(cap,2)
+    dup_pairs = {p for p in on if p[0] < 40 and p[1] < 40}
+    assert 0 < len(dup_pairs) <= 4 * (5 * 4 // 2)
+    assert (100, 101) in on
+
+
+def test_minhash_route_matches_pinned_twins(spark, monkeypatch):
+    """The auto-routed minhash_lsh_near_dups equals the unguarded form
+    under a huge budget and the pinned capped twin under a zero budget,
+    and resolve_oracle serves the matching branch's SQL — both engines
+    replay the identical estimate, so the route can never diverge."""
+    from autonomous_orchestrator_ai_spark.plans import dedup_queries as dq
+    from autonomous_orchestrator_ai_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    monkeypatch.setenv(dq.LSH_SPILL_BUDGET_ENV, str(10**15))
+    assert registry.resolve_oracle("minhash_lsh_near_dups", sf) == (
+        dq._mlsh_sql(capped=False)
+    )
+    unguarded = rows(dq.minhash_lsh_near_dups(spark, sf))
+
+    monkeypatch.setenv(dq.LSH_SPILL_BUDGET_ENV, "0")
+    assert registry.resolve_oracle("minhash_lsh_near_dups", sf) == (
+        dq._mlsh_sql(capped=True)
+    )
+    assert rows(dq.minhash_lsh_near_dups(spark, sf)) == rows(
+        dq.minhash_lsh_near_dups_capped(spark, sf)
+    )
+    # on this corpus the cap never binds (no hot buckets), so both
+    # branches agree — the route is a plan change, not a result change
+    assert rows(dq.minhash_lsh_near_dups_capped(spark, sf)) == unguarded
+
+
+def test_winnowing_route_matches_pinned_twins(spark, monkeypatch):
+    """Same contract for the winnowing family: zero budget routes to the
+    guarded twin (cap + KMV screen), huge budget to the unguarded plan,
+    with the oracle serving the matching SQL either way."""
+    from autonomous_orchestrator_ai_spark.plans import dedup_queries as dq
+    from autonomous_orchestrator_ai_spark.plans import registry
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    monkeypatch.setenv(dq.LSH_SPILL_BUDGET_ENV, str(10**15))
+    assert registry.resolve_oracle("winnowing_near_dup_pairs_lsh", sf) == (
+        dq._wlsh_sql(guarded=False)
+    )
+    unguarded = rows(dq.winnowing_near_dup_pairs_lsh_q(spark, sf))
+
+    monkeypatch.setenv(dq.LSH_SPILL_BUDGET_ENV, "0")
+    assert registry.resolve_oracle("winnowing_near_dup_pairs_lsh", sf) == (
+        dq._wlsh_sql(guarded=True)
+    )
+    guarded = rows(dq.winnowing_near_dup_pairs_lsh_q(spark, sf))
+    assert guarded == rows(
+        dq.winnowing_near_dup_pairs_lsh_guarded_q(spark, sf)
+    )
+    # guards trade only recall, never values: guarded ⊆ unguarded with
+    # identical (shared, containment) on surviving pairs
+    assert set(guarded) <= set(unguarded)
 
 
 def test_winnowing_lsh_screen_no_loss_in_exact_regime(spark):

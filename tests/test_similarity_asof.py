@@ -210,10 +210,25 @@ def test_lsh_hot_bucket_cap_bounds_candidates_deterministically(spark):
     ).collect()
     # every vector collides in the single bucket; the cap keeps 8, and
     # excluding self leaves 8 or 7 neighbors depending on whether vec 0
-    # survived its own bucket's draw
+    # survived its own bucket's draw. The draw is bucket-salted (r8), so
+    # the expected sample replays md5('lshcap:' || table || '|' || bucket
+    # || '|' || id) with the actual bucket value of the shared vector.
+    import numpy as np
+
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(64, 4, 42)  # table 0's planes at the default seed
+    bucket = sum(
+        (1 << p) for p, pl in enumerate(planes) if float(np.dot(vec, pl)) >= 0
+    )
     expected_kept = sorted(
         range(n),
-        key=lambda i: (hashlib.md5(f"lshcap:{i}".encode()).hexdigest(), i),
+        key=lambda i: (
+            hashlib.md5(f"lshcap:0|{bucket}|{i}".encode()).hexdigest(),
+            i,
+        ),
     )[:cap]
     expect_neighbors = {i for i in expected_kept if i != 0}
     assert {r["neighbor_id"] for r in out} == expect_neighbors
