@@ -32,14 +32,20 @@ gram table is just a bigger shuffle, exactly what Spark is for.
 Everything is md5-based and positionally deterministic, so the DuckDB
 oracles in plans/span_queries.py replay each step bit-for-bit in SQL.
 
-Caching contract (same as operators/dedup.py): the one-shuffle-two-
-consumers ``persist()`` sites in this module (kgram occurrences, covered
-positions) deliberately leave the blocks cached for the duration of the
-caller's action — a second consumer inside the same plan reuses them.
-Callers that invoke these operators repeatedly in one session (bench
-passes, multi-scale sweeps) must release between invocations via
-``session.release_session_storage(spark)``; otherwise each call pins
-corpus-scale blocks in executor storage for the session lifetime.
+Caching contract (r8): the one-shuffle-two-consumers ``persist()`` sites
+in this module (kgram occurrences, covered positions) exist so a second
+consumer inside the same plan reuses them. The TOP-LEVEL operators
+(``duplicate_span_doc_stats``, ``remove_duplicate_spans``,
+``remove_boilerplate``) default to ``release=True``: they eagerly
+materialize their (stats/delta-scale) result, then unpersist the
+corpus-scale caches before returning — a default-configured call leaves
+nothing corpus-scale pinned, only the result's own blocks, which the
+caller owns (``.unpersist()`` when done). ``release=False`` restores the
+r7 behavior (caches live until ``session.release_session_storage(spark)``
+— use it when chaining several span operators over the same corpus).
+The mid-level builders (``duplicate_spans``, ``covered_positions``,
+``boilerplate_covered_positions``) stay lazy and hand their cache
+handles back via ``_caches`` for callers composing their own release.
 
 Reference parity note: the reference repo (AbdulSohail018/
 Autonomous-Orchestrator-Ai) has no substring dedup — this is part of the
@@ -151,12 +157,27 @@ def _merge_islands(marked: DataFrame, k: int, id_col: str) -> DataFrame:
     )
 
 
+def _release_through(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Materialize-then-unpersist (r8, VERDICT r7 item 9): persist and
+    eagerly compute ``result``, then release the upstream caches it was
+    built through. After this returns, the only pinned blocks are the
+    RESULT's own (stats- or delta-scale — never the corpus-scale
+    occurrence table), and the caller owns them (``result.unpersist()``
+    when done, or session.release_session_storage as before)."""
+    result = result.persist()
+    result.count()
+    for c in caches:
+        c.unpersist()
+    return result
+
+
 def duplicate_spans(
     docs: DataFrame,
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    _caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans per doc: (doc_id, span_start, span_end).
 
@@ -169,10 +190,13 @@ def duplicate_spans(
     # a persisted hash-partitioned occurrence table computes the gram
     # explode once and satisfies both distributions (same pattern as the
     # dedup.py inverted-index caches; see the module caching contract
-    # there — callers release via session.release_session_storage).
+    # there — callers release via session.release_session_storage, or get
+    # the handle back via ``_caches`` for materialize-then-unpersist).
     occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
         "gram_hash"
     ).persist()
+    if _caches is not None:
+        _caches.append(occ)
     dup = duplicated_grams(occ, id_col, min_docs)
     marked = occ.join(dup.select("gram_hash"), "gram_hash")
     return _merge_islands(marked, k, id_col)
@@ -184,17 +208,26 @@ def duplicate_span_doc_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    release: bool = True,
 ) -> DataFrame:
     """Per-doc duplication profile: (doc_id, n_spans, dup_tokens).
 
     dup_tokens is the union length of the maximal spans — the count of
     token positions inside any duplicated passage.
-    """
-    spans = duplicate_spans(docs, k, id_col, text_col, min_docs)
-    return spans.groupBy(id_col).agg(
+
+    ``release=True`` (default) eagerly materializes the per-doc stats and
+    unpersists the corpus-scale occurrence cache before returning, so a
+    stats call leaves nothing corpus-scale pinned (the r7 footgun: every
+    call in a long session stacked another occurrence table in executor
+    storage). Pass ``release=False`` to keep the cache for a follow-up
+    span operator over the same corpus."""
+    caches: list[DataFrame] = []
+    spans = duplicate_spans(docs, k, id_col, text_col, min_docs, _caches=caches)
+    stats = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
     )
+    return _release_through(stats, caches) if release else stats
 
 
 def covered_positions(
@@ -203,6 +236,7 @@ def covered_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    _caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Token positions slated for removal: (doc_id, pos), distinct.
 
@@ -216,6 +250,8 @@ def covered_positions(
     occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
         "gram_hash"
     ).persist()
+    if _caches is not None:
+        _caches.append(occ)
     dup = duplicated_grams(occ, id_col, min_docs)
     removable = occ.join(dup.select("gram_hash", "keeper_doc"), "gram_hash").where(
         F.col(id_col) != F.col("keeper_doc")
@@ -234,6 +270,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_docs: int = 2,
+    release: bool = True,
 ) -> DataFrame:
     """Cleaned corpus for the *modified* docs: (doc_id, tokens_before,
     tokens_after, clean_text).
@@ -251,9 +288,18 @@ def remove_duplicate_spans(
     # covered feeds BOTH the removed-count aggregate and the keep-side
     # anti-join; persisted, the occ->dup->explode->distinct pipeline runs
     # once instead of once per consumer (bounded: one row per removed
-    # token position of the affected delta, not the corpus)
-    covered = covered_positions(docs, k, id_col, text_col, min_docs).persist()
-    return _removal_stats(docs, covered, id_col, text_col)
+    # token position of the affected delta, not the corpus).
+    # release=True (default) then eagerly materializes the delta and
+    # unpersists the corpus-scale occurrence cache + covered positions —
+    # after return, only the (delta-scale) result's own blocks are
+    # pinned, owned by the caller (r8, VERDICT r7 item 9).
+    caches: list[DataFrame] = []
+    covered = covered_positions(
+        docs, k, id_col, text_col, min_docs, _caches=caches
+    ).persist()
+    caches.append(covered)
+    out = _removal_stats(docs, covered, id_col, text_col)
+    return _release_through(out, caches) if release else out
 
 
 def _removal_stats(
@@ -307,6 +353,7 @@ def boilerplate_covered_positions(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 4,
+    _caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Token positions inside any k-gram shared by >= min_df documents:
     (id, pos), distinct — NO keeper. Boilerplate (headers, footers,
@@ -321,6 +368,8 @@ def boilerplate_covered_positions(
     occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
         "gram_hash"
     ).persist()
+    if _caches is not None:
+        _caches.append(occ)
     boiler = duplicated_grams(occ, id_col, min_docs=min_df)
     marked = occ.join(boiler.select("gram_hash"), "gram_hash")
     return marked.select(
@@ -337,6 +386,7 @@ def remove_boilerplate(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_df: int = 4,
+    release: bool = True,
 ) -> DataFrame:
     """Boilerplate removal, composed from the discovery profile
     (plans/curation_queries.py boilerplate_ngrams finds the grams) and the
@@ -349,7 +399,10 @@ def remove_boilerplate(
     has no canonical copy worth training on. Output is the affected-docs
     delta, not a rewritten corpus — the caller left-joins it back.
     """
+    caches: list[DataFrame] = []
     covered = boilerplate_covered_positions(
-        docs, k, id_col, text_col, min_df
+        docs, k, id_col, text_col, min_df, _caches=caches
     ).persist()
-    return _removal_stats(docs, covered, id_col, text_col)
+    caches.append(covered)
+    out = _removal_stats(docs, covered, id_col, text_col)
+    return _release_through(out, caches) if release else out

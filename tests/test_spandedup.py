@@ -152,3 +152,35 @@ def test_boilerplate_below_min_df_survives(spark):
     }
     assert set(out) == {0, 1}
     assert out[0]["clean_text"] == "a0" and out[1]["clean_text"] == "b0"
+
+
+def test_release_leaves_no_corpus_scale_blocks_pinned(spark):
+    """release=True (default, r8): after a span/boilerplate call returns,
+    the only persisted blocks are the RESULT's own — the corpus-scale
+    occurrence cache and covered positions are unpersisted. The r7
+    footgun was each call stacking another occurrence table in executor
+    storage for the session lifetime."""
+    from autonomous_orchestrator_ai_spark.session import (
+        release_session_storage,
+    )
+
+    release_session_storage(spark)
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+
+    shared = "terms of service apply here"
+    docs = _docs(spark, f"a0 {shared}", f"b0 {shared}", "c0 c1 c2 c3")
+    out = remove_boilerplate(docs, k=3, min_df=2)
+    # exactly the materialized result remains pinned; caller owns it
+    assert jsc.getPersistentRDDs().size() == 1
+    assert out.count() == 2  # still readable from its own cache
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() == 0
+
+    # release=False restores the chaining behavior: caches stay for
+    # session-level release
+    out2 = remove_duplicate_spans(docs, k=3, release=False)
+    out2.count()
+    assert jsc.getPersistentRDDs().size() >= 2
+    release_session_storage(spark)  # session-level release clears them
+    assert jsc.getPersistentRDDs().size() == 0

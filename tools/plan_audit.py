@@ -79,6 +79,36 @@ def _global_serial_sorts(plan: str) -> int:
     return hits
 
 
+def _distinct_nodes(plan: str, pattern: str) -> int:
+    """Count DISTINCT physical nodes matching ``pattern`` (one node per
+    plan line; expression ids / plan_ids make real nodes textually
+    unique).
+
+    Why distinct and not raw matches: ``executedPlan().toString()``
+    prints a persisted frame's ENTIRE build plan under every
+    InMemoryRelation scan site — and once a cache is materialized
+    (queries with an eager pre-flight materialize theirs at construction
+    time), each site recursively prints the finalized AQE stage trees of
+    every nested cache. The buffers are built ONCE however many sites
+    scan them, so raw regex counts multiply per scan site (observed: the
+    winnowing guarded twin jumped 7 -> 1724 "exchanges" purely from this
+    print artifact — 477 repeated InMemoryRelation sections in a 16k-line
+    string). Repeated prints of the same node are identical once the
+    tree-drawing prefix (varying ':' columns, '+-', codegen '*(n)' tags)
+    is stripped — plan_ids and expression ids keep genuinely distinct
+    nodes distinct — so canonical-line identity == node identity; the
+    AQE-sectioned indentation resets make subtree truncation unreliable,
+    line identity is not."""
+    nodes = set()
+    for line in plan.splitlines():
+        if not re.search(pattern, line):
+            continue
+        canon = re.sub(r"^[\s:+*-]*", "", line)
+        canon = re.sub(r"^\(\d+\)\s*", "", canon).strip()
+        nodes.add(canon)
+    return len(nodes)
+
+
 def audit(sf_dir: str, spark=None) -> tuple[list[dict], list[str]]:
     from autonomous_orchestrator_ai_spark.plans import registry
     from autonomous_orchestrator_ai_spark.session import get_spark
@@ -94,17 +124,17 @@ def audit(sf_dir: str, spark=None) -> tuple[list[dict], list[str]]:
         t0 = time.time()
         df = registry.QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
-        n_single = len(re.findall(r"Exchange SinglePartition", plan))
-        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
-        n_smj = len(re.findall(r"SortMergeJoin", plan))
-        n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
-        n_cart = len(re.findall(r"CartesianProduct", plan))
+        n_exchange = _distinct_nodes(plan, r"\bExchange\b")
+        n_single = _distinct_nodes(plan, r"Exchange SinglePartition")
+        n_bhj = _distinct_nodes(plan, r"BroadcastHashJoin")
+        n_smj = _distinct_nodes(plan, r"SortMergeJoin")
+        n_bnlj = _distinct_nodes(plan, r"BroadcastNestedLoopJoin")
+        n_cart = _distinct_nodes(plan, r"CartesianProduct")
         n_wscg = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
-        n_arrow = len(
-            re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan)
+        n_arrow = _distinct_nodes(
+            plan, r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
         )
-        n_rowpy = len(re.findall(r"BatchEvalPython", plan))
+        n_rowpy = _distinct_nodes(plan, r"BatchEvalPython")
         rows.append(
             dict(
                 name=name,
