@@ -880,6 +880,7 @@ def winnowing_near_duplicates_lsh(
     guard_budget_bytes: int | None = None,
     guard_row_bytes: int = 10_000,
     guard_decision: dict | None = None,
+    verify_slices: int | None = None,
 ) -> DataFrame:
     """Scale form of ``winnowing_near_duplicates``: MinHash-LSH over the
     winnowing SKETCH SETS (each doc's sketch hashes, stringified, play the
@@ -933,6 +934,16 @@ def winnowing_near_duplicates_lsh(
     estimate replays in the DuckDB oracle, so the route can never
     diverge. ``guard_decision`` receives the estimate and outcome.
 
+    ``verify_slices`` (r8 — the sf1000 ENOSPC diagnosis) runs the screen
+    + verify over candidate pairs in N SEQUENTIAL hash-slices, each
+    localCheckpointed, capping the simultaneous shuffle transient at
+    ~1/N of the total. The union of disjoint slices is exactly the
+    unsliced result — no recall trade, no oracle change — at the cost of
+    re-running the candidate semi-joins per slice. Use when the corpus's
+    total verify transient exceeds the host's spill disk (winnowing at
+    50M docs needed ~3x this host's 78 GB); a cluster achieves the same
+    with aggregate spill capacity. None/1 = single-pass (default).
+
     Recall trades (all documented, none affecting reported values): banded
     MinHash misses low-Jaccard/high-containment pairs (unequal sizes);
     bucket sampling loses pairs whose ONLY collision is a hot bucket;
@@ -977,32 +988,39 @@ def winnowing_near_duplicates_lsh(
     screen_on = screen_k is not None and (
         guard_budget_bytes is None or decision.get("cap_enabled", False)
     )
-    if screen_on:
-        num, den = screen_cut if screen_cut is not None else (9, 20)
+    num, den = screen_cut if screen_cut is not None else (9, 20)
+
+    def _screen(
+        cands_in: DataFrame, caches: list[DataFrame]
+    ) -> DataFrame:
         # bounded sub-sketch per CANDIDATE doc: (id, size, bottom-k) is
-        # 8·k bytes of payload however long the document is
-        bk = _restrict_to_candidates(
+        # 8·k bytes of payload however long the document is. Persisted —
+        # BOTH join sides below consume it — with the handle returned via
+        # ``caches`` so the caller releases it once downstream
+        # materializes.
+        bk_in = _restrict_to_candidates(
             sk.select(
                 F.col(id_col),
                 F.col("__sz"),
                 F.slice(F.array_sort("__skn"), 1, screen_k).alias("__bk"),
             ),
-            cands,
+            cands_in,
             id_col,
         ).persist()
-        ba = bk.select(
+        caches.append(bk_in)
+        ba = bk_in.select(
             F.col(id_col).alias("id_a"),
             F.col("__bk").alias("__bka"),
             F.col("__sz").alias("__sza"),
         )
-        bb = bk.select(
+        bb = bk_in.select(
             F.col(id_col).alias("id_b"),
             F.col("__bk").alias("__bkb"),
             F.col("__sz").alias("__szb"),
         )
         # k smallest of A∪B (any of them is necessarily inside whichever
-        # side's bottom-k contains it, so the slice of the merged bottom-ks
-        # IS the bottom-k of the union); ik = |union-bottom-k ∩ A ∩ B|
+        # side's bottom-k contains it, so the slice of the merged
+        # bottom-ks IS the bottom-k of the union); ik = |bottom-k ∩ A ∩ B|
         uk = F.slice(F.array_sort(F.array_union("__bka", "__bkb")), 1, screen_k)
         ik = F.size(F.array_intersect(F.array_intersect(uk, F.col("__bka")), F.col("__bkb")))
         kp = F.size(uk)
@@ -1014,9 +1032,8 @@ def winnowing_near_duplicates_lsh(
         # (multi-MB documents) while the DuckDB oracle computes int64 —
         # a wrap would break the bit-for-bit replay and could flip the
         # screen decision. (Integer-only either way: zero float noise.)
-        pre_screen = cands
-        cands = (
-            pre_screen.join(ba, "id_a")
+        return (
+            cands_in.join(ba, "id_a")
             .join(bb, "id_b")
             .filter(
                 F.lit(den).cast("long")
@@ -1027,42 +1044,98 @@ def winnowing_near_duplicates_lsh(
                 * (kp + ik).cast("long")
             )
             .select("id_a", "id_b")
-            .persist()
         )
+
+    def _verify(
+        cands_in: DataFrame, caches: list[DataFrame] | None = None
+    ) -> DataFrame:
+        # the round-7 sf100 probe: verifying against the corpus-wide
+        # persisted sketch table OOM'd the executor heap at 5M docs (the
+        # sketch arrays are the fat column); candidate-only sketches are
+        # pair-scale. Persisted (both join sides consume it); in the
+        # unsliced path it stays cached because the RETURNED lazy plan
+        # still reads it (module caching contract); sliced callers pass
+        # ``caches`` and release it once the slice is checkpointed.
+        skr = _restrict_to_candidates(sk, cands_in, id_col).persist()
+        if caches is not None:
+            caches.append(skr)
+        a = skr.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__skn").alias("__ska"),
+            F.col("__sz").alias("__sza"),
+        )
+        b = skr.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__skn").alias("__skb"),
+            F.col("__sz").alias("__szb"),
+        )
+        return (
+            cands_in.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "shared",
+                F.size(F.array_intersect("__ska", "__skb")).cast("bigint"),
+            )
+            .withColumn(
+                "containment",
+                F.round(F.col("shared") / F.least("__sza", "__szb"), 6),
+            )
+            .filter(F.col("containment") >= containment)
+            .select("id_a", "id_b", "shared", "containment")
+        )
+
+    if verify_slices is not None and verify_slices > 1:
+        # Bounded-transient mode (r8 — the sf1000 ENOSPC diagnosis): the
+        # screen + verify transients are LINEAR in candidate volume with
+        # a per-row constant (bottom-k arrays, then full sketch arrays),
+        # so one octave past the last measured scale their simultaneous
+        # shuffle footprint exceeds any FIXED single-host disk (winnowing
+        # at 50M docs needed ~3x this host's 78 GB and died on ENOSPC at
+        # 2h04m). Slicing candidate pairs by a hash of (id_a, id_b) and
+        # running screen+verify per slice as SEQUENTIAL jobs caps the
+        # simultaneous transient at ~1/N of the total: each slice's
+        # survivors are localCheckpointed (truncating lineage so the
+        # slice's shuffle files become collectable before the next slice
+        # runs) and the union of disjoint slices is EXACTLY the unsliced
+        # result — same pairs, same values, no recall trade, no oracle
+        # change. The cost is re-running the candidate semi-joins once
+        # per slice (N linear scans of the sketch expression) — the
+        # classic time-for-space trade, and the single-host stand-in for
+        # what a cluster buys with aggregate spill capacity.
+        parts = []
+        for i in range(verify_slices):
+            sl = cands.where(
+                F.pmod(F.xxhash64(F.col("id_a"), F.col("id_b")), F.lit(verify_slices))
+                == i
+            )
+            slice_caches: list[DataFrame] = []
+            out_i = _verify(
+                _screen(sl, slice_caches) if screen_on else sl, slice_caches
+            )
+            parts.append(out_i.localCheckpoint(eager=True))
+            for c in slice_caches:
+                c.unpersist()
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        # every slice is checkpointed — the candidate cache (and the
+        # banded cache inside lsh_candidate_pairs) can be released now
+        cands.unpersist()
+        return result
+
+    if screen_on:
+        pre_screen = cands
+        screen_caches: list[DataFrame] = []
+        cands = _screen(pre_screen, screen_caches).persist()
         # materialize the screened frame, then release the superseded
         # caches (r8, ADVICE r7): without this the pre-screen candidate
         # frame and the bottom-k table stay pinned for the session even
         # though only the screened frame is read downstream
         cands.count()
         pre_screen.unpersist()
-        bk.unpersist()
-    # the round-7 sf100 probe: verifying against the corpus-wide persisted
-    # sketch table OOM'd the executor heap at 5M docs (the sketch arrays
-    # are the fat column); candidate-only sketches are pair-scale
-    skr = _restrict_to_candidates(sk, cands, id_col).persist()
-    a = skr.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__skn").alias("__ska"),
-        F.col("__sz").alias("__sza"),
-    )
-    b = skr.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__skn").alias("__skb"),
-        F.col("__sz").alias("__szb"),
-    )
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "shared", F.size(F.array_intersect("__ska", "__skb")).cast("bigint")
-        )
-        .withColumn(
-            "containment",
-            F.round(F.col("shared") / F.least("__sza", "__szb"), 6),
-        )
-        .filter(F.col("containment") >= containment)
-        .select("id_a", "id_b", "shared", "containment")
-    )
+        for c in screen_caches:
+            c.unpersist()
+    return _verify(cands)
 
 
 # ---------------------------------------------------------------------------

@@ -622,7 +622,15 @@ def winnowing_near_dup_pairs_lsh_q(
         winnowing_near_duplicates_lsh,
     )
 
+    import os
+
     docs = table(spark, sf_dir, "documents")
+    # bounded-transient knob for corpora whose verify transient exceeds
+    # the host's spill disk (the sf1000 ENOSPC diagnosis): N sequential
+    # hash-slices of the screen+verify, result IDENTICAL to single-pass
+    # (disjoint-slice union), so the oracle is unaffected. 0/unset =
+    # single-pass.
+    slices = int(os.environ.get("SPARK_GRAFT_WINNOW_VERIFY_SLICES", "0"))
     return winnowing_near_duplicates_lsh(
         docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6,
         num_hashes=NUM_HASHES, bands=BANDS,
@@ -630,6 +638,7 @@ def winnowing_near_dup_pairs_lsh_q(
         screen_cut=_WLSH_CUT,
         guard_budget_bytes=_lsh_budget_bytes(),
         guard_row_bytes=WINNOW_CAND_ROW_BYTES,
+        verify_slices=slices if slices > 1 else None,
     )
 
 

@@ -543,6 +543,40 @@ def test_winnowing_route_matches_pinned_twins(spark, monkeypatch):
     assert set(guarded) <= set(unguarded)
 
 
+def test_winnowing_lsh_sliced_verify_equals_single_pass(spark):
+    """verify_slices partitions the screen+verify into sequential
+    checkpointed hash-slices; the disjoint-slice union must be EXACTLY
+    the single-pass result (pairs and values), with and without the
+    guards engaged — the bounded-transient mode trades time for space,
+    never results."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates_lsh,
+    )
+    from autonomous_orchestrator_ai_spark.plans.registry import table
+    from autonomous_orchestrator_ai_spark.session import (
+        release_session_storage,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+
+    def rows(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.shared, r.containment)
+            for r in winnowing_near_duplicates_lsh(
+                docs, containment=0.6, **kw
+            ).collect()
+        )
+
+    # plain (no guards)
+    assert rows(verify_slices=3) == rows()
+    # guards on (cap + screen) — the sf100+ configuration
+    guarded = dict(max_bucket_sample=64, screen_k=64, screen_cut=(9, 20))
+    assert rows(verify_slices=3, **guarded) == rows(**guarded)
+    # localCheckpoint lineage from the sliced runs must not leak into
+    # later tests' storage accounting
+    release_session_storage(spark)
+
+
 def test_winnowing_lsh_screen_no_loss_in_exact_regime(spark):
     """The bottom-k KMV screen is EXACT when |A ∪ B| <= screen_k, so with
     a large screen_k the guarded form returns the identical pair set and

@@ -146,34 +146,55 @@ def main() -> None:
         pairs = (
             emb.crossJoin(F.broadcast(qa))
             .where(F.col("vec_id") != F.col("query_id"))
-            .where(
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
                 cosine(
                     F.col("embedding").cast("array<double>"),
                     F.col("__qv").cast("array<double>"),
-                )
-                >= ns.threshold
+                ).alias("__sim"),
             )
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .where(F.col("__sim") >= ns.threshold)
             .persist()
         )
-        n_true = pairs.count()
+        pairs.count()
+        # edge-less vectors are SINGLETON clusters (coalesce to own id —
+        # the registered query's assignment rule); an inner join would
+        # silently drop their pairs and overstate recall
         ca = comp.withColumnRenamed("node", "query_id").withColumnRenamed(
             "component", "__cq"
         )
         cb = comp.withColumnRenamed("node", "neighbor_id").withColumnRenamed(
             "component", "__cn"
         )
-        n_same = (
-            pairs.join(ca, "query_id")
-            .join(cb, "neighbor_id")
-            .where(F.col("__cq") == F.col("__cn"))
-            .count()
+        joined = (
+            pairs.join(ca, "query_id", "left")
+            .join(cb, "neighbor_id", "left")
+            .select(
+                "__sim",
+                (
+                    F.coalesce(F.col("__cq"), F.col("query_id"))
+                    == F.coalesce(F.col("__cn"), F.col("neighbor_id"))
+                ).alias("__same"),
+            )
+            .persist()
         )
+        # recall at the census threshold AND at duplicate tightness
+        # (0.9): the star-edge contract targets near-identical copies;
+        # loose 0.4-neighbors legitimately spread across clusters
+        rows = {}
+        for tag, cut in (("at_threshold", ns.threshold), ("tight_0.9", 0.9)):
+            sl = joined.where(F.col("__sim") >= cut)
+            n_true = sl.count()
+            n_same = sl.where("__same").count()
+            rows[tag] = {
+                "min_sim": cut,
+                "n_true_pairs": n_true,
+                "n_same_cluster": n_same,
+                "cluster_recall": round(n_same / n_true, 4) if n_true else 1.0,
+            }
         out["cluster_screen"] = {
-            "threshold": ns.threshold,
-            "n_true_pairs": n_true,
-            "n_same_cluster": n_same,
-            "cluster_recall": round(n_same / n_true, 4) if n_true else 1.0,
+            **rows,
             "sec": round(time.time() - t0, 1),
         }
 
