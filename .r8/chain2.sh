@@ -1,0 +1,20 @@
+#!/bin/sh
+cd /root/repo
+while pgrep -f "bench_heavy.py .scale/sf1000" > /dev/null; do sleep 60; done
+echo "winnow done $(date +%H:%M:%S)" >> /root/repo/.r8/chain.log
+
+# classifier sf1000 (timed, Spark-heavy) + tick 300M generation
+# (single-core Python) in parallel — ~3% CPU overlap on the timed run
+python tools/pipeline_tick_sf1.py 300000000 .scale/tick_sf300 \
+  > /root/repo/.r8/tick_300m.log 2>&1 &
+TICK=$!
+python tools/bench_heavy.py .scale/sf1000 quality_classifier_trained_eval --passes 1 --partitions 1024 \
+  > /root/repo/.r8/classifier_sf1000.log 2>&1
+echo "classifier sf1000 done $(date +%H:%M:%S)" >> /root/repo/.r8/chain.log
+wait $TICK
+echo "tick 300M done $(date +%H:%M:%S)" >> /root/repo/.r8/chain.log
+rm -rf .scale/tick_sf300
+
+python tools/bench_heavy.py .scale/sf1000 minhash_lsh_near_dups --passes 1 --partitions 1024 \
+  > /root/repo/.r8/minhash_sf1000.log 2>&1
+echo "minhash sf1000 done $(date +%H:%M:%S)" >> /root/repo/.r8/chain.log
