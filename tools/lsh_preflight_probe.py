@@ -46,13 +46,16 @@ def main() -> None:
         minhash_signatures,
     )
     from autonomous_orchestrator_ai_spark.plans.dedup_queries import (
+        _MLSH_CAP,
         _WK,
+        _WLSH_CAP,
         _WW,
         BANDS,
         MINHASH_CAND_ROW_BYTES,
         NUM_HASHES,
         WINNOW_CAND_ROW_BYTES,
         _lsh_budget_bytes,
+        _winnow_slice_budget_bytes,
     )
     from autonomous_orchestrator_ai_spark.plans.registry import table
     from autonomous_orchestrator_ai_spark.session import get_spark
@@ -90,7 +93,9 @@ def main() -> None:
     if "minhash" in fams:
         t0 = time.time()
         sigs = minhash_signatures(docs, "text", "doc_id", NUM_HASHES, 3)
-        prof = lsh_band_cost_profile(banded_of(sigs), MINHASH_CAND_ROW_BYTES)
+        prof = lsh_band_cost_profile(
+            banded_of(sigs), MINHASH_CAND_ROW_BYTES, cap=_MLSH_CAP
+        )
         prof["probe_sec"] = round(time.time() - t0, 1)
         prof["over_budget"] = prof["est_shuffle_bytes"] > out["budget_bytes"]
         out["minhash"] = prof
@@ -106,9 +111,18 @@ def main() -> None:
         sigs = minhash_signatures(
             sk, "__sks", "doc_id", NUM_HASHES, precomputed_shingles=True
         )
-        prof = lsh_band_cost_profile(banded_of(sigs), WINNOW_CAND_ROW_BYTES)
+        prof = lsh_band_cost_profile(
+            banded_of(sigs), WINNOW_CAND_ROW_BYTES, cap=_WLSH_CAP
+        )
         prof["probe_sec"] = round(time.time() - t0, 1)
         prof["over_budget"] = prof["est_shuffle_bytes"] > out["budget_bytes"]
+        # the slice auto-route's inputs (r9): guarded transient = capped
+        # candidates x ~1.1 KB screen rows vs the slice budget
+        slice_budget = _winnow_slice_budget_bytes()
+        est_guarded = prof.get("est_capped_candidate_rows", 0) * 1_100
+        prof["est_guarded_transient_bytes"] = est_guarded
+        prof["slice_budget_bytes"] = slice_budget
+        prof["auto_verify_slices"] = -(-est_guarded // slice_budget)
         out["winnow"] = prof
 
     print(json.dumps(out))
