@@ -206,6 +206,32 @@ def minhash_signatures(
     return prepared.select(F.col(id_col), *cols)
 
 
+#: default per-candidate pricing of the GUARDED screen's sliced transient
+#: (r9): a 16 B pair-shuffle row plus the ~580 B join intermediate that
+#: carries one bottom-k bigint array between the two screen joins; 600 B
+#: brackets sf100's measured ~434 B/candidate peak with margin.
+SLICE_ROW_BYTES_DEFAULT = 600
+
+
+def _nudge_shuffle_cleanup(spark) -> None:
+    """Ask the JVM to garbage-collect so ContextCleaner can delete the
+    shuffle files a just-checkpointed slice no longer references.
+
+    Why (r9 — the bounded-transient verify mode): ``localCheckpoint``
+    truncates lineage, making the slice's ShuffleDependency objects
+    unreachable, but Spark's ContextCleaner only DELETES the shuffle
+    files after a JVM GC collects those objects and fires their weak
+    references. Between sequential slices there is little allocation
+    pressure, so an idle driver can sit on tens of GB of dead shuffle
+    files — precisely the disk the next slice needs. An explicit
+    System.gc() between slices bounds that lag. Best-effort: failure to
+    nudge only delays cleanup, never affects results."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def lsh_band_cost_profile(
     banded: DataFrame, bytes_per_candidate_row: int = 20, cap: int | None = None
 ) -> dict:
@@ -924,7 +950,7 @@ def winnowing_near_duplicates_lsh(
     guard_decision: dict | None = None,
     verify_slices: int | None = None,
     slice_budget_bytes: int | None = None,
-    slice_row_bytes: int = 1_100,
+    slice_row_bytes: int = SLICE_ROW_BYTES_DEFAULT,
 ) -> DataFrame:
     """Scale form of ``winnowing_near_duplicates``: MinHash-LSH over the
     winnowing SKETCH SETS (each doc's sketch hashes, stringified, play the
@@ -978,31 +1004,38 @@ def winnowing_near_duplicates_lsh(
     estimate replays in the DuckDB oracle, so the route can never
     diverge. ``guard_decision`` receives the estimate and outcome.
 
-    ``verify_slices`` (r8 — the sf1000 ENOSPC diagnosis) runs the screen
-    + verify over candidate pairs in N SEQUENTIAL hash-slices, each
-    localCheckpointed, capping the simultaneous shuffle transient at
-    ~1/N of the total. The union of disjoint slices is exactly the
-    unsliced result — no recall trade, no oracle change — at the cost of
-    re-running the candidate semi-joins per slice. Use when the corpus's
-    total verify transient exceeds the host's spill disk (winnowing at
-    50M docs needed ~3x this host's 78 GB); a cluster achieves the same
-    with aggregate spill capacity. None/1 = single-pass (default).
+    ``verify_slices`` (r8 — the sf1000 ENOSPC diagnosis; phases hoisted
+    r9) runs the screen, then the verify, over candidate pairs in
+    SEQUENTIAL hash-slices, each localCheckpointed, capping the
+    simultaneous shuffle transient at ~1/N of the total. The union of
+    disjoint slices is exactly the unsliced result — no recall trade, no
+    oracle change. Both per-doc payload tables (the bottom-k screen
+    table and the candidate-restricted full-sketch table) are built ONCE
+    and persisted hash-partitioned on the doc id, so each slice's joins
+    read them in place — per-slice cost tracks the slice, not the
+    corpus. Use when the corpus's total verify transient exceeds the
+    host's spill disk (winnowing at 50M docs needed ~3x this host's
+    78 GB); a cluster achieves the same with aggregate spill capacity.
+    None/1 = single-pass (default).
 
     ``slice_budget_bytes`` (r9, VERDICT r8 item 2) AUTO-ROUTES the slice
     count from the same pre-flight that routes the guards, closing the
     last human-set scale knob: when ``verify_slices`` is not explicitly
-    given, N = ceil(est_transient / slice_budget_bytes), where
-    est_transient prices the branch actually taken — the guarded branch
-    at ``est_capped_candidate_rows x slice_row_bytes`` (each screen row
-    ships two bottom-``screen_k`` bigint arrays, ~1.1 KB at k=64; the
-    verify of the screen's thin survivor band rides inside the same
-    constant) and the unguarded branch at the existing
+    given, the SCREEN slice count is N = ceil(est_transient /
+    slice_budget_bytes), where est_transient prices the branch actually
+    taken — the guarded branch at ``est_capped_candidate_rows x
+    slice_row_bytes`` (per screened candidate: a 16 B pair-shuffle row
+    plus the ~580 B join intermediate carrying one bottom-``screen_k``
+    bigint array; 600 B default brackets sf100's measured ~434 B/cand
+    peak) and the unguarded branch at the existing
     ``est_candidate_rows x guard_row_bytes`` (full sketch arrays, no
-    screen). N <= 1 keeps the single-pass plan, so small corpora are
-    untouched; the slicing itself is result-invariant (disjoint
-    hash-slice union), so the oracle never sees this decision. Requires
-    ``guard_budget_bytes`` (the pre-flight must run). An explicit
-    ``verify_slices`` overrides the auto route.
+    screen). The VERIFY slice count is then priced at RUNTIME from the
+    counted screen survivors x ``guard_row_bytes``, since the screen
+    typically discards most candidates. N <= 1 keeps the single-pass
+    plan, so small corpora are untouched; the slicing itself is
+    result-invariant (disjoint hash-slice union), so the oracle never
+    sees this decision. Requires ``guard_budget_bytes`` (the pre-flight
+    must run). An explicit ``verify_slices`` overrides both counts.
 
     Recall trades (all documented, none affecting reported values): banded
     MinHash misses low-Jaccard/high-containment pairs (unequal sizes);
@@ -1085,15 +1118,11 @@ def winnowing_near_duplicates_lsh(
             verify_slices = int(n_auto)
     num, den = screen_cut if screen_cut is not None else (9, 20)
 
-    def _screen(
-        cands_in: DataFrame, caches: list[DataFrame]
-    ) -> DataFrame:
+    def _bk_table(cands_in: DataFrame) -> DataFrame:
         # bounded sub-sketch per CANDIDATE doc: (id, size, bottom-k) is
-        # 8·k bytes of payload however long the document is. Persisted —
-        # BOTH join sides below consume it — with the handle returned via
-        # ``caches`` so the caller releases it once downstream
-        # materializes.
-        bk_in = _restrict_to_candidates(
+        # 8·k bytes of payload however long the document is. ONE corpus
+        # sketch scan, restricted map-side to candidate docs.
+        return _restrict_to_candidates(
             sk.select(
                 F.col(id_col),
                 F.col("__sz"),
@@ -1101,8 +1130,9 @@ def winnowing_near_duplicates_lsh(
             ),
             cands_in,
             id_col,
-        ).persist()
-        caches.append(bk_in)
+        )
+
+    def _screen_join(cands_in: DataFrame, bk_in: DataFrame) -> DataFrame:
         ba = bk_in.select(
             F.col(id_col).alias("id_a"),
             F.col("__bk").alias("__bka"),
@@ -1141,19 +1171,12 @@ def winnowing_near_duplicates_lsh(
             .select("id_a", "id_b")
         )
 
-    def _verify(
-        cands_in: DataFrame, caches: list[DataFrame] | None = None
-    ) -> DataFrame:
+    def _verify_join(cands_in: DataFrame, skr: DataFrame) -> DataFrame:
         # the round-7 sf100 probe: verifying against the corpus-wide
         # persisted sketch table OOM'd the executor heap at 5M docs (the
-        # sketch arrays are the fat column); candidate-only sketches are
-        # pair-scale. Persisted (both join sides consume it); in the
-        # unsliced path it stays cached because the RETURNED lazy plan
-        # still reads it (module caching contract); sliced callers pass
-        # ``caches`` and release it once the slice is checkpointed.
-        skr = _restrict_to_candidates(sk, cands_in, id_col).persist()
-        if caches is not None:
-            caches.append(skr)
+        # sketch arrays are the fat column); ``skr`` is the
+        # candidate-restricted sketch table (pair-scale), built ONCE by
+        # the caller and persisted there (both join sides consume it).
         a = skr.select(
             F.col(id_col).alias("id_a"),
             F.col("__skn").alias("__ska"),
@@ -1179,69 +1202,118 @@ def winnowing_near_duplicates_lsh(
             .select("id_a", "id_b", "shared", "containment")
         )
 
-    if verify_slices is not None and verify_slices > 1:
-        # Bounded-transient mode (r8 — the sf1000 ENOSPC diagnosis): the
-        # screen + verify transients are LINEAR in candidate volume with
-        # a per-row constant (bottom-k arrays, then full sketch arrays),
-        # so one octave past the last measured scale their simultaneous
-        # shuffle footprint exceeds any FIXED single-host disk (winnowing
-        # at 50M docs needed ~3x this host's 78 GB and died on ENOSPC at
-        # 2h04m). Slicing candidate pairs by a hash of (id_a, id_b) and
-        # running screen+verify per slice as SEQUENTIAL jobs caps the
-        # simultaneous transient at ~1/N of the total: each slice's
-        # survivors are localCheckpointed (truncating lineage so the
-        # slice's shuffle files become collectable before the next slice
-        # runs) and the union of disjoint slices is EXACTLY the unsliced
-        # result — same pairs, same values, no recall trade, no oracle
-        # change. The cost is re-running the candidate semi-joins once
-        # per slice (N linear scans of the sketch expression) — the
-        # classic time-for-space trade, and the single-host stand-in for
-        # what a cluster buys with aggregate spill capacity.
-        parts = []
-        for i in range(verify_slices):
-            sl = cands.where(
-                F.pmod(F.xxhash64(F.col("id_a"), F.col("id_b")), F.lit(verify_slices))
-                == i
-            )
-            slice_caches: list[DataFrame] = []
-            if screen_on:
-                # persist the screened slice (r9, ADVICE r8): _verify
-                # consumes it TWICE (the _restrict_to_candidates semi-join
-                # and the verify join's left side) — without the cache the
-                # screen's bottom-k joins recompute per consumer per slice,
-                # mirroring the unsliced path's persist
-                sl = _screen(sl, slice_caches).persist()
-                slice_caches.append(sl)
-            out_i = _verify(sl, slice_caches)
-            parts.append(out_i.localCheckpoint(eager=True))
-            for c in slice_caches:
-                c.unpersist()
+    def _hash_slice(pairs: DataFrame, n: int, i: int) -> DataFrame:
+        return pairs.where(
+            F.pmod(F.xxhash64(F.col("id_a"), F.col("id_b")), F.lit(n)) == i
+        )
+
+    def _union_checkpoints(parts: list[DataFrame]) -> DataFrame:
         result = parts[0]
         for p in parts[1:]:
             result = result.unionByName(p)
-        # every slice is checkpointed — release the candidate cache AND
-        # the corpus-scale banded cache inside lsh_candidate_pairs (r9,
-        # ADVICE r8: the handle is threaded out via ``upstream_caches``;
-        # before, it stayed pinned for the session in precisely the
-        # bounded-disk mode this path exists for)
-        cands.unpersist()
+        return result
+
+    if verify_slices is not None and verify_slices > 1:
+        # Bounded-transient mode (r8 — the sf1000 ENOSPC diagnosis; phase
+        # restructure r9): the screen + verify transients are LINEAR in
+        # candidate volume with a per-row constant (bottom-k arrays, then
+        # full sketch arrays), so one octave past the last measured scale
+        # their simultaneous shuffle footprint exceeds any FIXED
+        # single-host disk (winnowing at 50M docs needed ~3x this host's
+        # 78 GB and died on ENOSPC at 2h04m). Slicing candidate pairs by
+        # a hash of (id_a, id_b) and running screen, then verify, as
+        # SEQUENTIAL jobs caps the simultaneous transient at ~1/N of the
+        # total: each slice's output is localCheckpointed (truncating
+        # lineage so its shuffle files become collectable before the next
+        # slice runs) and the union of disjoint slices is EXACTLY the
+        # unsliced result — same pairs, same values, no recall trade, no
+        # oracle change.
+        #
+        # The r8 version recomputed TWO corpus-scale sketch scans per
+        # slice (the bottom-k build and the verify restrict both chained
+        # back to the raw text scan), so its cost grew with N x corpus —
+        # at 50M docs each scan is tens of minutes, making N>=8
+        # infeasible. r9 hoists both payload tables out of the loop,
+        # built ONCE and persisted HASH-PARTITIONED ON THE DOC ID: a
+        # projection that merely renames id -> id_a/id_b preserves the
+        # cache's outputPartitioning (alias-aware), so EVERY slice's
+        # equi-join reads the cache in place and only the slice's own
+        # pair-scale rows are exchanged. Per-slice transient ~
+        # |slice| x payload row; per-slice corpus cost ZERO. (Same cache
+        # pattern the banded index uses, measured at sf100.)
+        spark = df.sparkSession
+        # materialize the candidate cache NOW and drop the corpus-scale
+        # banded index before any payload phase runs: in bounded-disk
+        # mode every pinned GB is a GB the slice transients can't spill
+        # into (the banded cache is ~15 GB at 50M docs and is only
+        # needed to BUILD cands)
+        cands.count()
         for c in upstream_caches:
             c.unpersist()
+        _nudge_shuffle_cleanup(spark)
+        target = cands
+        n_screen = verify_slices
+        if screen_on:
+            bk_all = _bk_table(cands).repartition(F.col(id_col)).persist()
+            surv_parts = []
+            for i in range(n_screen):
+                surv_parts.append(
+                    _screen_join(_hash_slice(cands, n_screen, i), bk_all)
+                    .localCheckpoint(eager=True)
+                )
+                _nudge_shuffle_cleanup(spark)
+            target = _union_checkpoints(surv_parts)
+            bk_all.unpersist()
+        # the verify's slice count is RUNTIME-priced: survivors are now
+        # counted (checkpointed parts — a cheap count), and each verify
+        # row ships two full sketch arrays (~guard_row_bytes). The screen
+        # typically discards most candidates, so m << n_screen.
+        skr_all = (
+            _restrict_to_candidates(sk, target, id_col)
+            .repartition(F.col(id_col))
+            .persist()
+        )
+        if slice_budget_bytes is not None:
+            n_pairs = target.count()
+            m = max(1, -(-(n_pairs * guard_row_bytes) // slice_budget_bytes))
+            decision["verify_pairs"] = n_pairs
+        else:
+            m = verify_slices
+        decision["screen_slices"] = n_screen if screen_on else 0
+        decision["verify_slices_effective"] = int(m)
+        out_parts = []
+        for j in range(int(m)):
+            out_parts.append(
+                _verify_join(_hash_slice(target, int(m), j), skr_all)
+                .localCheckpoint(eager=True)
+            )
+            _nudge_shuffle_cleanup(spark)
+        result = _union_checkpoints(out_parts)
+        # every slice is checkpointed — release the sketch cache and the
+        # candidate cache (the banded cache was already dropped the
+        # moment cands materialized; r9, ADVICE r8: its handle is
+        # threaded out via ``upstream_caches`` — before, it stayed
+        # pinned for the session in precisely the bounded-disk mode this
+        # path exists for)
+        skr_all.unpersist()
+        cands.unpersist()
         return result
 
     if screen_on:
         pre_screen = cands
-        screen_caches: list[DataFrame] = []
-        cands = _screen(pre_screen, screen_caches).persist()
+        bk = _bk_table(pre_screen).persist()
+        cands = _screen_join(pre_screen, bk).persist()
         # materialize the screened frame, then release the superseded
         # caches (r8, ADVICE r7): without this the pre-screen candidate
         # frame and the bottom-k table stay pinned for the session even
         # though only the screened frame is read downstream
         cands.count()
         pre_screen.unpersist()
-        for c in screen_caches:
-            c.unpersist()
-    return _verify(cands)
+        bk.unpersist()
+    # persisted: the returned lazy plan reads it twice (semi-join +
+    # verify join left side) — module caching contract, unsliced path
+    skr = _restrict_to_candidates(sk, cands, id_col).persist()
+    return _verify_join(cands, skr)
 
 
 # ---------------------------------------------------------------------------

@@ -671,10 +671,14 @@ def test_winnowing_auto_slice_route_from_preflight(spark):
         )
         return out, dec
 
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        SLICE_ROW_BYTES_DEFAULT,
+    )
+
     single, dec_single = run(10**18)
     assert dec_single["auto_verify_slices"] <= 1
     assert dec_single["est_transient_bytes"] == (
-        dec_single["est_capped_candidate_rows"] * 1_100
+        dec_single["est_capped_candidate_rows"] * SLICE_ROW_BYTES_DEFAULT
     )
     # budget sized to a third of the estimate -> N flips to >= 2
     tight = max(1, dec_single["est_transient_bytes"] // 3)

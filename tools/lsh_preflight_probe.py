@@ -117,9 +117,15 @@ def main() -> None:
         prof["probe_sec"] = round(time.time() - t0, 1)
         prof["over_budget"] = prof["est_shuffle_bytes"] > out["budget_bytes"]
         # the slice auto-route's inputs (r9): guarded transient = capped
-        # candidates x ~1.1 KB screen rows vs the slice budget
+        # candidates x the per-candidate screen-row price vs the budget
+        from autonomous_orchestrator_ai_spark.operators.dedup import (
+            SLICE_ROW_BYTES_DEFAULT,
+        )
+
         slice_budget = _winnow_slice_budget_bytes()
-        est_guarded = prof.get("est_capped_candidate_rows", 0) * 1_100
+        est_guarded = (
+            prof.get("est_capped_candidate_rows", 0) * SLICE_ROW_BYTES_DEFAULT
+        )
         prof["est_guarded_transient_bytes"] = est_guarded
         prof["slice_budget_bytes"] = slice_budget
         prof["auto_verify_slices"] = -(-est_guarded // slice_budget)
