@@ -12,8 +12,15 @@
 #   2. tools/check_oracle.py at sf0.1 -> ORACLE_sf0.1_<round>.md (full
 #      registry, Spark vs DuckDB exact value compare)
 #   3. bench.py at sf0.1 -> BENCH_sf0.1_<round>.json (headline timings)
+#   4. tools/lsh_preflight_probe.py at sf0.1 -> LSH_PREFLIGHT_<round>.json
+#      (r9, VERDICT r8 item 10: the guard-route calibration regenerates
+#      every round instead of living as a one-off tool run, with a drift
+#      check — the sf0.1 minhash/winnow candidate profiles must stay
+#      within 2x of the r8-recorded anchors, else the priced constants
+#      (20 B / 10 KB per candidate) need re-deriving before the routes
+#      can be trusted)
 #
-# Run it AFTER the round's last engine change and commit the three
+# Run it AFTER the round's last engine change and commit the four
 # artifacts together.
 set -e
 ROUND="${1:?usage: sh tools/refresh_evidence.sh <round-tag, e.g. r8>}"
@@ -53,3 +60,29 @@ EOF
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py 2>/dev/null \
   | tail -1 > "BENCH_sf0.1_${ROUND}.json"
 echo "wrote BENCH_sf0.1_${ROUND}.json"
+
+python tools/lsh_preflight_probe.py /root/testdata/sf0.1 2>/dev/null \
+  | tail -1 > "LSH_PREFLIGHT_${ROUND}.json"
+python - "$ROUND" <<'EOF'
+import json, sys
+round_tag = sys.argv[1]
+cur = json.load(open(f"LSH_PREFLIGHT_{round_tag}.json"))
+# sf0.1 anchors measured on the r9 tree (minhash 1,420 / winnow 43,874
+# candidate rows at 5,000 docs; consistent with LSH_PREFLIGHT_r8's sf10
+# profiles — the fixture's hot-bucket mass concentrates as replicas are
+# added, so small-scale profiles sit below exact /100 of sf10). If the
+# profile drifts past 2x the anchor, the banding or the priced constants
+# changed and the route crossovers must be re-derived.
+ANCHORS = {"minhash": 1420, "winnow": 43874}
+for fam, anchor in ANCHORS.items():
+    got = cur.get(fam, {}).get("est_candidate_rows")
+    assert got is not None, f"{fam}: probe emitted no profile"
+    ratio = got / anchor
+    assert 0.5 <= ratio <= 2.0, (
+        f"{fam}: sf0.1 candidate profile drifted {ratio:.2f}x from the "
+        f"r8 anchor ({got} vs ~{anchor:.0f}) — re-derive the guard-route "
+        "constants before trusting the cost routes"
+    )
+    print(f"{fam}: est_candidate_rows={got} ({ratio:.2f}x of anchor) OK")
+print(f"wrote LSH_PREFLIGHT_{round_tag}.json")
+EOF
