@@ -941,13 +941,58 @@ def _lsh_disagreement_sql(
     )
 
 
-#: hot-bucket guard for the corpus-wide screen: auto_planes holds the
-#: EXPECTED bucket at ~64, but a corpus with mass near-duplication packs
-#: whole duplicate clusters into single buckets and the bucket join goes
-#: quadratic in the hot bucket's size (sf100: ~1000 near-copies per base
-#: vector -> >78 GB shuffle spill, found by the round-6 octave probe).
-#: Capping at the expected size means the guard binds ONLY on skew.
-_SCREEN_BUCKET_CAP = 64
+#: CAP POLICY, SPLIT BY PURPOSE (r9, VERDICT r8 item 7 — justified by the
+#: measured recall tables in RECALL_SCREENS_*.json):
+#:
+#: SCREENING (this module's corpus-wide mislabel screen): cap 64 = the
+#: auto_planes expected bucket size, so the guard binds only on skew.
+#: The r8 sf10 recall table prices it: banding costs 0.4% of exact top-5,
+#: the cap-64 sample a further ~16% of neighbor IDENTITY — acceptable
+#: here because the screen consumes neighbor LABELS, and the same-cluster
+#: stand-ins the cap substitutes carry the same labels. Without the cap,
+#: a mass-duplicated corpus (~1000 near-copies per base vector at sf100)
+#: makes the bucket join quadratic in hot-bucket size (measured >78 GB
+#: spill, round-6 octave probe).
+#:
+#: SERVING (similarity_queries.lsh_ann_topk, operators/ann_index.py):
+#: UNCAPPED (SERVING_BUCKET_CAP = None) — identity recall IS the product
+#: there, a ~16% loss is not acceptable, and serving query sets are small
+#: (bounded probe fan-out per query), so the hot-bucket quadratic never
+#: materializes: per-query cost is n_tables x bucket size, not
+#: bucket-size squared. A skew-exposed serving deployment should set a
+#: HIGH cap (>= 256) rather than 64: the loss comes from sampling inside
+#: duplicate clusters, and it shrinks as the cap covers the cluster.
+SCREENING_BUCKET_CAP = 64
+SERVING_BUCKET_CAP: int | None = None
+_SCREEN_BUCKET_CAP = SCREENING_BUCKET_CAP
+
+#: cost-routed multiprobe for the corpus-wide screen (r9, VERDICT r8
+#: item 6): at 2k vectors / 5 planes the own-bucket single-probe screen
+#: is candidate-starved (measured recall@5 = 0.348 at sf0.1 — the
+#: no-duplicate-cluster floor), while 1-bit multiprobe multiplies
+#: candidates by (1 + n_planes) = O(log n) — measured ~1000 s vs ~60 s
+#: at sf10 for the same screening answer. So the probe set is ROUTED by
+#: the same replayable integer pricing as the dedup guards: multiprobed
+#: candidate volume ~= n_queries x n_tables x (1 + n_planes) x cap rows
+#: x ~20 B; enable the flips only under the budget. 256 MiB puts the
+#: crossover between sf0.1 (61 MB -> ON, recall floor lifted) and sf1
+#: (~0.9 GB -> OFF) — small corpora get the recall, corpus-scaled
+#: screens keep the linear fan-out. Both engines compute the identical
+#: estimate (DuckDB counts the parquet), so the probe set can never
+#: diverge between the query and its oracle.
+_SCREEN_PROBE_ROW_BYTES = 20
+_SCREEN_PROBE_BUDGET_BYTES = 256 * 1024**2
+
+
+def _screen_multiprobe_route(n_vectors: int, n_planes: int) -> bool:
+    est = (
+        n_vectors
+        * 4
+        * (1 + n_planes)
+        * SCREENING_BUCKET_CAP
+        * _SCREEN_PROBE_ROW_BYTES
+    )
+    return est <= _SCREEN_PROBE_BUDGET_BYTES
 
 
 def _lsh_disagreement_oracle(sf_dir: str) -> str:
@@ -967,13 +1012,16 @@ def _lsh_disagreement_oracle(sf_dir: str) -> str:
     n = duckdb.sql(
         f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
     ).fetchone()[0]
+    planes = auto_planes(n)
     return _lsh_disagreement_sql(
         k=5,
-        n_planes=auto_planes(n),
+        n_planes=planes,
         n_tables=4,
         dim=64,
         seed=42,
-        multiprobe=False,
+        # identical integer route as the Spark plan (r9): 1-bit flips
+        # only when the priced multiprobe fan-out fits the budget
+        multiprobe=_screen_multiprobe_route(n, planes),
         bucket_cap=_SCREEN_BUCKET_CAP,
     )
 
@@ -1001,18 +1049,23 @@ def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the comparison scales (<=500 vectors), so the SQL stays exact
     # where the driver checks it and the query stays linear above.
     # every vector is a query -> the probe side is corpus-scaled: shuffle
-    # the bucket join instead of broadcasting it, and probe the OWN
-    # bucket only (multiprobe_bits=0). With auto_planes holding expected
-    # bucket size constant, own-bucket candidates per query are
-    # corpus-INDEPENDENT (~n_tables x target_bucket) so total screen work
-    # is linear in n; 1-bit multiprobe would multiply candidates by
-    # (1 + n_planes) = O(log n) — measured at sf10 that was the
-    # difference between ~1000 s and ~60 s for identical screen purpose.
-    # Multiprobe stays on for SERVING (small query sets), where recall
-    # per query matters more than corpus-scaled probe fan-out.
+    # the bucket join instead of broadcasting it. The probe SET is
+    # cost-routed (r9, VERDICT r8 item 6): own-bucket-only keeps screen
+    # work linear in n (candidates per query ~n_tables x target_bucket,
+    # corpus-independent under auto_planes) but starves small corpora —
+    # measured recall@5 = 0.348 at 2k vectors / 5 planes, where 1-bit
+    # flips are nearly free. _screen_multiprobe_route prices the
+    # multiprobed fan-out with the same integer formula the oracle
+    # replays, so flips engage exactly when they're affordable (sf0.1:
+    # 61 MB -> ON) and stay off where they multiplied the screen ~17x
+    # (~1000 s vs ~60 s at sf10). Serving paths (small query sets)
+    # always multiprobe — see the cap-policy note above.
+    n_vecs = emb.count()
+    planes = auto_planes(n_vecs)
     nn = lsh_bucketed_topk(
-        emb, emb, k=5, n_planes=auto_planes(emb.count()), n_tables=4,
-        dim=64, broadcast_queries=False, multiprobe_bits=0,
+        emb, emb, k=5, n_planes=planes, n_tables=4,
+        dim=64, broadcast_queries=False,
+        multiprobe_bits=1 if _screen_multiprobe_route(n_vecs, planes) else 0,
         max_bucket_candidates=_SCREEN_BUCKET_CAP,
     )
     labels = emb.select("vec_id", "label")

@@ -55,6 +55,65 @@ def test_lsh_recall_on_testdata(spark):
     assert recall >= 0.6, f"recall {recall}"
 
 
+def test_screen_multiprobe_route_boundaries():
+    """The corpus-wide screen's probe set is cost-routed (r9, VERDICT r8
+    item 6): 1-bit flips engage exactly when the priced multiprobe
+    fan-out (n x tables x (1+planes) x cap x 20 B) fits the budget — ON
+    at the sf0.1-like scales where own-bucket probing is starved
+    (recall@5 floor 0.348), OFF from ~sf1 up where flips multiply screen
+    work ~(1+planes)x. Pure integer arithmetic, replayed verbatim by the
+    DuckDB oracle builder."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        auto_planes,
+    )
+    from autonomous_orchestrator_ai_spark.plans.ml_queries import (
+        _screen_multiprobe_route,
+    )
+
+    # sf0.01 (500 vecs) and sf0.1 (2k vecs): starved regime, route ON
+    assert _screen_multiprobe_route(500, auto_planes(500)) is True
+    assert _screen_multiprobe_route(2_000, auto_planes(2_000)) is True
+    # sf1 (20k) and the corpus-scaled screens: route OFF
+    assert _screen_multiprobe_route(20_000, auto_planes(20_000)) is False
+    assert _screen_multiprobe_route(200_000, auto_planes(200_000)) is False
+
+
+def test_screen_multiprobe_lifts_small_corpus_recall(spark):
+    """The routed flips exist to lift the small-corpus recall floor: on
+    the sf0.001 embeddings with the screen's exact configuration (auto
+    planes, cap 64), 1-bit multiprobe must find a strict superset of the
+    own-bucket screen's exact-top-5 hits."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        auto_planes,
+    )
+    from autonomous_orchestrator_ai_spark.plans.ml_queries import (
+        _SCREEN_BUCKET_CAP,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    planes = auto_planes(n)
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+
+    def hits(bits):
+        found = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_bucketed_topk(
+                emb, q, k=5, n_planes=planes, n_tables=4,
+                multiprobe_bits=bits,
+                max_bucket_candidates=_SCREEN_BUCKET_CAP,
+            ).collect()
+        }
+        return len(found & exact)
+
+    own, probed = hits(0), hits(1)
+    assert probed > own, (own, probed)
+
+
 def test_embedding_near_duplicates(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -46,6 +46,10 @@ def main() -> None:
     p.add_argument("--threshold", type=float, default=0.4)
     p.add_argument("--partitions", type=int, default=128)
     p.add_argument("--skip-clusters", action="store_true")
+    p.add_argument(
+        "--caps", type=int, nargs="*", default=[],
+        help="extra bucket caps to measure (e.g. 256 for the serving row)",
+    )
     ns = p.parse_args()
 
     from pyspark.sql import functions as F
@@ -101,12 +105,12 @@ def main() -> None:
     )
     out["exact_sec"] = round(time.time() - t0, 1)
 
-    def screen(cap):
+    def screen(cap, bits=0):
         t0 = time.time()
         got = topk_sets(
             lsh_bucketed_topk(
                 emb, q, k=ns.k, n_planes=planes, n_tables=4,
-                multiprobe_bits=0, broadcast_queries=True,
+                multiprobe_bits=bits, broadcast_queries=True,
                 max_bucket_candidates=cap,
             ).select("query_id", "neighbor_id")
         )
@@ -128,6 +132,25 @@ def main() -> None:
         "capped_sec": t_cap,
         "bucket_cap": 64,
     }
+
+    # the REGISTERED screen's routed probe set (r9, VERDICT r8 item 6):
+    # 1-bit flips engage exactly when the priced fan-out fits the budget
+    from autonomous_orchestrator_ai_spark.plans.ml_queries import (
+        _screen_multiprobe_route,
+    )
+
+    routed_bits = 1 if _screen_multiprobe_route(n_corpus, planes) else 0
+    routed, t_routed = screen(64, bits=routed_bits)
+    out["knn_screen"]["routed_multiprobe_bits"] = routed_bits
+    out["knn_screen"]["routed_vs_exact_recall"] = recall(routed, exact)
+    out["knn_screen"]["routed_sec"] = t_routed
+
+    # cap-policy split rows (r9, VERDICT r8 item 7): measure serving-ish
+    # cap settings to show where the cap-64 identity loss recovers
+    for cap in ns.caps:
+        got, t_c = screen(cap)
+        out["knn_screen"][f"cap{cap}_vs_exact_recall"] = recall(got, exact)
+        out["knn_screen"][f"cap{cap}_sec"] = t_c
 
     if not ns.skip_clusters:
         t0 = time.time()
