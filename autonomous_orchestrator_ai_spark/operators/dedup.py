@@ -212,6 +212,14 @@ def minhash_signatures(
 #: brackets sf100's measured ~434 B/candidate peak with margin.
 SLICE_ROW_BYTES_DEFAULT = 600
 
+#: sanity bound on the AUTO-routed slice count: each slice pays a fixed
+#: job-submission + checkpoint overhead, so past ~64 slices the overhead
+#: dominates any transient saved — a misconfigured (tiny) budget should
+#: degrade to a slow-but-sane plan, not tens of thousands of jobs. An
+#: EXPLICIT verify_slices is not capped (the human override stays an
+#: override).
+MAX_AUTO_SLICES = 64
+
 
 def _nudge_shuffle_cleanup(spark) -> None:
     """Ask the JVM to garbage-collect so ContextCleaner can delete the
@@ -1111,11 +1119,12 @@ def winnowing_near_duplicates_lsh(
         else:
             est_transient = decision.get("est_shuffle_bytes", 0)
         n_auto = -(-est_transient // slice_budget_bytes)  # ceil div
+        n_auto = min(int(n_auto), MAX_AUTO_SLICES)
         decision["est_transient_bytes"] = est_transient
         decision["slice_budget_bytes"] = slice_budget_bytes
-        decision["auto_verify_slices"] = int(n_auto)
+        decision["auto_verify_slices"] = n_auto
         if n_auto > 1:
-            verify_slices = int(n_auto)
+            verify_slices = n_auto
     num, den = screen_cut if screen_cut is not None else (9, 20)
 
     def _bk_table(cands_in: DataFrame) -> DataFrame:
@@ -1276,6 +1285,7 @@ def winnowing_near_duplicates_lsh(
         if slice_budget_bytes is not None:
             n_pairs = target.count()
             m = max(1, -(-(n_pairs * guard_row_bytes) // slice_budget_bytes))
+            m = min(m, MAX_AUTO_SLICES)
             decision["verify_pairs"] = n_pairs
         else:
             m = verify_slices

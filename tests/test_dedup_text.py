@@ -688,6 +688,34 @@ def test_winnowing_auto_slice_route_from_preflight(spark):
     release_session_storage(spark)
 
 
+def test_registered_winnowing_auto_slices_result_invariant(spark, monkeypatch):
+    """Through the REGISTRY path: shrinking the slice budget env forces
+    the auto route to slice the screen+verify, and the result stays
+    identical to the single-pass default — the oracle never sees the
+    decision, at any budget."""
+    from autonomous_orchestrator_ai_spark.plans import dedup_queries as dq
+    from autonomous_orchestrator_ai_spark.session import (
+        release_session_storage,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows():
+        return sorted(
+            map(tuple, dq.winnowing_near_dup_pairs_lsh_q(spark, sf).collect())
+        )
+
+    # guards forced ON (zero spill budget) so the guarded branch is the
+    # one being sliced — the sf100+ configuration
+    monkeypatch.setenv(dq.LSH_SPILL_BUDGET_ENV, "0")
+    single = rows()
+    # a 50 kB budget forces several screen AND verify slices at this
+    # corpus (est ~ hundreds of kB) without tripping MAX_AUTO_SLICES
+    monkeypatch.setenv(dq.WINNOW_SLICE_BUDGET_ENV, "50000")
+    assert rows() == single
+    release_session_storage(spark)
+
+
 def test_int_env_parse_errors_name_the_variable(monkeypatch):
     """ADVICE r8: a typo'd env value must fail with a message naming the
     variable, not an opaque bare-int() ValueError at query construction."""
