@@ -514,6 +514,9 @@ def minhash_near_duplicates(
     sample_budget_bytes: int | None = None,
     bytes_per_candidate_row: int = 20,
     guard_decision: dict | None = None,
+    verify_slices: int | None = None,
+    verify_budget_bytes: int | None = None,
+    verify_row_bytes: int = 4_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     exact Jaccard verification on candidates only -> pairs over threshold.
@@ -535,7 +538,25 @@ def minhash_near_duplicates(
     cross-replica digit-shingle buckets fatten; the cap flips on exactly
     when the replayable pre-flight estimate crosses the budget, so the
     guarded route engages BEFORE the spill disk would bind instead of
-    paying the cap's recall trade at every scale)."""
+    paying the cap's recall trade at every scale).
+
+    ``verify_budget_bytes`` / ``verify_slices`` (r9 — the winnowing
+    family's bounded-transient mode, ported): the r8 pre-flight
+    calibration proved this family's growing spill is LINEAR verify
+    payload (true pairs x two shingle arrays, ~48 GB measured at sf1000
+    for 14.4M candidates ~= ``verify_row_bytes`` 4 KB/candidate), which
+    no recall-trading cap can or should cut — projected to exhaust a
+    fixed single-host disk near sf3000. The single-host answer is
+    SEQUENCING: when the runtime-priced verify transient
+    (candidate count x ``verify_row_bytes``) exceeds
+    ``verify_budget_bytes``, the verify runs in m sequential hash-slices
+    against the once-persisted, id-partitioned candidate-shingle table,
+    each slice localCheckpointed so its shuffle files are collectable
+    before the next runs. m <= 1 (every measured scale: 57.6 GB priced
+    at sf1000 vs the 64 GiB default budget) keeps the plan BIT-IDENTICAL
+    to the unsliced form; the slicing itself is result-invariant
+    (disjoint hash-slice union), so the oracle never sees the decision.
+    An explicit ``verify_slices`` overrides the pricing."""
     df = ensure_min_parallelism(df)
     shingles = df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("__shingles")
@@ -550,6 +571,7 @@ def minhash_near_duplicates(
     )
     # persisted: consumed by the two id-projections of the semi-join AND
     # as the verify join's left side (pair-scale rows, bounded)
+    decision: dict = guard_decision if guard_decision is not None else {}
     cands = lsh_candidate_pairs(
         sigs,
         id_col,
@@ -558,28 +580,87 @@ def minhash_near_duplicates(
         max_bucket_sample=max_bucket_sample,
         sample_budget_bytes=sample_budget_bytes,
         bytes_per_candidate_row=bytes_per_candidate_row,
-        guard_decision=guard_decision,
+        guard_decision=decision,
     ).persist()
-    cand_sh = _restrict_to_candidates(
-        shingles.withColumnRenamed("__shingles", "__sh"), cands, id_col
-    ).persist()
-    a = cand_sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = cand_sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-    verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+    if verify_slices is None and verify_budget_bytes is not None and (
+        verify_budget_bytes > 0
+    ):
+        # runtime-priced sequencing decision (see docstring): the
+        # candidate cache is materialized by this count and reused by
+        # every consumer below, so the pricing costs no extra pass.
+        # (A non-positive budget disables the sequencer: it is a spill
+        # CAPACITY, unlike the guard budget's always-engage-at-0
+        # threshold semantics — slicing into max pieces on a 0-capacity
+        # host helps nothing and the shared env is pinned to 0 by the
+        # guard-route tests.)
+        n_cands = cands.count()
+        m = max(1, -(-(n_cands * verify_row_bytes) // verify_budget_bytes))
+        m = min(m, MAX_AUTO_SLICES)
+        decision["verify_cand_rows"] = n_cands
+        decision["verify_budget_bytes"] = verify_budget_bytes
+        decision["auto_verify_slices"] = int(m)
+        if m > 1:
+            verify_slices = int(m)
+
+    sh_named = shingles.withColumnRenamed("__shingles", "__sh")
+
+    def _verify_join(cands_in: DataFrame, sh_tab: DataFrame) -> DataFrame:
+        a = sh_tab.select(
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+        b = sh_tab.select(
+            F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")
+        )
+        return (
+            cands_in.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    if verify_slices is not None and verify_slices > 1:
+        # bounded-transient verify: the candidate-shingle table is built
+        # ONCE, persisted hash-partitioned on the doc id (alias-aware
+        # partitioning lets both per-slice equi-joins read it in place —
+        # same cache pattern as the winnowing sliced mode), and each
+        # sequential slice checkpoints + GC-nudges so its shuffle files
+        # free before the next slice needs the disk
+        spark = df.sparkSession
+        cand_sh = (
+            _restrict_to_candidates(sh_named, cands, id_col)
+            .repartition(F.col(id_col))
+            .persist()
+        )
+        parts = []
+        for i in range(int(verify_slices)):
+            sl = cands.where(
+                F.pmod(
+                    F.xxhash64(F.col("id_a"), F.col("id_b")),
+                    F.lit(int(verify_slices)),
+                )
+                == i
+            )
+            parts.append(
+                _verify_join(sl, cand_sh).localCheckpoint(eager=True)
+            )
+            _nudge_shuffle_cleanup(spark)
+        result = parts[0]
+        for p in parts[1:]:
+            result = result.unionByName(p)
+        cand_sh.unpersist()
+        cands.unpersist()
+        return result
+
+    cand_sh = _restrict_to_candidates(sh_named, cands, id_col).persist()
+    return _verify_join(cands, cand_sh)
 
 
 def edit_verified_near_duplicates(

@@ -268,12 +268,18 @@ def minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical estimate, so both branches stay
     hash-exact."""
     docs = table(spark, sf_dir, "documents")
+    # verify_budget_bytes (r9): the family's sf3000 wall is LINEAR verify
+    # payload (~4 KB x candidates; 57.6 GB priced at sf1000 vs the 64 GiB
+    # budget -> single-pass at every measured scale, plan bit-identical);
+    # past the budget the verify sequences into runtime-priced
+    # hash-slices — result-invariant, so the oracle is unaffected.
     return minhash_near_duplicates(
         docs, "text", "doc_id",
         num_hashes=NUM_HASHES, bands=BANDS, shingle_k=3, jaccard_threshold=0.5,
         max_bucket_sample=_MLSH_CAP,
         sample_budget_bytes=_lsh_budget_bytes(),
         bytes_per_candidate_row=MINHASH_CAND_ROW_BYTES,
+        verify_budget_bytes=_lsh_budget_bytes(),
     )
 
 

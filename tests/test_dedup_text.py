@@ -716,6 +716,43 @@ def test_registered_winnowing_auto_slices_result_invariant(spark, monkeypatch):
     release_session_storage(spark)
 
 
+def test_minhash_sliced_verify_equals_single_pass(spark):
+    """The minhash family's bounded-transient verify (r9 — the ported
+    winnowing sequencer, for the sf3000 linear-payload wall): explicit
+    slices and a runtime-priced tiny budget must both return EXACTLY the
+    single-pass pairs and jaccards; a zero budget disables the sequencer
+    (capacity semantics, unlike the guard's threshold semantics)."""
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from autonomous_orchestrator_ai_spark.plans.registry import table
+    from autonomous_orchestrator_ai_spark.session import (
+        release_session_storage,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+
+    def rows(**kw):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in minhash_near_duplicates(
+                docs, jaccard_threshold=0.2, **kw
+            ).collect()
+        )
+
+    single = rows()
+    assert rows(verify_slices=3) == single
+    dec: dict = {}
+    # ~4 candidate rows per slice: forces several slices via the pricing
+    priced = rows(verify_budget_bytes=16_000, guard_decision=dec)
+    assert dec["auto_verify_slices"] >= 2
+    assert priced == single
+    dec0: dict = {}
+    assert rows(verify_budget_bytes=0, guard_decision=dec0) == single
+    assert "auto_verify_slices" not in dec0
+    release_session_storage(spark)
+
+
 def test_int_env_parse_errors_name_the_variable(monkeypatch):
     """ADVICE r8: a typo'd env value must fail with a message naming the
     variable, not an opaque bare-int() ValueError at query construction."""
