@@ -1241,11 +1241,7 @@ PAIR_ROW_BYTES = 20
 
 
 def _spill_budget_bytes() -> int:
-    import os
-
-    return int(
-        os.environ.get(SPILL_BUDGET_ENV, str(DEFAULT_SPILL_BUDGET_BYTES))
-    )
+    return _int_env(SPILL_BUDGET_ENV, DEFAULT_SPILL_BUDGET_BYTES)
 
 
 def _exact_split_route(est_shuffle_bytes: int) -> str:
