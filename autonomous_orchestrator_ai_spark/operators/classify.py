@@ -317,6 +317,8 @@ def train_logistic_gd(
     id_col: str = "doc_id",
     rounds: int = 5,
     lr: float = 1.0,
+    early_stop: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full-batch logistic-regression GD over sparse hashed features.
 
@@ -358,6 +360,24 @@ def train_logistic_gd(
     in the parity test acknowledges exactly this) — if an oracle flake
     ever appears at a new scale, suspect a midpoint hit before suspecting
     the plan.
+
+    ``early_stop`` (default on) breaks out of the round loop at a SNAPPED
+    FIXED POINT — when a round's post-snap weight table equals the table
+    it started from. This is not an approximation: each round is a
+    deterministic function w' = f(w) of the incoming table alone (the
+    data and lr are constant across rounds), so f(w) == w means every
+    remaining round would recompute exactly w — the early exit is
+    BIT-IDENTICAL to running all ``rounds`` rounds, and the unrolled
+    DuckDB oracle (which always computes the full chain) agrees for the
+    same reason: its tail rounds are the same no-ops in its own
+    arithmetic. This matters at the fourth octave: the sf1000 probe
+    (PERF.md round 9) showed per-round cost goes disk-read-bound once
+    the feature table exceeds the storage pool, and round count is the
+    only linear multiplier of that penalty — tail rounds whose deltas
+    fall below the 1e-9 grid are pure waste. The comparison is a
+    driver-side dict equality over the already-collected model constant:
+    zero extra Spark work. ``stats``, when provided, records
+    ``rounds_run`` (the number of gradient rounds actually executed).
     """
     spark = feats.sparkSession
     fl = feats.join(labels, id_col)
@@ -378,7 +398,7 @@ def train_logistic_gd(
         (r["bucket"], 0.0)
         for r in feats.select("bucket").distinct().collect()
     ]
-    for _ in range(rounds):
+    for rnd in range(rounds):
         w = spark.createDataFrame(w_rows, schema)
         resid = (
             fl.join(F.broadcast(w), "bucket")
@@ -407,7 +427,17 @@ def train_logistic_gd(
                 WEIGHT_DECIMALS,
             ).alias("weight"),
         )
-        w_rows = [(r["bucket"], r["weight"]) for r in new_w.collect()]
+        new_rows = [(r["bucket"], r["weight"]) for r in new_w.collect()]
+        if stats is not None:
+            stats["rounds_run"] = rnd + 1
+        # snapped fixed point: identical incoming and outgoing tables mean
+        # every remaining round recomputes exactly this table (w' = f(w)
+        # depends on nothing that changes between rounds), so breaking is
+        # bit-identical to finishing the loop
+        converged = early_stop and dict(new_rows) == dict(w_rows)
+        w_rows = new_rows
+        if converged:
+            break
     fl.unpersist()
     return spark.createDataFrame(w_rows, schema)
 
