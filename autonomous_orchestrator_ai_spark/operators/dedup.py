@@ -220,6 +220,20 @@ SLICE_ROW_BYTES_DEFAULT = 600
 #: override).
 MAX_AUTO_SLICES = 64
 
+#: sort-merge double-buffering factor for the auto-routed slice pricing
+#: (r9 sf1000 post-mortem): a shuffle's on-disk peak is NOT its payload
+#: bytes — ShuffleExternalSorter holds its spill files AND the merged
+#: output file simultaneously during closeAndGetSpills, so a slice priced
+#: at B bytes of candidate payload transiently occupies ~2B of disk. The
+#: 50M-doc winnowing run died (ENOSPC, screen slice ~5 of ~10) with
+#: per-slice payload priced exactly at the 24 GiB budget while real peak
+#: hit ~2x that against ~24 GB of remaining headroom. Pricing the factor
+#: into the router halves the effective slice size; over-slicing is the
+#: cheap direction (per-slice corpus cost is zero once the payload
+#: tables are hoisted and cached — each extra slice is one more
+#: pair-scale job), under-slicing is fatal.
+SORT_MERGE_TRANSIENT_FACTOR = 2
+
 
 def _nudge_shuffle_cleanup(spark) -> None:
     """Ask the JVM to garbage-collect so ContextCleaner can delete the
@@ -594,7 +608,13 @@ def minhash_near_duplicates(
         # host helps nothing and the shared env is pinned to 0 by the
         # guard-route tests.)
         n_cands = cands.count()
-        m = max(1, -(-(n_cands * verify_row_bytes) // verify_budget_bytes))
+        m = max(
+            1,
+            -(
+                -(n_cands * verify_row_bytes * SORT_MERGE_TRANSIENT_FACTOR)
+                // verify_budget_bytes
+            ),
+        )
         m = min(m, MAX_AUTO_SLICES)
         decision["verify_cand_rows"] = n_cands
         decision["verify_budget_bytes"] = verify_budget_bytes
@@ -1199,10 +1219,18 @@ def winnowing_near_duplicates_lsh(
             )
         else:
             est_transient = decision.get("est_shuffle_bytes", 0)
-        n_auto = -(-est_transient // slice_budget_bytes)  # ceil div
+        # the ceil prices the ON-DISK peak, not the payload: sort-merge
+        # shuffle double-buffers (spills + merged file coexist), so the
+        # real transient is ~2x the payload estimate — the factor is what
+        # the sf1000 ENOSPC (screen slice loop, r9) measured the hard way
+        n_auto = -(
+            -(est_transient * SORT_MERGE_TRANSIENT_FACTOR)
+            // slice_budget_bytes
+        )  # ceil div
         n_auto = min(int(n_auto), MAX_AUTO_SLICES)
         decision["est_transient_bytes"] = est_transient
         decision["slice_budget_bytes"] = slice_budget_bytes
+        decision["transient_factor"] = SORT_MERGE_TRANSIENT_FACTOR
         decision["auto_verify_slices"] = n_auto
         if n_auto > 1:
             verify_slices = n_auto
@@ -1365,7 +1393,13 @@ def winnowing_near_duplicates_lsh(
         )
         if slice_budget_bytes is not None:
             n_pairs = target.count()
-            m = max(1, -(-(n_pairs * guard_row_bytes) // slice_budget_bytes))
+            m = max(
+                1,
+                -(
+                    -(n_pairs * guard_row_bytes * SORT_MERGE_TRANSIENT_FACTOR)
+                    // slice_budget_bytes
+                ),
+            )
             m = min(m, MAX_AUTO_SLICES)
             decision["verify_pairs"] = n_pairs
         else:

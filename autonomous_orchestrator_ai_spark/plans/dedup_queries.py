@@ -72,14 +72,21 @@ _MLSH_CAP = 64
 #: single-pass transient budget for the winnowing screen+verify (r9,
 #: VERDICT r8 item 2): when the pre-flight's GUARDED-branch transient
 #: estimate (capped candidates x ~1.1 KB screen rows) exceeds this, the
-#: operator auto-slices the screen+verify into ceil(est/budget)
-#: sequential hash-slices (result-invariant). Default 24 GiB — sized so
-#: the per-slice transient plus the pinned banded/candidate caches stay
-#: inside this host's ~73 GB scratch headroom (the r8 sf1000 run died at
-#: ~230 GB simultaneous transient); a cluster raises it to the executors'
-#: aggregate spill capacity and runs single-pass far longer.
+#: operator auto-slices the screen+verify into
+#: ceil(est x SORT_MERGE_TRANSIENT_FACTOR / budget) sequential
+#: hash-slices (result-invariant). Default 12 GiB, re-sized by the r9
+#: sf1000 ENOSPC post-mortem: the first 24 GiB default ignored (a) the
+#: ~2x sort-merge double-buffering now priced by the router's factor and
+#: (b) that by slicing time the pinned payload caches (bottom-k table,
+#: candidate cache, accumulated slice checkpoints) had already consumed
+#: ~40 GB of this host's ~94 GB scratch, leaving ~24 GB — one
+#: zero-margin slice. Budget semantics: the SPILL PEAK a single slice
+#: may occupy on top of whatever is already pinned; over-slicing is
+#: cheap (each extra slice is one pair-scale job against hoisted
+#: caches), under-slicing is an ENOSPC. A cluster raises it to the
+#: executors' aggregate spill capacity and runs single-pass far longer.
 WINNOW_SLICE_BUDGET_ENV = "SPARK_GRAFT_WINNOW_SLICE_BUDGET_BYTES"
-DEFAULT_WINNOW_SLICE_BUDGET_BYTES = 24 * 1024**3
+DEFAULT_WINNOW_SLICE_BUDGET_BYTES = 12 * 1024**3
 
 WINNOW_VERIFY_SLICES_ENV = "SPARK_GRAFT_WINNOW_VERIFY_SLICES"
 

@@ -685,6 +685,17 @@ def test_winnowing_auto_slice_route_from_preflight(spark):
     sliced, dec_sliced = run(tight)
     assert dec_sliced["auto_verify_slices"] >= 2
     assert sliced == single
+    # a budget EXACTLY equal to the payload estimate is no longer priced
+    # as a single pass (r9 sf1000 ENOSPC): the sort-merge factor prices
+    # the ~2x on-disk peak of spills + merged file, routing to 2 slices
+    from autonomous_orchestrator_ai_spark.operators.dedup import (
+        SORT_MERGE_TRANSIENT_FACTOR,
+    )
+
+    exact, dec_exact = run(dec_single["est_transient_bytes"])
+    assert dec_exact["transient_factor"] == SORT_MERGE_TRANSIENT_FACTOR
+    assert dec_exact["auto_verify_slices"] == SORT_MERGE_TRANSIENT_FACTOR
+    assert exact == single
     release_session_storage(spark)
 
 
