@@ -50,6 +50,7 @@ from autonomous_orchestrator_ai_spark.functions.text import (
 )
 from autonomous_orchestrator_ai_spark.operators.partitioning import (
     ensure_min_parallelism,
+    exploding_join_parallelism,
 )
 
 # ---------------------------------------------------------------------------
@@ -431,7 +432,9 @@ def lsh_candidate_pairs(
         # the one-aggregation pre-flight, and cap only past the budget.
         # The cap window's partitioning matches the cache distribution,
         # so enabling it adds a per-partition sort but no extra exchange.
-        banded = banded.repartition("band_id", "band_key").persist()
+        banded = banded.repartition(
+            exploding_join_parallelism(banded), "band_id", "band_key"
+        ).persist()
         if caches is not None:
             caches.append(banded)
         profile = lsh_band_cost_profile(
@@ -459,7 +462,9 @@ def lsh_candidate_pairs(
         # once and the join reads the cache with its distribution
         # requirement satisfied (same measured pattern as the
         # ngram/winnowing inverted-index caches).
-        banded = banded.repartition("band_id", "band_key").persist()
+        banded = banded.repartition(
+            exploding_join_parallelism(banded), "band_id", "band_key"
+        ).persist()
         if caches is not None:
             caches.append(banded)
 
@@ -787,7 +792,7 @@ def ngram_jaccard_pairs(
     exploded = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh"))
         .distinct()
-        .repartition("sh")
+        .repartition(exploding_join_parallelism(df), "sh")
         .persist()
     )
     if max_shingle_df is not None:
@@ -910,7 +915,7 @@ def ngram_containment_pairs(
             F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
         )
         .distinct()
-        .repartition("sh")
+        .repartition(exploding_join_parallelism(df), "sh")
         .persist()
     )
     if max_shingle_df is not None:
@@ -1008,7 +1013,7 @@ def winnowing_near_duplicates(
             F.size("__sk").alias("__sz"),
             F.explode("__sk").alias("__h"),
         )
-        .repartition("__h")
+        .repartition(exploding_join_parallelism(df), "__h")
         .persist()
     )
     if max_hash_df is not None:

@@ -95,18 +95,46 @@ def connected_components(
         else min(switch_after, max_iterations)
     )
     converged = False
-    for _ in range(prop_rounds):
+    for rnd in range(prop_rounds):
         # each node pulls its neighbors' current labels, keeps the min of
         # (own label, neighbor labels) — one shuffle join + one shuffle agg
         neighbor_labels = sym.join(
             labels, sym["d"] == labels["node"]
         ).select(sym["s"].alias("node"), "component")
-        new_labels = (
+        folded = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+        if rnd >= 2:
+            # pointer-jump (path shortcut, r9): label <- label(label). A
+            # label value is itself a node id reachable from the
+            # labelled node, so composing through it preserves the
+            # invariant (component(v) stays a reachable id, monotone
+            # decreasing) while compounding the propagation radius —
+            # reach r becomes ~2r+1 per round instead of r+1, so
+            # chain-shaped graphs converge in O(log diameter) rounds
+            # instead of O(diameter). Measured at sf0.1 the n-gram
+            # near-dup graph burned the whole switch_after budget on
+            # plain rounds (~16 sequential jobs) and THEN ran ~10 star
+            # rounds; with the jump it converges inside the propagation
+            # budget. The jump only engages from round 3: dup-cluster
+            # graphs (diameter 2-3, the common near-dup shape) have
+            # already converged by then and never pay the extra
+            # (node, label) shuffle, while long chains — the only
+            # graphs still alive here — get the exponential collapse.
+            # The fixpoint is unchanged either way (at fixpoint the
+            # neighbor-min condition alone forces labels constant per
+            # component), so results are identical.
+            jump_to = folded.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("__jc"),
+            )
+            folded = folded.join(jump_to, "component", "left").select(
+                "node",
+                F.coalesce("__jc", F.col("component")).alias("component"),
+            )
+        new_labels = folded.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -566,7 +594,16 @@ def k_core(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        weak = deg.filter(F.col("deg") < k).select("n")
+        # materialize the weak set ONCE per wave (r9): the old
+        # emptiness probe and the two anti-join branches each embedded
+        # the full degree aggregation, so every wave re-shuffled the
+        # edge list up to three times for one answer. Checkpointing
+        # weak runs the aggregation exactly once; the probe reads the
+        # cached blocks and both anti-joins broadcast the materialized
+        # (tiny) node set.
+        weak = (
+            deg.filter(F.col("deg") < k).select("n").localCheckpoint()
+        )
         if weak.limit(1).count() == 0:
             break
         e = (

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.partitioning import (
     ensure_min_parallelism,
+    exploding_join_parallelism,
 )
 
 
@@ -264,6 +265,12 @@ def lsh_bucketed_topk(
     # (same operations, same order, just not recomputed per pair); at
     # sf10 that alone cut the screen's scoring stage ~3x.
     all_planes = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    if broadcast_queries is None:
+        # bounded probe: LIMIT caps the scan, so deciding never costs a
+        # full pass over a corpus-scaled query set
+        broadcast_queries = (
+            q_base.limit(_BROADCAST_Q_MAX + 1).count() <= _BROADCAST_Q_MAX
+        )
     c = c_base.select(
         "neighbor_id",
         "__cv",
@@ -272,6 +279,19 @@ def lsh_bucketed_topk(
             "table_id", "bucket"
         ),
     )
+    if not broadcast_queries:
+        # Corpus-scaled screen: the bucket join's reduce side scores a
+        # dot product per COLLISION — its output and compute explode
+        # relative to its (few-MB of ids+buckets+vectors) input, so AQE
+        # coalesces the exchange down to 2-3 tasks and the scoring runs
+        # on 2-3 cores (measured: 8 of this query's 12 s at sf0.1 in one
+        # 3-task stage). Pin the join input to cluster parallelism with
+        # an explicit-count repartition on the join key; the cap window
+        # below and the join both reuse this single exchange. See
+        # exploding_join_parallelism.
+        c = c.repartition(
+            exploding_join_parallelism(c), "table_id", "bucket"
+        )
     if max_bucket_candidates is not None:
         # one linear window shuffle on (table_id, bucket) bounds every
         # bucket BEFORE the join — the quadratic never materializes
@@ -319,12 +339,8 @@ def lsh_bucketed_topk(
             F.explode(probe_arr).alias("bucket"),
         )
 
-    if broadcast_queries is None:
-        # bounded probe: LIMIT caps the scan, so deciding never costs a
-        # full pass over a corpus-scaled query set
-        broadcast_queries = (
-            q_base.limit(_BROADCAST_Q_MAX + 1).count() <= _BROADCAST_Q_MAX
-        )
+    if not broadcast_queries:
+        q = q.repartition(exploding_join_parallelism(q), "table_id", "bucket")
     pairs = c.join(
         F.broadcast(q) if broadcast_queries else q, ["table_id", "bucket"]
     )

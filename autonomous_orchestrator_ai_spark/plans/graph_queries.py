@@ -13,9 +13,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.graph import pagerank, triangle_stats
+from autonomous_orchestrator_ai_spark.operators.partitioning import (
+    exploding_join_parallelism,
+)
 from autonomous_orchestrator_ai_spark.plans.registry import register, table
 
 _ITERATIONS = 5
+
+
+def _copurchase_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (l_orderkey, l_partkey) projection, hash-partitioned on the
+    self-join key at full cluster parallelism. The co-purchase edge
+    derivation is an exploding equi-self-join (orders hold up to 7
+    items, so output ~ fan-out^2 per key) and its input is only a few
+    MB at bench scale — AQE coalesced the join to 3 tasks and the pair
+    explosion ran on 3 of 32 cores (measured 3-5 s of the 5-7 s query).
+    One explicit REPARTITION_BY_NUM exchange, shared by both join sides
+    via exchange reuse, pins the join stage to cluster parallelism; see
+    exploding_join_parallelism."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return li.repartition(exploding_join_parallelism(li), "l_orderkey")
 
 
 def _unrolled_pagerank_sql(iterations: int) -> str:
@@ -76,7 +93,7 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Scores are rounded to 8dp — iteration noise from summation order
     is ~1e-16 relative, far below the rounding grid.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _copurchase_input(spark, sf_dir)
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -137,7 +154,7 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle counts the same triangles via the canonical p1<p2<p3
     triple join.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _copurchase_input(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
@@ -225,7 +242,7 @@ def copurchase_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is exact even mid-peel."""
     from autonomous_orchestrator_ai_spark.operators.graph import k_core
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _copurchase_input(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, "l_orderkey")
