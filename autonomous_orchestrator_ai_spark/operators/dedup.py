@@ -236,6 +236,84 @@ MAX_AUTO_SLICES = 64
 SORT_MERGE_TRANSIENT_FACTOR = 2
 
 
+#: Cost-routed payload-table pin (r9, guide §5's caching rule made a
+#: routed decision): the LSH families each derive an expensive payload
+#: table from the raw text scan (winnowing sketch sets, shingle arrays,
+#: normalized truncated text) and consume it 2-3 times — signature build,
+#: screen table, verify restrict. At corpus scale the table is deliberately
+#: NEVER cached (the r7 sf100 probe measured a ~15 GB pinned shingle cache
+#: pushing the job into disk spill; recomputing the scan is the scale-safe
+#: trade). But below this many bytes of INPUT parquet the whole table fits
+#: trivially in the storage pool, and recomputing the per-row md5/sketch
+#: work 2-3x is the dominant query cost (measured at sf0.1: the winnowing
+#: guarded twin spends ~2.5 of its ~5 s re-deriving the sketch table).
+#: Routing the persist on the driver-side input-file size (no job, no
+#: result impact either way) keeps both regimes on their measured-best
+#: plan. 64 MiB of parquet ~= sf1 here; deserialized arrays run ~10-25x
+#: the parquet bytes, so the worst-case pin is ~1.6 GB of storage pool.
+PAYLOAD_PIN_BUDGET_ENV = "SPARK_GRAFT_PAYLOAD_PIN_BUDGET_BYTES"
+DEFAULT_PAYLOAD_PIN_BUDGET_BYTES = 64 << 20
+
+
+def _payload_pin_budget_bytes() -> int:
+    import os
+
+    raw = os.environ.get(PAYLOAD_PIN_BUDGET_ENV)
+    if raw is None or raw.strip() == "":
+        return DEFAULT_PAYLOAD_PIN_BUDGET_BYTES
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{PAYLOAD_PIN_BUDGET_ENV} must be an integer byte count "
+            f"(got {raw!r})"
+        ) from None
+
+
+def _source_input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk size of the files feeding ``df``'s scan, or None when
+    it cannot be determined (non-file source, remote scheme). Driver-side
+    metadata only — no job."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = parsed.path or uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def _pin_small_payload(
+    frame: DataFrame, source: DataFrame, caches: list[DataFrame]
+) -> DataFrame:
+    """Persist ``frame`` iff ``source``'s input files fit the pin budget
+    (see ``PAYLOAD_PIN_BUDGET_ENV``). Appends the persisted handle to
+    ``caches`` so the caller controls release. Result-invariant: the route
+    only decides whether a recomputation is cached."""
+    budget = _payload_pin_budget_bytes()
+    if budget <= 0:
+        return frame
+    size = _source_input_bytes(source)
+    if size is None or size > budget:
+        return frame
+    pinned = frame.persist()
+    caches.append(pinned)
+    return pinned
+
+
 def _nudge_shuffle_cleanup(spark) -> None:
     """Ask the JVM to garbage-collect so ContextCleaner can delete the
     shuffle files a just-checkpointed slice no longer references.
@@ -576,10 +654,16 @@ def minhash_near_duplicates(
     to the unsliced form; the slicing itself is result-invariant
     (disjoint hash-slice union), so the oracle never sees the decision.
     An explicit ``verify_slices`` overrides the pricing."""
+    source = df
     df = ensure_min_parallelism(df)
     shingles = df.select(
         F.col(id_col), word_shingles(text_col, shingle_k).alias("__shingles")
     )
+    # two consumers re-run the shingle scan (signature build, verify
+    # restrict); cost-routed pin — recompute at corpus scale (r7 lesson:
+    # a corpus-wide shingle cache spilled at sf100), cache when small
+    pin_caches: list[DataFrame] = []
+    shingles = _pin_small_payload(shingles, source, pin_caches)
     sigs = minhash_signatures(
         shingles.withColumnRenamed("__shingles", "__precomputed"),
         text_col="__precomputed",
@@ -591,6 +675,7 @@ def minhash_near_duplicates(
     # persisted: consumed by the two id-projections of the semi-join AND
     # as the verify join's left side (pair-scale rows, bounded)
     decision: dict = guard_decision if guard_decision is not None else {}
+    upstream_caches: list[DataFrame] = []
     cands = lsh_candidate_pairs(
         sigs,
         id_col,
@@ -600,6 +685,7 @@ def minhash_near_duplicates(
         sample_budget_bytes=sample_budget_bytes,
         bytes_per_candidate_row=bytes_per_candidate_row,
         guard_decision=decision,
+        caches=upstream_caches,
     ).persist()
     if verify_slices is None and verify_budget_bytes is not None and (
         verify_budget_bytes > 0
@@ -682,6 +768,8 @@ def minhash_near_duplicates(
             result = result.unionByName(p)
         cand_sh.unpersist()
         cands.unpersist()
+        for c in pin_caches + upstream_caches:
+            c.unpersist()
         return result
 
     cand_sh = _restrict_to_candidates(sh_named, cands, id_col).persist()
@@ -719,12 +807,16 @@ def edit_verified_near_duplicates(
     for CANDIDATE docs only (``_restrict_to_candidates``): at 100 TB the
     verify exchange must scale with candidate volume, not corpus volume.
     """
+    source = df
     df = ensure_min_parallelism(df)
     prepared = df.select(
         F.col(id_col),
         F.substring(normalized_text(text_col), 1, max_chars).alias("__t"),
         word_shingles(text_col, shingle_k).alias("__precomputed"),
     )
+    # normalized text + shingles feed both the signature build and the
+    # verify restrict; cost-routed pin (recompute at scale, cache small)
+    prepared = _pin_small_payload(prepared, source, [])
     sigs = minhash_signatures(
         prepared,
         text_col="__precomputed",
@@ -1171,6 +1263,7 @@ def winnowing_near_duplicates_lsh(
             "screen candidates together; a budget with no cap value would "
             "silently run unguarded at every scale)"
         )
+    source = df
     df = ensure_min_parallelism(df)
     # numeric sketch: verify/screen arithmetic on bigints (array_intersect
     # counts are identical to the stringified form — the cast is injective
@@ -1179,6 +1272,13 @@ def winnowing_near_duplicates_lsh(
     sk = df.select(
         F.col(id_col), winnowing_sketch(text_col, k, w).alias("__skn")
     ).withColumn("__sz", F.size("__skn"))
+    # the sketch table feeds THREE consumers (signatures, the bottom-k
+    # screen table, the verify restrict), each of which re-runs the
+    # text scan + sketch expression unless pinned; cost-routed on input
+    # size — corpus scale recomputes (the r7 OOM lesson), small corpora
+    # pin (r9: ~2.5 of the guarded twin's ~5 s at sf0.1 was re-sketching)
+    pin_caches: list[DataFrame] = []
+    sk = _pin_small_payload(sk, source, pin_caches)
     sigs = minhash_signatures(
         sk.select(
             F.col(id_col),
@@ -1427,19 +1527,44 @@ def winnowing_near_duplicates_lsh(
         # path exists for)
         skr_all.unpersist()
         cands.unpersist()
+        for c in pin_caches:
+            c.unpersist()
         return result
 
     if screen_on:
-        pre_screen = cands
+        # localCheckpoint instead of persist+count (r9): the screened
+        # candidate frame is pair-scale, but its LINEAGE embeds the whole
+        # banded-window self-join twice plus the bottom-k subtree — with
+        # plain persist every downstream analysis re-canonicalizes that
+        # tree against the cache registry, and the twin's construction
+        # measured ~4.5 s of driver time against ~1.7 s of execution at
+        # sf0.1. Truncating here collapses every downstream plan (the
+        # verify restrict + join see a leaf RDD scan); the data is
+        # materialized either way (the old path counted the persist
+        # eagerly too), so execution cost is unchanged.
+        # ... and the same truncation one step earlier: the raw candidate
+        # frame's lineage IS the banded self-join; checkpointing it lets
+        # the bottom-k restrict and the screen join analyze against a
+        # leaf, and the corpus-scale banded index can be released NOW
+        # (before, it stayed pinned for the whole session in the unsliced
+        # path — the sliced path already released it, ADVICE r8)
+        pre_screen = cands.localCheckpoint(eager=True)
+        cands.unpersist()
+        for c in upstream_caches:
+            c.unpersist()
         bk = _bk_table(pre_screen).persist()
-        cands = _screen_join(pre_screen, bk).persist()
-        # materialize the screened frame, then release the superseded
-        # caches (r8, ADVICE r7): without this the pre-screen candidate
-        # frame and the bottom-k table stay pinned for the session even
-        # though only the screened frame is read downstream
-        cands.count()
-        pre_screen.unpersist()
+        cands = _screen_join(pre_screen, bk).localCheckpoint(eager=True)
         bk.unpersist()
+    else:
+        # same truncation for the unguarded branch: the candidate frame
+        # is pair-scale on this route by construction (the guards engage
+        # exactly when it would not be), and its banded-self-join lineage
+        # is what every downstream analysis would otherwise re-walk
+        ck = cands.localCheckpoint(eager=True)
+        cands.unpersist()
+        for c in upstream_caches:
+            c.unpersist()
+        cands = ck
     # persisted: the returned lazy plan reads it twice (semi-join +
     # verify join left side) — module caching contract, unsliced path
     skr = _restrict_to_candidates(sk, cands, id_col).persist()
