@@ -101,26 +101,48 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = sym.select(F.col("s").alias("node")).distinct().select(
-        "node", F.col("node").alias("component")
-    ).localCheckpoint()
+    # Round 1 fused into label init (r9): with labels initialized to
+    # self, round 1's fold is exactly min(self, min(neighbors)) — one
+    # groupBy over the symmetric edge list. Materializing the identity
+    # labelling first (a distinct + checkpoint job) and then running the
+    # round + its convergence probe spent three cluster round-trips on a
+    # state this single aggregation produces; and when sym is non-empty,
+    # round 1 always changes at least one label (any edge (a, b) with
+    # a < b lowers b), so the old round-1 probe could never report
+    # convergence — skipping it is behavior-identical.
+    labels = (
+        sym.groupBy("s")
+        .agg(F.least(F.col("s"), F.min("d")).alias("component"))
+        .withColumnRenamed("s", "node")
+        .localCheckpoint()
+    )
 
     prop_rounds = (
         max_iterations
         if switch_after is None
         else min(switch_after, max_iterations)
     )
-    converged = False
-    for rnd in range(prop_rounds):
+    converged = labels.isEmpty() if prop_rounds < 2 else False
+    for rnd in range(1, prop_rounds):
         # each node pulls its neighbors' current labels, keeps the min of
-        # (own label, neighbor labels) — one shuffle join + one shuffle agg
-        neighbor_labels = sym.join(
-            labels, sym["d"] == labels["node"]
-        ).select(sym["s"].alias("node"), "component")
-        folded = (
-            labels.unionByName(neighbor_labels)
+        # (own label, neighbor labels) — one shuffle join + one shuffle
+        # agg. The old-vs-new comparison rides along as an in-plan flag
+        # (min-propagation is monotone decreasing, so "changed" is
+        # exactly "new < old"): the convergence probe then scans the
+        # just-checkpointed frame instead of shuffle-joining the new and
+        # old label tables — one cluster round-trip per round, not two
+        # (r9; the CC consumers are latency-bound on tiny per-round
+        # jobs, not throughput-bound).
+        neighbor_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .select(sym["s"].alias("node"), "component")
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("__nmin"))
+        )
+        folded = labels.join(neighbor_min, "node").select(
+            "node",
+            F.least(F.col("component"), F.col("__nmin")).alias("component"),
+            (F.col("__nmin") < F.col("component")).alias("__changed"),
         )
         if rnd >= 2:
             # pointer-jump (path shortcut, r9): label <- label(label). A
@@ -146,19 +168,21 @@ def connected_components(
                 F.col("node").alias("component"),
                 F.col("component").alias("__jc"),
             )
+            # the round's change flag composes exactly: the final label
+            # differs from the incoming one iff the fold lowered it
+            # (__changed) or the jump rerouted it (__jc present and
+            # different — jumps are monotone decreasing too).
             folded = folded.join(jump_to, "component", "left").select(
                 "node",
                 F.coalesce("__jc", F.col("component")).alias("component"),
+                (
+                    F.col("__changed")
+                    | (F.coalesce("__jc", F.col("component")) != F.col("component"))
+                ).alias("__changed"),
             )
         new_labels = folded.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             converged = True
             break
