@@ -858,6 +858,37 @@ def edit_verified_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def build_shingle_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Distinct ``(id_col, sh)`` postings, persisted hash-partitioned on the
+    shingle — the shared base of the inverted-index self-join family.
+
+    Materialized once: both sides of the self-join + the size agg reuse it
+    (without this the shingle expression tree evaluates three times).
+    The cached layout is hash-partitioned ON THE JOIN KEY: both sides of
+    the inverted-index self-join (and the df-guard agg) then consume the
+    cache with their partitioning requirement already satisfied — no
+    re-shuffle of the exploded rows, the largest frame in the operator.
+    Measured at sf1: 20.6 -> 10.7 s end-to-end including the extra
+    build exchange (one repartition bought two join-side shuffles).
+
+    Linear in the corpus (one row per distinct posting), MEMORY_AND_DISK —
+    safe to build before a cost pre-flight has decided whether the
+    quadratic join downstream is affordable; a caller routing away from
+    the join should unpersist it."""
+    df = ensure_min_parallelism(df)
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh"))
+        .distinct()
+        .repartition(exploding_join_parallelism(df), "sh")
+        .persist()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -865,13 +896,20 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    _exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word-k-gram shingle sets for every pair sharing at
     least one shingle (inverted-index self-join).
 
     ``max_shingle_df`` drops shingles appearing in more than that many docs
     before the join — the standard guard against quadratic blowup on
-    boilerplate shingles at scale."""
+    boilerplate shingles at scale.
+
+    ``_exploded`` (internal): a caller that already built and persisted the
+    distinct ``(id_col, sh)`` postings table — hash-partitioned on ``sh``,
+    exactly ``build_shingle_postings`` — injects it so the operator does not
+    rebuild the corpus scan (the cost-routed split report shares one build
+    with its pre-flight; the injector owns the unpersist)."""
     # Materialized once: both sides of the self-join + the size agg reuse it
     # (without this the shingle expression tree evaluates three times).
     # The cached layout is hash-partitioned ON THE JOIN KEY: both sides of
@@ -880,13 +918,10 @@ def ngram_jaccard_pairs(
     # re-shuffle of the exploded rows, the largest frame in the operator.
     # Measured at sf1: 20.6 -> 10.7 s end-to-end including the extra
     # build exchange (one repartition bought two join-side shuffles).
-    df = ensure_min_parallelism(df)
-    exploded = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh"))
-        .distinct()
-        .repartition(exploding_join_parallelism(df), "sh")
-        .persist()
-    )
+    if _exploded is not None:
+        exploded = _exploded
+    else:
+        exploded = build_shingle_postings(df, text_col, id_col, shingle_k)
     if max_shingle_df is not None:
         # Drop the OVER-cap shingles (few by definition — that's what makes
         # them hot; the r3 form broadcast the SURVIVORS, i.e. nearly the
@@ -932,6 +967,7 @@ def exact_jaccard_cost_profile(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     bytes_per_pair_row: int = 20,
+    _exploded: DataFrame | None = None,
 ) -> dict:
     """Pre-flight cost model for the ``ngram_jaccard_pairs`` inverted-index
     self-join (r7, VERDICT r6 item 4): the join materializes, per shingle,
@@ -953,9 +989,16 @@ def exact_jaccard_cost_profile(
     exceeds it — turning a disk-full death hours in into a planned
     decision (see plans/dedup_queries.cluster_safe_split_report_auto).
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
-    ).distinct()
+    # ``_exploded``: share the caller's persisted postings table (see
+    # build_shingle_postings) instead of re-running the corpus scan the
+    # routed exact path is about to need anyway.
+    exploded = (
+        _exploded
+        if _exploded is not None
+        else df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+        ).distinct()
+    )
     row = (
         exploded.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))

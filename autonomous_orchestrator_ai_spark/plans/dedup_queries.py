@@ -739,9 +739,13 @@ _CC_CTES = f"""
 """
 
 
-def _ngram_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_edges(
+    spark: SparkSession, sf_dir: str, postings: DataFrame | None = None
+) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_k=3, threshold=0.2)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.2, _exploded=postings
+    )
 
 
 @register(
@@ -1104,7 +1108,9 @@ _CSPLIT_SQL = """
     FROM labeled GROUP BY split
     """,
 )
-def cluster_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_safe_split_report(
+    spark: SparkSession, sf_dir: str, _postings: DataFrame | None = None
+) -> DataFrame:
     """The FIX for what ``split_leakage_report`` measures: assign splits
     with the near-dup CLUSTER as the atomic unit
     (operators.curation.cluster_safe_split over the same n-gram-Jaccard
@@ -1120,7 +1126,7 @@ def cluster_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    comp = connected_components(_ngram_edges(spark, sf_dir))
+    comp = connected_components(_ngram_edges(spark, sf_dir, _postings))
     labeled = cluster_safe_split(docs, comp)
     viol = (
         labeled.groupBy("split_unit")
@@ -1298,13 +1304,29 @@ def cluster_safe_split_report_auto(spark: SparkSession, sf_dir: str) -> DataFram
     route is the exact form and the oracle (which replays the identical
     estimate in DuckDB) resolves to the exact oracle."""
     from autonomous_orchestrator_ai_spark.operators.dedup import (
+        build_shingle_postings,
         exact_jaccard_cost_profile,
     )
 
     docs = table(spark, sf_dir, "documents")
+    # Build the linear postings table ONCE and share it between the
+    # pre-flight (df-profile aggregation) and — when the route is exact —
+    # the inverted-index join itself, which starts from exactly this frame
+    # (r9: the pre-flight and the routed path each ran their own corpus
+    # shingle scan). Postings are linear in the corpus, so persisting them
+    # before the route decision is scale-safe; only the df^2 join they
+    # feed is what the budget gates. On the LSH route the table is
+    # released immediately (that path never consumes shingle postings).
+    postings = build_shingle_postings(docs, "text", "doc_id", shingle_k=3)
     est = exact_jaccard_cost_profile(
-        docs, "text", "doc_id", shingle_k=3, bytes_per_pair_row=PAIR_ROW_BYTES
+        docs,
+        "text",
+        "doc_id",
+        shingle_k=3,
+        bytes_per_pair_row=PAIR_ROW_BYTES,
+        _exploded=postings,
     )
     if _exact_split_route(est["est_shuffle_bytes"]) == "exact":
-        return cluster_safe_split_report(spark, sf_dir)
+        return cluster_safe_split_report(spark, sf_dir, _postings=postings)
+    postings.unpersist()
     return cluster_safe_split_report_lsh(spark, sf_dir)
