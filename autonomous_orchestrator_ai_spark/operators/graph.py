@@ -54,6 +54,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 50,
     switch_after: int = 8,
+    broadcast_state_max_nodes: int = 5_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component
     is the smallest node id in that node's connected component.
@@ -122,6 +123,17 @@ def connected_components(
         if switch_after is None
         else min(switch_after, max_iterations)
     )
+    # Broadcast the per-round state when it's provably small (the
+    # pagerank broadcast_state_max_nodes pattern): the label table is
+    # (node, component) — 16 B/node — and counting the just-checkpointed
+    # frame is one cheap local scan. Below the threshold every round's
+    # two state joins (neighbor pull, own-label fold) and the
+    # pointer-jump lookup become broadcast hash joins, so the only
+    # exchange left per round is the map-combined neighbor-min groupBy —
+    # the symmetric edge list is never re-shuffled. Above the threshold
+    # (billion-node dup graphs) the shuffle joins stay.
+    small_state = labels.count() <= broadcast_state_max_nodes
+    hint = F.broadcast if small_state else (lambda df: df)
     converged = labels.isEmpty() if prop_rounds < 2 else False
     for rnd in range(1, prop_rounds):
         # each node pulls its neighbors' current labels, keeps the min of
@@ -134,12 +146,12 @@ def connected_components(
         # (r9; the CC consumers are latency-bound on tiny per-round
         # jobs, not throughput-bound).
         neighbor_min = (
-            sym.join(labels, sym["d"] == labels["node"])
+            sym.join(hint(labels), sym["d"] == labels["node"])
             .select(sym["s"].alias("node"), "component")
             .groupBy("node")
             .agg(F.min("component").alias("__nmin"))
         )
-        folded = labels.join(neighbor_min, "node").select(
+        folded = hint(labels).join(neighbor_min, "node").select(
             "node",
             F.least(F.col("component"), F.col("__nmin")).alias("component"),
             (F.col("__nmin") < F.col("component")).alias("__changed"),
@@ -172,7 +184,7 @@ def connected_components(
             # differs from the incoming one iff the fold lowered it
             # (__changed) or the jump rerouted it (__jc present and
             # different — jumps are monotone decreasing too).
-            folded = folded.join(jump_to, "component", "left").select(
+            folded = folded.join(hint(jump_to), "component", "left").select(
                 "node",
                 F.coalesce("__jc", F.col("component")).alias("component"),
                 (
@@ -196,11 +208,13 @@ def connected_components(
     # answer (label contraction is a quotient map: it preserves
     # connectivity and introduces none).
     contracted = (
-        sym.join(labels.withColumnRenamed("node", "s"), "s")
+        sym.join(hint(labels.withColumnRenamed("node", "s")), "s")
         .select(F.col("component").alias("ls"), "d")
         .join(
-            labels.select(
-                F.col("node").alias("d"), F.col("component").alias("ld")
+            hint(
+                labels.select(
+                    F.col("node").alias("d"), F.col("component").alias("ld")
+                )
             ),
             "d",
         )

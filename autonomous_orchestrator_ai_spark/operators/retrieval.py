@@ -33,7 +33,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from autonomous_orchestrator_ai_spark.operators.scoring import explode_tokens
+from autonomous_orchestrator_ai_spark.operators.scoring import (
+    _tokens,
+    explode_tokens,
+)
 
 __all__ = ["bm25_scores", "rrf_fuse"]
 
@@ -76,8 +79,19 @@ def bm25_scores(
         )
 
     tokens = explode_tokens(docs.select(id_col, text_col), id_col, text_col)
-    # doc length + corpus size: one combined pass over the token stream
-    dl = tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # doc length: a MAP-SIDE array fold over the docs scan, never an
+    # explode + corpus-wide groupBy — size(filter(tokens)) counts exactly
+    # the rows explode_tokens would emit per doc (null text -> size(null)
+    # = -1, all-whitespace -> 0; both excluded by dl > 0, matching the
+    # explode dropping them). At corpus scale the old shape shuffled the
+    # ENTIRE token stream just to count it (guide §2.4: remove shuffles
+    # outright); this shape shuffles nothing and scans one column.
+    dl = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(_tokens(text_col), lambda t: t != "")
+        ).alias("dl"),
+    ).where(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -86,9 +100,12 @@ def bm25_scores(
     # broadcast the term list into the scan
     hits = tokens.join(F.broadcast(terms), "token")
     tf = hits.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = hits.groupBy("token").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
-    )
+    # df = COUNT(DISTINCT doc) over hits = COUNT(*) over tf (tf is one row
+    # per (doc, term) by construction). Deriving it from tf makes the two
+    # subtrees byte-identical up to the (id, token) exchange, so the plan
+    # re-reads that exchange (ReusedExchange) instead of re-scanning and
+    # re-exploding the corpus for a second aggregation.
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
     n, dfc, tfc, dlc = F.col("n_docs"), F.col("df"), F.col("tf"), F.col("dl")
     idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
