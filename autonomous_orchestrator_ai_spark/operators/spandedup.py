@@ -221,11 +221,37 @@ def duplicate_span_doc_stats(
     call in a long session stacked another occurrence table in executor
     storage). Pass ``release=False`` to keep the cache for a follow-up
     span operator over the same corpus."""
+    # Same marks as duplicate_spans, but the island merge runs on each
+    # doc's sorted start array via _island_bounds instead of the window +
+    # double groupBy of the span-listing form (r9): one exchange carries
+    # the occurrence starts, the maximal-span count and union length are
+    # then map-side arithmetic. Results are identical — n_spans is the
+    # island count, dup_tokens the summed island lengths.
     caches: list[DataFrame] = []
-    spans = duplicate_spans(docs, k, id_col, text_col, min_docs, _caches=caches)
-    stats = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    occ = kgram_occurrences(docs, k, id_col, text_col).repartition(
+        "gram_hash"
+    ).persist()
+    caches.append(occ)
+    dup = duplicated_grams(occ, id_col, min_docs)
+    marked = occ.join(dup.select("gram_hash"), "gram_hash")
+    starts = F.col("__starts")
+    island_starts, island_ends = _island_bounds(starts, k)
+    stats = (
+        marked.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+                "__starts"
+            )
+        )
+        .select(
+            id_col,
+            F.size(island_starts).cast("bigint").alias("n_spans"),
+            F.aggregate(
+                F.zip_with(island_ends, island_starts, lambda e, s: e - s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dup_tokens"),
+        )
     )
     return _release_through(stats, caches) if release else stats
 
