@@ -295,13 +295,22 @@ def connected_components_star(
             .agg(F.min("v").alias("__mn"))
             .select("u", F.least("__mn", "u").alias("m"))
         )
+        # persist (lazy), not localCheckpoint (eager): the large-star
+        # result is consumed three times inside the small-star plan
+        # (pmins twice via the union branches, the re-hook join once),
+        # and a persist lets the SMALL-star checkpoint job materialize
+        # it once into cache on first touch — one cluster round-trip per
+        # round instead of two (r9; the star consumers are latency-bound
+        # on tiny per-round jobs exactly like propagation, batch 9).
+        # Lineage stays bounded: canon is checkpointed every round, so
+        # the un-truncated large plan is one join+agg deep.
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
+            .persist()
         )
         # small-star over child=hi -> parents=lo
         pmins = large.groupBy("hi").agg(F.min("lo").alias("m"))
@@ -316,6 +325,7 @@ def connected_components_star(
             .localCheckpoint()
         )
         new_n = small.count()
+        large.unpersist()
         if new_n == n_edges and small.subtract(canon).limit(1).count() == 0:
             canon = small
             break
@@ -357,10 +367,19 @@ def pagerank(
     ``r = (1-d)/N + d * sum(r_in/deg_in)``.
 
     Scale notes (100 TB story):
-    - State per round is (node, rank): two 8-byte values, hash-partitioned.
-      The edge list is joined against but never rewritten; ``deg`` is
-      computed once before the loop and stapled onto the edges so the loop
-      body never re-aggregates it.
+    - State per round is (node, rank, out_deg): three 8-byte values,
+      hash-partitioned. The edge list is joined against but never
+      rewritten; ``out_deg`` is computed once before the loop and rides on
+      the RANK state (not on the edges) so the loop body never
+      re-aggregates it and the setup never shuffles the edge list to
+      staple degrees on (r9: the old e⋈deg materialization was one full
+      edge-list shuffle + checkpoint that a 16-byte-per-node state column
+      replaces outright).
+    - Setup is exactly TWO passes over the edge list: the distinct+
+      checkpoint, then ONE symmetric explode + groupBy that yields nodes
+      and out-degrees together (the old union-distinct nodes pass and the
+      separate groupBy(s) degree pass computed the same information in
+      two shuffles).
     - ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
       lineage (plan growth is linear per round; analysis cost is the real
       enemy past ~10 uncheckpointed iterations).
@@ -387,32 +406,51 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
-        .distinct()
+    # nodes AND out-degrees from ONE symmetric explode + groupBy (r9):
+    # every node appears (as a source with is_out=1, as a destination
+    # with is_out=0), so sum(is_out) is exactly the old groupBy(s) count
+    # with dangling nodes at 0 — one shuffle replaces the union-distinct
+    # nodes pass and the degree pass, and the old e⋈deg checkpoint
+    # disappears because out_deg rides on the rank state below.
+    nd = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("node"),
+                        F.lit(1).cast("bigint").alias("is_out"),
+                    ),
+                    F.struct(
+                        F.col("d").alias("node"),
+                        F.lit(0).cast("bigint").alias("is_out"),
+                    ),
+                )
+            ).alias("__n")
+        )
+        .select(F.col("__n.node").alias("node"), F.col("__n.is_out").alias("is_out"))
+        .groupBy("node")
+        .agg(F.sum("is_out").alias("out_deg"))
         .localCheckpoint()
     )
-    n = nodes.count()
+    n = nd.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
-    e_deg = e.join(deg, "s").localCheckpoint()
+        return nd.select("node").withColumn("rank", F.lit(0.0))
     teleport = (1.0 - damping) / n
     small_state = n <= broadcast_state_max_nodes
     hint = F.broadcast if small_state else (lambda df: df)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nd.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         contrib = (
-            e_deg.join(hint(ranks), e_deg["s"] == ranks["node"])
+            e.join(hint(ranks), e["s"] == ranks["node"])
             .select("d", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("d")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = nodes.join(
-            hint(contrib), nodes["node"] == contrib["d"], "left"
+        ranks = nd.join(
+            hint(contrib), nd["node"] == contrib["d"], "left"
         ).select(
             "node",
+            "out_deg",
             (
                 F.lit(teleport)
                 + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
@@ -420,7 +458,7 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def dedup_clusters(
