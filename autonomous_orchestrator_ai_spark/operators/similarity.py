@@ -195,6 +195,7 @@ def lsh_bucketed_topk(
     exclude_self: bool = True,
     broadcast_queries: bool | None = None,
     max_bucket_candidates: int | None = None,
+    rescore_after_dedup: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to LSH bucket collisions.
 
@@ -241,7 +242,25 @@ def lsh_bucketed_topk(
     2x slower than the shuffle plan and climbs with n). None (default)
     decides with a bounded probe: broadcast only when the query count is
     confirmed <= ``_BROADCAST_Q_MAX`` by a LIMIT-guarded count (never a
-    full count of an unbounded query set)."""
+    full count of an unbounded query set).
+
+    ``rescore_after_dedup`` (r9): score each unique (query, neighbor)
+    pair ONCE instead of once per (table, probe) collision. Multiprobe
+    multiplies collisions by (1 + n_planes) and multi-table by n_tables,
+    so the same pair is dot-producted up to n_tables x (1 + n_planes)
+    times before dropDuplicates discards the copies; with this flag the
+    collision join carries only ids (vectors prune out of the bucket
+    join entirely), pairs dedup map-side first, and the vectors are
+    re-attached by BROADCAST joins against the two base tables for one
+    scoring pass. The result is bit-identical (same dot/(|q||c|) fold
+    over the same vectors, same unique pair set) — only the evaluation
+    count changes — so no oracle is affected. CALLER-ROUTED because the
+    re-attach broadcasts both vector tables: only safe when the caller
+    knows the corpus fits a broadcast (the corpus-scaled screen at small
+    sf); at large n the broadcast build would dominate and the map-side
+    per-collision scoring (which never shuffles a vector) stays the
+    right plan — the measured r6 alternative, a shuffle re-fetch,
+    spilled ~74 GB of sort at sf10 and is never worth it."""
     c_base = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
     )
@@ -346,17 +365,40 @@ def lsh_bucketed_topk(
     )
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = (
-        pairs.select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("__qv"), F.col("__cv"))
-                / (F.col("__qn") * F.col("__cn"))
-            ).alias("__sim"),
+    if rescore_after_dedup:
+        # ids-only dedup first (vectors prune out of the bucket join),
+        # then one broadcast re-attach + one scoring fold per UNIQUE pair
+        uniq = pairs.select("query_id", "neighbor_id").dropDuplicates()
+        cv = c_base.select(
+            "neighbor_id", "__cv", norm(F.col("__cv")).alias("__cn")
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+        qv = q_base.select(
+            "query_id", "__qv", norm(F.col("__qv")).alias("__qn")
+        )
+        scored = (
+            uniq.join(F.broadcast(cv), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot(F.col("__qv"), F.col("__cv"))
+                    / (F.col("__qn") * F.col("__cn"))
+                ).alias("__sim"),
+            )
+        )
+    else:
+        scored = (
+            pairs.select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot(F.col("__qv"), F.col("__cv"))
+                    / (F.col("__qn") * F.col("__cn"))
+                ).alias("__sim"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

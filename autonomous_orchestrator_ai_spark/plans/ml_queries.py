@@ -995,6 +995,25 @@ def _screen_multiprobe_route(n_vectors: int, n_planes: int) -> bool:
     return est <= _SCREEN_PROBE_BUDGET_BYTES
 
 
+#: rescore-after-dedup route (r9, performance-only — the two branches are
+#: bit-identical, so unlike the multiprobe route the oracle never needs to
+#: replay this decision): scoring per unique pair instead of per (table,
+#: probe) collision requires re-attaching vectors by BROADCAST, i.e. both
+#: vector tables must fit executor memory. Priced at dim x 8 B + ~48 B of
+#: row overhead per vector, x2 (corpus + query tables are the same corpus
+#: in the self-screen). 64 MiB keeps it ON through sf1 (~20k vectors,
+#: ~11 MB) and OFF from sf10 (~200k vectors, ~110 MB), where the map-side
+#: per-collision scoring — which never ships a vector through a shuffle —
+#: remains the scale-safe plan.
+_RESCORE_VEC_ROW_OVERHEAD = 48
+_SCREEN_RESCORE_BUDGET_BYTES = 64 * 1024**2
+
+
+def _screen_rescore_route(n_vectors: int, dim: int = 64) -> bool:
+    est = 2 * n_vectors * (dim * 8 + _RESCORE_VEC_ROW_OVERHEAD)
+    return est <= _SCREEN_RESCORE_BUDGET_BYTES
+
+
 def _lsh_disagreement_oracle(sf_dir: str) -> str:
     """Callable oracle (see registry.resolve_oracle): the screen's plane
     count is a deterministic function of CORPUS SIZE (auto_planes), so
@@ -1067,6 +1086,10 @@ def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64, broadcast_queries=False,
         multiprobe_bits=1 if _screen_multiprobe_route(n_vecs, planes) else 0,
         max_bucket_candidates=_SCREEN_BUCKET_CAP,
+        # bit-identical fast path (see _screen_rescore_route): score each
+        # unique pair once via broadcast re-attach while the corpus fits,
+        # keep the never-ships-a-vector collision scoring at scale
+        rescore_after_dedup=_screen_rescore_route(n_vecs),
     )
     labels = emb.select("vec_id", "label")
     joined = (

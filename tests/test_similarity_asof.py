@@ -78,6 +78,50 @@ def test_screen_multiprobe_route_boundaries():
     assert _screen_multiprobe_route(200_000, auto_planes(200_000)) is False
 
 
+def test_rescore_after_dedup_bit_identical(spark):
+    """``rescore_after_dedup`` is a performance-only route (r9): scoring
+    once per unique pair via broadcast re-attach must produce EXACTLY the
+    rows of the per-collision scoring — same pairs, same 6dp sims, same
+    ranks — in the screen's own configuration (corpus-scaled self-query,
+    shuffled bucket join, cap, 1-bit multiprobe)."""
+    from autonomous_orchestrator_ai_spark.operators.similarity import (
+        auto_planes,
+    )
+    from autonomous_orchestrator_ai_spark.plans.ml_queries import (
+        _SCREEN_BUCKET_CAP,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = auto_planes(emb.count())
+
+    def run(rescore):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"], r["rank"])
+            for r in lsh_bucketed_topk(
+                emb, emb, k=5, n_planes=planes, n_tables=4,
+                broadcast_queries=False, multiprobe_bits=1,
+                max_bucket_candidates=_SCREEN_BUCKET_CAP,
+                rescore_after_dedup=rescore,
+            ).collect()
+        )
+
+    assert run(True) == run(False)
+
+
+def test_screen_rescore_route_boundaries():
+    """The broadcast re-attach is only safe while the vector tables fit
+    executor memory: ON through ~sf1 corpora, OFF at the 200k-vector
+    screen scale where the r6 measurement showed any vector re-fetch
+    (shuffle form) costing ~74 GB of sort spill."""
+    from autonomous_orchestrator_ai_spark.plans.ml_queries import (
+        _screen_rescore_route,
+    )
+
+    assert _screen_rescore_route(2_000) is True
+    assert _screen_rescore_route(20_000) is True
+    assert _screen_rescore_route(200_000) is False
+
+
 def test_screen_multiprobe_lifts_small_corpus_recall(spark):
     """The routed flips exist to lift the small-corpus recall floor: on
     the sf0.001 embeddings with the screen's exact configuration (auto
