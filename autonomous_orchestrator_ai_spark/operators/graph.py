@@ -295,22 +295,21 @@ def connected_components_star(
             .agg(F.min("v").alias("__mn"))
             .select("u", F.least("__mn", "u").alias("m"))
         )
-        # persist (lazy), not localCheckpoint (eager): the large-star
-        # result is consumed three times inside the small-star plan
-        # (pmins twice via the union branches, the re-hook join once),
-        # and a persist lets the SMALL-star checkpoint job materialize
-        # it once into cache on first touch — one cluster round-trip per
-        # round instead of two (r9; the star consumers are latency-bound
-        # on tiny per-round jobs exactly like propagation, batch 9).
-        # Lineage stays bounded: canon is checkpointed every round, so
-        # the un-truncated large plan is one join+agg deep.
+        # localCheckpoint (eager), deliberately NOT persist: the lazy
+        # persist was tried (r9) to save one cluster round-trip per
+        # round, but a cached-not-checkpointed frame keeps its pre-AQE
+        # partitioning inside the loop (AQE cannot re-coalesce a cached
+        # plan's output partitioning by default), so the tail rounds'
+        # tiny edge sets ran 32-task stages (~0.5 s each) instead of the
+        # 1-task jobs the checkpoint's materialized coalescing gives —
+        # measurably slower than the round-trip it saved.
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
         # small-star over child=hi -> parents=lo
         pmins = large.groupBy("hi").agg(F.min("lo").alias("m"))
@@ -325,7 +324,6 @@ def connected_components_star(
             .localCheckpoint()
         )
         new_n = small.count()
-        large.unpersist()
         if new_n == n_edges and small.subtract(canon).limit(1).count() == 0:
             canon = small
             break
