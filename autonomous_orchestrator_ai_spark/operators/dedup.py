@@ -50,7 +50,8 @@ from autonomous_orchestrator_ai_spark.functions.text import (
 )
 from autonomous_orchestrator_ai_spark.operators.partitioning import (
     ensure_min_parallelism,
-    exploding_join_parallelism,
+    repartition_for_exploding_join,
+    source_input_bytes,
 )
 
 # ---------------------------------------------------------------------------
@@ -270,30 +271,10 @@ def _payload_pin_budget_bytes() -> int:
         ) from None
 
 
-def _source_input_bytes(df: DataFrame) -> int | None:
-    """Total on-disk size of the files feeding ``df``'s scan, or None when
-    it cannot be determined (non-file source, remote scheme). Driver-side
-    metadata only — no job."""
-    import os
-    from urllib.parse import urlparse
-
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
-    total = 0
-    for uri in files:
-        parsed = urlparse(uri)
-        if parsed.scheme not in ("", "file"):
-            return None
-        path = parsed.path or uri
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return None
-    return total
+# moved to operators.partitioning (r10 — the exploding-join pin route
+# prices inputs the same way); kept under the old private name for the
+# existing call sites and tests.
+_source_input_bytes = source_input_bytes
 
 
 def _pin_small_payload(
@@ -510,8 +491,12 @@ def lsh_candidate_pairs(
         # the one-aggregation pre-flight, and cap only past the budget.
         # The cap window's partitioning matches the cache distribution,
         # so enabling it adds a per-partition sort but no extra exchange.
-        banded = banded.repartition(
-            exploding_join_parallelism(banded), "band_id", "band_key"
+        # expansion=10: the band join's candidate output runs ~10x its
+        # banded-index input at healthy profiles (the r7 octave ladder
+        # measured candidates growing linearly at that ratio), so the pin
+        # route prices scan bytes x 10 (see repartition_for_exploding_join).
+        banded = repartition_for_exploding_join(
+            banded, "band_id", "band_key", expansion=10.0
         ).persist()
         if caches is not None:
             caches.append(banded)
@@ -540,8 +525,8 @@ def lsh_candidate_pairs(
         # once and the join reads the cache with its distribution
         # requirement satisfied (same measured pattern as the
         # ngram/winnowing inverted-index caches).
-        banded = banded.repartition(
-            exploding_join_parallelism(banded), "band_id", "band_key"
+        banded = repartition_for_exploding_join(
+            banded, "band_id", "band_key", expansion=10.0
         ).persist()
         if caches is not None:
             caches.append(banded)
@@ -881,12 +866,17 @@ def build_shingle_postings(
     quadratic join downstream is affordable; a caller routing away from
     the join should unpersist it."""
     df = ensure_min_parallelism(df)
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh"))
-        .distinct()
-        .repartition(exploding_join_parallelism(df), "sh")
-        .persist()
-    )
+    # expansion=10: distinct postings carry ~10x the document scan's
+    # parquet bytes (short hash+id rows per shingle vs compressed text),
+    # so the pin route prices scan bytes x 10 — sf1-and-up pins (the
+    # measured 20.6 -> 10.7 s regime), toy inputs let AQE coalesce.
+    return repartition_for_exploding_join(
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+        ).distinct(),
+        "sh",
+        expansion=10.0,
+    ).persist()
 
 
 def ngram_jaccard_pairs(
@@ -1045,14 +1035,15 @@ def ngram_containment_pairs(
     all-pairs — carries over unchanged.
     """
     df = ensure_min_parallelism(df)
-    exploded = (
+    # expansion=10: same postings-vs-scan byte ratio as
+    # build_shingle_postings (see the route note there)
+    exploded = repartition_for_exploding_join(
         df.select(
             F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
-        )
-        .distinct()
-        .repartition(exploding_join_parallelism(df), "sh")
-        .persist()
-    )
+        ).distinct(),
+        "sh",
+        expansion=10.0,
+    ).persist()
     if max_shingle_df is not None:
         hot = (
             exploded.groupBy("sh")
@@ -1142,15 +1133,17 @@ def winnowing_near_duplicates(
     # cache hash-partitioned on the join key so neither self-join side
     # re-shuffles the exploded index (same measured trade as
     # ngram_jaccard_pairs: one build exchange buys two join-side shuffles)
-    exploded = (
+    # expansion=10: same exploded-index-vs-scan byte ratio as the shingle
+    # postings (see build_shingle_postings' route note)
+    exploded = repartition_for_exploding_join(
         sk.select(
             F.col(id_col),
             F.size("__sk").alias("__sz"),
             F.explode("__sk").alias("__h"),
-        )
-        .repartition(exploding_join_parallelism(df), "__h")
-        .persist()
-    )
+        ),
+        "__h",
+        expansion=10.0,
+    ).persist()
     if max_hash_df is not None:
         hot = (
             exploded.groupBy("__h")

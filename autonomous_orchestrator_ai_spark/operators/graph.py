@@ -393,8 +393,9 @@ def pagerank(
       sides instead of shuffling the (much larger) edge list every
       round: the loop body then touches the edges map-side only and the
       single shuffle per round is the map-combined groupBy(dst). Above
-      the threshold (billion-node graphs where 16B/node no longer fits
-      an executor) it falls back to the plain shuffle join.
+      the threshold (billion-node graphs where the (node, rank, out_deg)
+      state at 24B/node no longer fits an executor) it falls back to the
+      plain shuffle join.
     """
     # checkpoint the (possibly expensive) edge derivation ONCE; nodes, deg
     # and the loop all build on the cached edge list instead of re-running

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from autonomous_orchestrator_ai_spark.operators.partitioning import (
     ensure_min_parallelism,
-    exploding_join_parallelism,
+    repartition_for_exploding_join,
+    source_input_bytes,
 )
 
 
@@ -260,7 +261,15 @@ def lsh_bucketed_topk(
     sf); at large n the broadcast build would dominate and the map-side
     per-collision scoring (which never shuffles a vector) stays the
     right plan — the measured r6 alternative, a shuffle re-fetch,
-    spilled ~74 GB of sort at sf10 and is never worth it."""
+    spilled ~74 GB of sort at sf10 and is never worth it.
+
+    PRECONDITION (ADVICE r9): ``id_col`` must be unique in both corpus
+    and queries for the two branches to stay row-identical — duplicate
+    id rows fan out through the re-attach joins into multiple rows per
+    (query_id, neighbor_id), where the per-collision path collapses
+    them via its dropDuplicates. Every caller passes primary-key'd
+    vector tables (vec_id); a caller with non-unique ids must
+    dropDuplicates([id_col]) both sides first."""
     c_base = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double_array(vec_col).alias("__cv")
     )
@@ -307,9 +316,19 @@ def lsh_bucketed_topk(
         # 3-task stage). Pin the join input to cluster parallelism with
         # an explicit-count repartition on the join key; the cap window
         # below and the join both reuse this single exchange. See
-        # exploding_join_parallelism.
-        c = c.repartition(
-            exploding_join_parallelism(c), "table_id", "bucket"
+        # exploding_join_parallelism. Cost-routed (r10): ONE decision for
+        # both join sides, priced as (corpus + query) scan bytes x
+        # n_tables (the index replication factor) — a toy input whose
+        # whole collision set is per-task-overhead-bound skips the pin
+        # and lets AQE coalesce; unknown sizes pin (scale-safe).
+        cb, qb = source_input_bytes(c_base), source_input_bytes(q_base)
+        pin_est = None if (cb is None or qb is None) else (cb + qb)
+        c = repartition_for_exploding_join(
+            c,
+            "table_id",
+            "bucket",
+            expansion=float(n_tables),
+            est_input_bytes=pin_est,
         )
     if max_bucket_candidates is not None:
         # one linear window shuffle on (table_id, bucket) bounds every
@@ -359,7 +378,16 @@ def lsh_bucketed_topk(
         )
 
     if not broadcast_queries:
-        q = q.repartition(exploding_join_parallelism(q), "table_id", "bucket")
+        # same single routing decision as the corpus side (pin_est): the
+        # two sides of one join must agree or the pinned side forces the
+        # exchange anyway
+        q = repartition_for_exploding_join(
+            q,
+            "table_id",
+            "bucket",
+            expansion=float(n_tables),
+            est_input_bytes=pin_est,
+        )
     pairs = c.join(
         F.broadcast(q) if broadcast_queries else q, ["table_id", "bucket"]
     )
@@ -416,6 +444,7 @@ def embedding_near_duplicates(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold),
     multi-table LSH-bucketed: near-identical vectors land in the same
@@ -433,9 +462,16 @@ def embedding_near_duplicates(
     measured and fixed on the corpus-wide kNN screen (see PERF.md round
     5 late). Pass an explicit value to pin the bucketing (oracle twins,
     recall experiments). ``n_tables=1`` reproduces the historical
-    single-table behavior exactly (table 0's planes use the base seed)."""
+    single-table behavior exactly (table 0's planes use the base seed).
+
+    ``n_rows`` (r10): callers that know the corpus row count (e.g. from
+    parquet footer metadata — registry.table_row_count) inject it so the
+    auto-sizing pays no count() job; it MUST equal ``embeddings.count()``
+    or the bucketing diverges from the oracle's."""
     if n_planes is None:
-        n_planes = auto_planes(embeddings.count(), floor=8)
+        n_planes = auto_planes(
+            embeddings.count() if n_rows is None else n_rows, floor=8
+        )
     all_planes = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -620,6 +656,7 @@ def embedding_near_dup_star_edges(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """LINEAR-volume near-dup edges for CLUSTERING embeddings: in every
     (table, bucket), each member connects to the bucket's MINIMUM id (the
@@ -638,9 +675,13 @@ def embedding_near_dup_star_edges(
     this bucket — multi-table probing gives it n_tables hubs to match,
     so clusters of genuinely near-identical vectors are unaffected.
     This is the embedding analog of SemDeDup-style centroid grouping.
+    ``n_rows``: same footer-count injection contract as
+    ``embedding_near_duplicates``.
     """
     if n_planes is None:
-        n_planes = auto_planes(embeddings.count(), floor=8)
+        n_planes = auto_planes(
+            embeddings.count() if n_rows is None else n_rows, floor=8
+        )
     all_planes = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]

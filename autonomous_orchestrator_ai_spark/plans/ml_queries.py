@@ -33,7 +33,11 @@ from autonomous_orchestrator_ai_spark.operators.retrieval import (
 from autonomous_orchestrator_ai_spark.operators.similarity import (
     hard_negatives,
 )
-from autonomous_orchestrator_ai_spark.plans.registry import register, table
+from autonomous_orchestrator_ai_spark.plans.registry import (
+    register,
+    table,
+    table_row_count,
+)
 from autonomous_orchestrator_ai_spark.plans.scoring_queries import _TOKENS_CTE
 from autonomous_orchestrator_ai_spark.plans.similarity_queries import _cos_sql
 
@@ -1008,8 +1012,14 @@ def _screen_multiprobe_route(n_vectors: int, n_planes: int) -> bool:
 _RESCORE_VEC_ROW_OVERHEAD = 48
 _SCREEN_RESCORE_BUDGET_BYTES = 64 * 1024**2
 
+#: one constant shared by the rescore route's pricing, the Spark plan and
+#: the oracle builder (ADVICE r9: a hardcoded dim default in the route,
+#: decoupled from the dim passed to lsh_bucketed_topk, would misprice
+#: silently if the screen's dim ever changed)
+_SCREEN_DIM = 64
 
-def _screen_rescore_route(n_vectors: int, dim: int = 64) -> bool:
+
+def _screen_rescore_route(n_vectors: int, dim: int = _SCREEN_DIM) -> bool:
     est = 2 * n_vectors * (dim * 8 + _RESCORE_VEC_ROW_OVERHEAD)
     return est <= _SCREEN_RESCORE_BUDGET_BYTES
 
@@ -1036,7 +1046,7 @@ def _lsh_disagreement_oracle(sf_dir: str) -> str:
         k=5,
         n_planes=planes,
         n_tables=4,
-        dim=64,
+        dim=_SCREEN_DIM,
         seed=42,
         # identical integer route as the Spark plan (r9): 1-bit flips
         # only when the priced multiprobe fan-out fits the budget
@@ -1079,17 +1089,20 @@ def knn_label_disagreement_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 61 MB -> ON) and stay off where they multiplied the screen ~17x
     # (~1000 s vs ~60 s at sf10). Serving paths (small query sets)
     # always multiprobe — see the cap-policy note above.
-    n_vecs = emb.count()
+    # r10: the sizing count comes from the parquet footer (driver-side,
+    # no job — registry.table_row_count) — the raw-table count the
+    # callable oracle derives the same way via DuckDB.
+    n_vecs = table_row_count(sf_dir, "embeddings")
     planes = auto_planes(n_vecs)
     nn = lsh_bucketed_topk(
         emb, emb, k=5, n_planes=planes, n_tables=4,
-        dim=64, broadcast_queries=False,
+        dim=_SCREEN_DIM, broadcast_queries=False,
         multiprobe_bits=1 if _screen_multiprobe_route(n_vecs, planes) else 0,
         max_bucket_candidates=_SCREEN_BUCKET_CAP,
         # bit-identical fast path (see _screen_rescore_route): score each
         # unique pair once via broadcast re-attach while the corpus fits,
         # keep the never-ships-a-vector collision scoring at scale
-        rescore_after_dedup=_screen_rescore_route(n_vecs),
+        rescore_after_dedup=_screen_rescore_route(n_vecs, dim=_SCREEN_DIM),
     )
     labels = emb.select("vec_id", "label")
     joined = (

@@ -16,6 +16,7 @@ Determinism rules every query here follows:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -140,6 +141,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     _TABLE_CACHE[key] = df
     return df
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a source table from its parquet FOOTER — pure
+    driver-side metadata, no Spark job (r10, guide §1.2: the sizing
+    count() jobs were fixed per-query overhead). Parquet's num_rows is
+    exact by format contract, so this is bit-identical to ``count()`` on
+    the raw scan — and it is the SAME number the callable DuckDB oracles
+    derive (``SELECT COUNT(*) FROM '....parquet'`` is answered from the
+    same footer), so every routing decision priced on it stays
+    engine-identical. Raw source tables only: a filtered/derived frame
+    must keep using ``count()``. Not cached: one footer read is ~1 ms,
+    and memoizing anything keyed on the data dir across bench passes is
+    out of contract."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        import glob
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 TABLES = (

@@ -19,7 +19,11 @@ from autonomous_orchestrator_ai_spark.operators.similarity import (
     cosine_topk,
     lsh_bucketed_topk,
 )
-from autonomous_orchestrator_ai_spark.plans.registry import register, table
+from autonomous_orchestrator_ai_spark.plans.registry import (
+    register,
+    table,
+    table_row_count,
+)
 
 _DOT = (
     "list_sum(list_transform(range(1, len({a})+1), "
@@ -168,7 +172,12 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_duplicates(emb, threshold=0.4)
+    pairs = embedding_near_duplicates(
+        emb,
+        threshold=0.4,
+        # footer count, no sizing job (r10 — see registry.table_row_count)
+        n_rows=table_row_count(sf_dir, "embeddings"),
+    )
     return pairs.orderBy(F.desc("cosine_sim"), "id_a", "id_b").limit(50)
 
 
@@ -922,7 +931,13 @@ def embedding_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    edges = embedding_near_dup_star_edges(emb, threshold=0.4, n_tables=4)
+    edges = embedding_near_dup_star_edges(
+        emb,
+        threshold=0.4,
+        n_tables=4,
+        # footer count, no sizing job (r10 — see registry.table_row_count)
+        n_rows=table_row_count(sf_dir, "embeddings"),
+    )
     comp = connected_components(edges, src="src", dst="dst")
     assigned = emb.select("vec_id").join(
         comp, emb["vec_id"] == comp["node"], "left"
