@@ -295,21 +295,22 @@ def connected_components_star(
             .agg(F.min("v").alias("__mn"))
             .select("u", F.least("__mn", "u").alias("m"))
         )
-        # localCheckpoint (eager), deliberately NOT persist: the lazy
-        # persist was tried (r9) to save one cluster round-trip per
-        # round, but a cached-not-checkpointed frame keeps its pre-AQE
-        # partitioning inside the loop (AQE cannot re-coalesce a cached
-        # plan's output partitioning by default), so the tail rounds'
-        # tiny edge sets ran 32-task stages (~0.5 s each) instead of the
-        # 1-task jobs the checkpoint's materialized coalescing gives —
-        # measurably slower than the round-trip it saved.
+        # large is NOT materialized (r10): its two consumers below (the
+        # parent-min aggregation and the re-hook join) both need it
+        # hash-partitioned on `hi`, so the physical plan computes the
+        # large-star subtree ONCE and feeds the second consumer through a
+        # ReusedExchange — one checkpoint round-trip per round instead of
+        # two, with the small-star checkpoint still resetting lineage
+        # every round. (The r9 alternative — persist instead of
+        # checkpoint — stays a measured LOSS: a cached frame keeps its
+        # pre-AQE partitioning, so tail rounds ran 32-task stages instead
+        # of the checkpoint's coalesced 1-task jobs.)
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint()
         )
         # small-star over child=hi -> parents=lo
         pmins = large.groupBy("hi").agg(F.min("lo").alias("m"))

@@ -118,12 +118,21 @@ def bigram_perplexity(
     """
     occ = bigram_occurrences(docs, id_col, text_col)
     c2, c1, v = bigram_model(occ, id_col)
-    p = (
-        occ.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
+    # Join the MODEL tables together first (r10, guide §2.3/§2.4): c2 ⋈ c1
+    # is vocabulary-scaled, so attaching c1 and V to the bigram-count table
+    # and THEN joining occurrences once on (w1, w2) removes the former
+    # corpus-scaled re-shuffle of occ ⋈ c2 on w1 — the only shuffles that
+    # still carry occurrence rows are the (w1, w2) join input and the
+    # final per-document aggregation. nll per (w1, w2) is computed in the
+    # model table: identical expression over identical per-pair values
+    # ((c2+1)/(c1+V) depends only on the pair), so every occurrence row
+    # receives the bit-identical nll it previously computed inline.
+    model = (
+        c2.join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .select(
-            id_col,
+            "w1",
+            "w2",
             (
                 -F.log(
                     (F.col("c2") + 1.0) / (F.col("c1") + F.col("v_size"))
@@ -131,6 +140,7 @@ def bigram_perplexity(
             ).alias("nll"),
         )
     )
+    p = occ.join(model, ["w1", "w2"]).select(id_col, "nll")
     return p.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg("nll").alias("mean_nll"),

@@ -395,23 +395,39 @@ def lsh_bucketed_topk(
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     if rescore_after_dedup:
         # ids-only dedup first (vectors prune out of the bucket join),
-        # then one broadcast re-attach + one scoring fold per UNIQUE pair
+        # then one broadcast re-attach + one scoring fold per UNIQUE pair.
+        # The re-attach sides are built from the RAW corpus/queries frames
+        # (not the ensure_min_parallelism'd c_base — a round-robin exchange
+        # inside a broadcast build is pure cost, r10 plan audit) and with
+        # an IDENTICAL intermediate schema: in the self-screen (corpus IS
+        # queries) the two BroadcastExchange subtrees then canonicalize
+        # equal and Spark builds ONE broadcast, reused for both joins.
         uniq = pairs.select("query_id", "neighbor_id").dropDuplicates()
-        cv = c_base.select(
-            "neighbor_id", "__cv", norm(F.col("__cv")).alias("__cn")
-        )
-        qv = q_base.select(
-            "query_id", "__qv", norm(F.col("__qv")).alias("__qn")
+
+        def _vec_side(src: DataFrame) -> DataFrame:
+            return src.select(
+                F.col(id_col).alias("__rid"),
+                _as_double_array(vec_col).alias("__rv"),
+            ).withColumn("__rn", norm(F.col("__rv")))
+
+        cvb = _vec_side(corpus)
+        qvb = _vec_side(queries)
+        j1 = uniq.join(
+            F.broadcast(cvb), F.col("neighbor_id") == cvb["__rid"]
+        ).select(
+            "query_id",
+            "neighbor_id",
+            cvb["__rv"].alias("__cv"),
+            cvb["__rn"].alias("__cn"),
         )
         scored = (
-            uniq.join(F.broadcast(cv), "neighbor_id")
-            .join(F.broadcast(qv), "query_id")
+            j1.join(F.broadcast(qvb), F.col("query_id") == qvb["__rid"])
             .select(
                 "query_id",
                 "neighbor_id",
                 (
-                    dot(F.col("__qv"), F.col("__cv"))
-                    / (F.col("__qn") * F.col("__cn"))
+                    dot(qvb["__rv"], F.col("__cv"))
+                    / (qvb["__rn"] * F.col("__cn"))
                 ).alias("__sim"),
             )
         )

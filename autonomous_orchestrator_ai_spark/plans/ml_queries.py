@@ -658,14 +658,35 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_min_parallelism(table(spark, sf_dir, "documents"))
-    dt = explode_tokens(docs, "doc_id", "text").distinct()
-    n = dt.agg(F.count_distinct("doc_id").alias("n_docs"))
-    marg = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    a = dt.select(F.col("doc_id"), F.col("token").alias("token_a"))
-    b = dt.select(F.col("doc_id"), F.col("token").alias("token_b"))
+    # r10 (guide §2.3/§2.4): the pair relation is generated MAP-SIDE from
+    # each document's sorted distinct-token array instead of the former
+    # explode -> distinct -> self-join on doc_id — that join re-shuffled
+    # the corpus-scaled (doc, token) table twice and streamed the same
+    # per-doc vocab² pairs the arrays now emit directly. collect_set ==
+    # the old distinct (one exchange, partially aggregated map-side);
+    # `x > token_a` uses the same binary string comparator as the old
+    # `token_a < token_b` filter, so the pair set is identical. Per-row
+    # transient cost is bounded by per-document vocabulary (the filter
+    # slices one array per (doc, token) row), never corpus size.
+    arrs = (
+        explode_tokens(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("token")).alias("__ts"))
+    )
+    n = arrs.agg(F.count(F.lit(1)).alias("n_docs"))
+    marg = (
+        arrs.select(F.explode("__ts").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     pairs = (
-        a.join(b, "doc_id")
-        .filter(F.col("token_a") < F.col("token_b"))
+        arrs.select(F.explode("__ts").alias("token_a"), "__ts")
+        .select(
+            "token_a",
+            F.explode(
+                F.filter("__ts", lambda x: x > F.col("token_a"))
+            ).alias("token_b"),
+        )
         .groupBy("token_a", "token_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 5)
