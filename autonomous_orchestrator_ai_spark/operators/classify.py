@@ -380,7 +380,21 @@ def train_logistic_gd(
     ``rounds_run`` (the number of gradient rounds actually executed).
     """
     spark = feats.sparkSession
-    fl = feats.join(labels, id_col)
+    # Narrow the persisted design matrix (r10, guide §2.3/§5 — the sf1000
+    # probe showed the cached feats⋈labels overflowing the storage pool,
+    # after which all 24 rounds re-read the disk tier twice per round, so
+    # every cached byte is paid ~48x): `bucket` fits an int (2^18 hash
+    # buckets + small negative sentinels), `y` is {0.0, 1.0} so a float
+    # round-trips to double EXACTLY — both logit and gradient arithmetic
+    # stay bit-identical (x and all products remain double; int->bigint
+    # and float->double widenings are exact). ~25% fewer cached bytes per
+    # row before columnar encoding.
+    fl = feats.join(labels, id_col).select(
+        F.col(id_col),
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("x"),
+        F.col("y").cast("float").alias("y"),
+    )
     fl = fl.persist()
     n_docs = float(fl.select(id_col).distinct().count())  # 1-value read
     # The weight table is a MODEL CONSTANT (<= n_buckets + sentinels rows),
